@@ -379,6 +379,9 @@ class InterleavedSequenceReader:
 
 
 class FastqWriter:
+    """NB: close() does not close the underlying stream; its lifecycle
+    belongs to the caller (it may be stdout or a shared buffer)."""
+
     def __init__(self, file: BinaryIO):
         self._file = file
 
@@ -391,7 +394,7 @@ class FastqWriter:
         self._file.write(record.fastq_bytes())
 
     def close(self):
-        self._file.close()
+        pass
 
     def __enter__(self):
         return self
@@ -401,6 +404,8 @@ class FastqWriter:
 
 
 class FastaWriter:
+    """See FastqWriter: close() leaves the underlying stream open."""
+
     def __init__(self, file: BinaryIO):
         self._file = file
 
@@ -408,7 +413,7 @@ class FastaWriter:
         self._file.write(record.fasta_bytes())
 
     def close(self):
-        self._file.close()
+        pass
 
     def __enter__(self):
         return self

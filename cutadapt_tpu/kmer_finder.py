@@ -119,6 +119,8 @@ class KmerFinder:
                     continue
             elif stop == 0:  # to end of sequence
                 stop = seq_length
+            if stop > seq_length:
+                stop = seq_length
             if stop - start <= 0:
                 continue
             masks = entry.masks
