@@ -137,6 +137,8 @@ def parse_fasta(file: BinaryIO) -> Iterator[SequenceRecord]:
     name: Optional[str] = None
     seq_parts: List[bytes] = []
     for i, line in enumerate(_iter_lines(file)):
+        # Leading/trailing whitespace on any line is insignificant
+        line = line.strip()
         if line.startswith(b"#"):
             continue
         if line.startswith(b">"):
