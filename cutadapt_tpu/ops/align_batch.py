@@ -1,0 +1,496 @@
+"""
+Batched semi-global alignment kernel (JAX, TPU-first).
+
+Computes, for a whole batch of padded/encoded reads at once, exactly
+what the scalar host oracle (:class:`cutadapt_tpu.align.Aligner`)
+computes per read — including the reference engine's subtle selection
+semantics:
+
+- the hybrid cost/score DP with the diag > deletion > insertion
+  tie-break precedence,
+- Ukkonen band tracking (needed only to reproduce the "stale origin"
+  the final-column scan uses for its overlap tie-break),
+- the column-window restriction (min_n/max_n) for adapter types that
+  must consume the query to its end,
+- leftmost-preference candidate folding over last-row candidates and
+  the bottom-up final-column scan.
+
+Design notes (TPU):
+
+- The kernel is a ``lax.scan`` over query columns. The DP column is the
+  carried state, shaped (B, m+1): the batch axis B maps onto vector
+  lanes, the adapter axis onto sublanes.
+- Within a column, the deletion transition is a loop-carried
+  dependency along the adapter axis. It is solved exactly with an
+  associative (min, +) scan: each cell contributes an affine map
+  v -> min(K_i, v + D) on (cost, tie-class, position, score, origin)
+  tuples; composing the maps is associative, and the tie-class/key
+  encodes the reference's if-chain precedence so that even deferred
+  ties resolve exactly as the sequential kernel would. This gives
+  O(log m) depth per column instead of O(m).
+- Acceptance thresholds ``cost <= effective_length * max_error_rate``
+  are precomputed on the host in float64 as per-length integer bounds,
+  so the device kernel never touches floating point.
+
+Reference semantics: /root/reference/src/cutadapt/_align.pyx:298-587.
+"""
+
+import math
+from functools import lru_cache, partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .tables import ACGT_LUT, IUPAC_LUT, UPPER_LUT
+
+MATCH_SCORE = 1
+MISMATCH_SCORE = -1
+INSERTION_SCORE = -2
+DELETION_SCORE = -2
+
+INF_COST = 1 << 28
+BIG_NEG = -(1 << 28)
+
+
+class AlignerSpec(NamedTuple):
+    """Static description of one aligner (hashable; used as jit key)."""
+
+    reference: str
+    max_error_rate: float
+    flags: int = 15
+    wildcard_ref: bool = False
+    wildcard_query: bool = False
+    indel_cost: int = 1
+    min_overlap: int = 1
+
+    @property
+    def start_in_reference(self) -> bool:
+        return bool(self.flags & 1)
+
+    @property
+    def start_in_query(self) -> bool:
+        return bool(self.flags & 2)
+
+    @property
+    def stop_in_reference(self) -> bool:
+        return bool(self.flags & 4)
+
+    @property
+    def stop_in_query(self) -> bool:
+        return bool(self.flags & 8)
+
+
+def encode_reference(spec: AlignerSpec) -> np.ndarray:
+    raw = np.frombuffer(spec.reference.encode("ascii"), dtype=np.uint8)
+    if spec.wildcard_ref:
+        return IUPAC_LUT[raw]
+    elif spec.wildcard_query:
+        return ACGT_LUT[raw]
+    else:
+        return UPPER_LUT[raw]
+
+
+def query_lut(spec: AlignerSpec) -> np.ndarray:
+    """LUT with which raw read bytes must be encoded for this spec."""
+    if spec.wildcard_query:
+        return IUPAC_LUT
+    elif spec.wildcard_ref:
+        return ACGT_LUT
+    else:
+        return UPPER_LUT
+
+
+def n_counts(spec: AlignerSpec) -> np.ndarray:
+    """n_counts[i] = number of N/n in reference[:i]."""
+    counts = np.zeros(len(spec.reference) + 1, dtype=np.int32)
+    c = 0
+    for i, ch in enumerate(spec.reference):
+        counts[i] = c
+        if ch in "nN":
+            c += 1
+    counts[len(spec.reference)] = c
+    return counts
+
+
+def effective_length(spec: AlignerSpec) -> int:
+    m = len(spec.reference)
+    if spec.wildcard_ref:
+        return m - int(n_counts(spec)[m])
+    return m
+
+
+def acceptance_table(spec: AlignerSpec) -> np.ndarray:
+    """thr[L] = max cost acceptable for effective length L (exact float64)."""
+    m = len(spec.reference)
+    return np.floor(
+        np.arange(m + 1, dtype=np.float64) * spec.max_error_rate
+    ).astype(np.int32)
+
+
+def _leaf_key_min(a, b):
+    """Lexicographic min over (cost, cls, pos) tuples with payloads."""
+    ac, acls, apos, ascore, aorig = a
+    bc, bcls, bpos, bscore, borig = b
+    a_wins = (ac < bc) | (
+        (ac == bc) & ((acls < bcls) | ((acls == bcls) & (apos <= bpos)))
+    )
+    return (
+        jnp.where(a_wins, ac, bc),
+        jnp.where(a_wins, acls, bcls),
+        jnp.where(a_wins, apos, bpos),
+        jnp.where(a_wins, ascore, bscore),
+        jnp.where(a_wins, aorig, borig),
+    )
+
+
+def _combine(left, right):
+    """Compose two affine min-plus segments (associative)."""
+    k1, c1 = left
+    k2, c2 = right
+    c2_cost, c2_score = c2
+    # Propagate the left segment's best candidate through the right
+    # segment's deletions; its tie class/key stay those of its origin
+    # cell (that is where a deferred tie is actually resolved).
+    k1c, k1cls, k1pos, k1s, k1o = k1
+    prop = (
+        jnp.minimum(k1c + c2_cost, INF_COST),
+        k1cls,
+        k1pos,
+        k1s + c2_score,
+        k1o,
+    )
+    k = _leaf_key_min(k2, prop)
+    c1_cost, c1_score = c1
+    c = (jnp.minimum(c1_cost + c2_cost, INF_COST), c1_score + c2_score)
+    return (k, c)
+
+
+@lru_cache(maxsize=64)
+def make_batch_locate(spec: AlignerSpec, interpret: bool = False):
+    """
+    Build a jittable function
+        locate(queries, lengths) -> dict of (B,) arrays
+    where `queries` is (B, L) uint8 already encoded through
+    query_lut(spec) (positions >= length must be 0) and `lengths` is
+    (B,) int32.
+
+    Returned fields: found (bool), ref_start, ref_stop, query_start,
+    query_stop, score, errors (all int32; contents undefined where
+    found is False).
+    """
+    m = len(spec.reference)
+    if m == 0:
+        raise ValueError("batched aligner requires a non-empty reference")
+    ref_np = encode_reference(spec)
+    k = int(spec.max_error_rate * m)
+    thr_np = acceptance_table(spec)
+    ncnt_np = n_counts(spec)
+    eff_len = effective_length(spec)
+
+    compare_ascii = not (spec.wildcard_ref or spec.wildcard_query)
+    start_in_reference = spec.start_in_reference
+    start_in_query = spec.start_in_query
+    stop_in_reference = spec.stop_in_reference
+    stop_in_query = spec.stop_in_query
+    ins_cost = del_cost = int(spec.indel_cost)
+    min_overlap = int(spec.min_overlap)
+
+    origin_increment = 1 if start_in_query else 0
+    ins_cost_inc = 0 if start_in_query else ins_cost
+    ins_score_inc = 0 if start_in_query else INSERTION_SCORE
+    init_last = m if start_in_reference else min(m, k + 1)
+    first_i = 0 if stop_in_reference else m
+
+    idx_col = np.arange(m + 1, dtype=np.int32)  # cell index within column
+    pos_i = np.arange(1, m + 1, dtype=np.int32)  # cell 1..m
+
+    def init_column(min_n):
+        """Initial (cost, score, origin) column for per-read min_n (B,)."""
+        i = jnp.asarray(idx_col)[None, :]  # (1, m+1)
+        mn = min_n[:, None]
+        if not start_in_reference and not start_in_query:
+            score = i * DELETION_SCORE
+            cost = jnp.maximum(i, mn) * del_cost
+            origin = jnp.zeros_like(i)
+        elif start_in_reference and not start_in_query:
+            score = jnp.zeros_like(i)
+            cost = mn * del_cost + jnp.zeros_like(i)
+            origin = jnp.minimum(0, mn - i)
+        elif not start_in_reference and start_in_query:
+            score = i * DELETION_SCORE
+            cost = i * del_cost
+            origin = jnp.maximum(0, mn - i)
+        else:
+            score = jnp.zeros_like(i)
+            cost = jnp.minimum(i, mn) * del_cost
+            origin = mn - i
+        B = min_n.shape[0]
+        broad = lambda x: jnp.broadcast_to(x, (B, m + 1)).astype(jnp.int32)
+        return broad(cost), broad(score), broad(origin)
+
+    def locate(queries: jnp.ndarray, lengths: jnp.ndarray):
+        queries = jnp.asarray(queries, dtype=jnp.uint8)
+        lengths = jnp.asarray(lengths, dtype=jnp.int32)
+        B, L = queries.shape
+        ref = jnp.asarray(ref_np)
+        thr = jnp.asarray(thr_np)
+        ncnt = jnp.asarray(ncnt_np)
+
+        n = lengths
+        if start_in_query:
+            max_n = n
+        else:
+            max_n = jnp.minimum(n, m + k)
+        if stop_in_query:
+            min_n = jnp.zeros_like(n)
+        else:
+            min_n = jnp.maximum(0, n - m - k)
+
+        cost0, score0, origin0 = init_column(min_n)
+        carry = dict(
+            cost=cost0,
+            score=score0,
+            origin=origin0,
+            last=jnp.full((B,), init_last, jnp.int32),
+            last_filled=jnp.zeros((B,), jnp.int32),
+            stale_origin=jnp.zeros((B,), jnp.int32),
+            best_found=jnp.zeros((B,), bool),
+            best_cost=jnp.full((B,), INF_COST, jnp.int32),
+            best_score=jnp.zeros((B,), jnp.int32),
+            best_origin=jnp.zeros((B,), jnp.int32),
+            best_ref_stop=jnp.full((B,), m, jnp.int32),
+            best_query_stop=n,
+            done=jnp.zeros((B,), bool),
+        )
+
+        iota = jnp.asarray(idx_col)  # (m+1,)
+        pos = jnp.asarray(pos_i)  # (m,)
+
+        def column_step(carry, j):
+            # j is 1-based column index
+            active = (j > carry_min_n) & (j <= carry_max_n)
+            qc = queries[:, j - 1]  # (B,)
+            if compare_ascii:
+                eq = ref[None, :] == qc[:, None]  # (B, m)
+            else:
+                eq = (ref[None, :] & qc[:, None]) != 0
+
+            cost, score, origin = carry["cost"], carry["score"], carry["origin"]
+            # top row of the new column
+            v0c = cost[:, 0] + ins_cost_inc
+            v0s = score[:, 0] + ins_score_inc
+            v0o = origin[:, 0] + origin_increment
+
+            diag_c, diag_s, diag_o = cost[:, :-1], score[:, :-1], origin[:, :-1]
+            prev_c, prev_s, prev_o = cost[:, 1:], score[:, 1:], origin[:, 1:]
+
+            # Leaf candidates for cells 1..m:
+            # diag branch (match or mismatch)
+            dc = jnp.where(eq, diag_c, diag_c + 1)
+            ds = jnp.where(eq, diag_s + MATCH_SCORE, diag_s + MISMATCH_SCORE)
+            # insertion branch (same cell, previous column)
+            ic = prev_c + ins_cost
+            is_ = prev_s + INSERTION_SCORE
+            # tie classes: diag -> (0, -i); insertion -> (1, +i)
+            posb = jnp.broadcast_to(pos[None, :], eq.shape).astype(jnp.int32)
+            diag_leaf = (dc, jnp.zeros_like(dc), -posb, ds, diag_o)
+            ins_leaf = (ic, jnp.ones_like(ic), posb, is_, prev_o)
+            k_leaf = _leaf_key_min(diag_leaf, ins_leaf)
+            # matching cells inherit the diagonal unconditionally and
+            # suppress the deletion chain entirely (C = INF below)
+            k_leaf = tuple(
+                jnp.where(eq, d, other) for d, other in zip(diag_leaf, k_leaf)
+            )
+            c_cost = jnp.where(eq, INF_COST, del_cost).astype(jnp.int32)
+            c_score = jnp.full_like(c_cost, DELETION_SCORE)
+
+            kk, cc = jax.lax.associative_scan(
+                _combine, (k_leaf, (c_cost, c_score)), axis=1
+            )
+            # apply the seed (new top row) through the prefix deletions
+            seed_cost = jnp.minimum(v0c[:, None] + cc[0], INF_COST)
+            seed = (
+                seed_cost,
+                jnp.ones_like(seed_cost),
+                jnp.full_like(seed_cost, BIG_NEG),
+                v0s[:, None] + cc[1],
+                jnp.broadcast_to(v0o[:, None], seed_cost.shape),
+            )
+            final = _leaf_key_min(kk, seed)
+            new_cost = jnp.concatenate([v0c[:, None], final[0]], axis=1)
+            new_score = jnp.concatenate([v0s[:, None], final[3]], axis=1)
+            new_origin = jnp.concatenate([v0o[:, None], final[4]], axis=1)
+
+            act = active[:, None]
+            new_cost = jnp.where(act, new_cost, cost)
+            new_score = jnp.where(act, new_score, score)
+            new_origin = jnp.where(act, new_origin, origin)
+
+            # --- band update (Ukkonen) ---
+            fill_end = carry["last"]
+            within = (iota[None, :] <= fill_end[:, None]) & (new_cost <= k)
+            shrunk = jnp.max(
+                jnp.where(within, iota[None, :], -1), axis=1
+            ).astype(jnp.int32)
+            new_last = jnp.where(shrunk < m, shrunk + 1, m)
+            new_last = jnp.where(active, new_last, carry["last"])
+            new_last_filled = jnp.where(active, fill_end, carry["last_filled"])
+            gathered_origin = jnp.take_along_axis(
+                new_origin, jnp.clip(fill_end, 0, m)[:, None], axis=1
+            )[:, 0]
+            new_stale = jnp.where(
+                active & (fill_end >= 1), gathered_origin, carry["stale_origin"]
+            )
+
+            # --- last-row candidate ---
+            if stop_in_query:
+                cand_mask = active & (shrunk == m) & ~carry["done"]
+                cand_cost = new_cost[:, m]
+                cand_score = new_score[:, m]
+                cand_origin = new_origin[:, m]
+                length = m + jnp.minimum(cand_origin, 0)
+                if spec.wildcard_ref:
+                    partial_eff = length - (
+                        ncnt[m] - ncnt[jnp.clip(m - length, 0, m)]
+                    )
+                    cur_eff = jnp.where(length < m, partial_eff, eff_len)
+                else:
+                    cur_eff = length
+                acceptable = (length >= min_overlap) & (
+                    cand_cost <= thr[jnp.clip(cur_eff, 0, m)]
+                )
+                best_length = m + jnp.minimum(carry["best_origin"], 0)
+                update = (
+                    cand_mask
+                    & acceptable
+                    & (
+                        ~carry["best_found"]
+                        | (
+                            (cand_origin <= carry["best_origin"] + m // 2)
+                            & (cand_score > carry["best_score"])
+                        )
+                        | (
+                            (length > best_length)
+                            & (cand_score > carry["best_score"])
+                        )
+                    )
+                )
+                best_found = carry["best_found"] | update
+                best_cost = jnp.where(update, cand_cost, carry["best_cost"])
+                best_score = jnp.where(update, cand_score, carry["best_score"])
+                best_origin = jnp.where(update, cand_origin, carry["best_origin"])
+                best_ref_stop = jnp.where(update, m, carry["best_ref_stop"])
+                best_query_stop = jnp.where(update, j, carry["best_query_stop"])
+                done = carry["done"] | (
+                    update & (cand_cost == 0) & (cand_origin >= 0)
+                )
+            else:
+                best_found = carry["best_found"]
+                best_cost = carry["best_cost"]
+                best_score = carry["best_score"]
+                best_origin = carry["best_origin"]
+                best_ref_stop = carry["best_ref_stop"]
+                best_query_stop = carry["best_query_stop"]
+                done = carry["done"]
+
+            new_carry = dict(
+                cost=new_cost,
+                score=new_score,
+                origin=new_origin,
+                last=new_last,
+                last_filled=new_last_filled,
+                stale_origin=new_stale,
+                best_found=best_found,
+                best_cost=best_cost,
+                best_score=best_score,
+                best_origin=best_origin,
+                best_ref_stop=best_ref_stop,
+                best_query_stop=best_query_stop,
+                done=done,
+            )
+            return new_carry, None
+
+        carry_min_n = min_n
+        carry_max_n = max_n
+        if L > 0:
+            carry, _ = jax.lax.scan(
+                column_step, carry, jnp.arange(1, L + 1, dtype=jnp.int32)
+            )
+
+        # --- final-column scan (bottom-up), where max_n == n ---
+        scan_applies = max_n == n
+
+        def final_step(t, st):
+            i = m - t  # descending from m to first_i
+            cand_cost = st["cost"][:, i]
+            cand_score = st["score"][:, i]
+            cand_origin = st["origin"][:, i]
+            length = i + jnp.minimum(cand_origin, 0)
+            if spec.wildcard_ref:
+                ref_start = -jnp.minimum(cand_origin, 0)
+                partial_eff = length - (
+                    ncnt[jnp.clip(i, 0, m)] - ncnt[jnp.clip(ref_start, 0, m)]
+                )
+                cur_eff = jnp.where(length < m, partial_eff, eff_len)
+            else:
+                cur_eff = length
+            acceptable = (length >= min_overlap) & (
+                cand_cost <= thr[jnp.clip(cur_eff, 0, m)]
+            )
+            mask = (
+                scan_applies
+                & (i <= st["last_filled"])
+                & (i >= first_i)
+                & acceptable
+            )
+            best_length = st["best_ref_stop"] + jnp.minimum(st["best_origin"], 0)
+            update = mask & (
+                ~st["best_found"]
+                | (
+                    (st["stale_origin"] <= st["best_origin"] + m // 2)
+                    & (cand_score > st["best_score"])
+                )
+                | ((length > best_length) & (cand_score > st["best_score"]))
+            )
+            st = dict(st)
+            st["best_found"] = st["best_found"] | update
+            st["best_cost"] = jnp.where(update, cand_cost, st["best_cost"])
+            st["best_score"] = jnp.where(update, cand_score, st["best_score"])
+            st["best_origin"] = jnp.where(update, cand_origin, st["best_origin"])
+            st["best_ref_stop"] = jnp.where(update, i, st["best_ref_stop"])
+            st["best_query_stop"] = jnp.where(update, n, st["best_query_stop"])
+            return st
+
+        carry = jax.lax.fori_loop(0, m - first_i + 1, final_step, carry)
+
+        best_origin = carry["best_origin"]
+        ref_start = jnp.where(best_origin >= 0, 0, -best_origin)
+        query_start = jnp.where(best_origin >= 0, best_origin, 0)
+        return dict(
+            found=carry["best_found"],
+            ref_start=ref_start.astype(jnp.int32),
+            ref_stop=carry["best_ref_stop"].astype(jnp.int32),
+            query_start=query_start.astype(jnp.int32),
+            query_stop=carry["best_query_stop"].astype(jnp.int32),
+            score=carry["best_score"].astype(jnp.int32),
+            errors=carry["best_cost"].astype(jnp.int32),
+        )
+
+    return locate
+
+
+def encode_queries(
+    sequences, lut: np.ndarray, length: int = None
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Encode a list of ASCII strings into a padded (B, L) uint8 array
+    plus a lengths vector. Padding positions are 0 (matches nothing)."""
+    lengths = np.array([len(s) for s in sequences], dtype=np.int32)
+    L = int(length) if length is not None else (int(lengths.max()) if len(sequences) else 0)
+    out = np.zeros((len(sequences), L), dtype=np.uint8)
+    for i, s in enumerate(sequences):
+        raw = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+        out[i, : len(raw)] = lut[raw]
+    return out, lengths
