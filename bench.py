@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""
+Benchmark: single-end 3' adapter trimming (`-a ADAPTER -e 0.1`), the
+reference engine's headline configuration.
+
+Measures reads/s of the batched TPU engine end-to-end (FASTQ parse ->
+device prefilter -> device alignment -> trimmed FASTQ assembly) on a
+synthetic dataset, verifies byte-identical output against the exact
+per-read host pipeline on a subset, and prints ONE JSON line:
+
+    {"metric": ..., "value": ..., "unit": "reads/s", "vs_baseline": ...}
+
+vs_baseline is the speedup over the per-read host engine measured in
+this same image (the reference implementation's compiled extensions
+cannot be built here; the host engine implements the identical
+algorithm in Python and is benchmarked on a subsample).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ADAPTER = "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"  # TruSeq
+READ_LEN = 100
+N_READS = int(os.environ.get("BENCH_READS", "500000"))
+SUBSET = int(os.environ.get("BENCH_BASELINE_READS", "5000"))
+CHUNK_RECORDS = 131072
+ADAPTER_FRACTION = 0.25
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def make_dataset(n_reads: int, read_len: int, seed: int = 12345) -> bytes:
+    rng = np.random.RandomState(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = bases[rng.randint(0, 4, size=(n_reads, read_len))]
+    ad = np.frombuffer(ADAPTER.encode(), dtype=np.uint8)
+    has_adapter = rng.rand(n_reads) < ADAPTER_FRACTION
+    positions = rng.randint(10, read_len - 3, size=n_reads)
+    for i in np.flatnonzero(has_adapter):
+        pos = positions[i]
+        take = min(len(ad), read_len - pos)
+        seqs[i, pos : pos + take] = ad[:take]
+    quals = rng.randint(33 + 2, 33 + 41, size=(n_reads, read_len)).astype(np.uint8)
+
+    # assemble FASTQ: @r<i>\nseq\n+\nqual\n
+    names = [f"@r{i}\n".encode() for i in range(n_reads)]
+    name_lens = np.array([len(x) for x in names], dtype=np.int64)
+    rec_lens = name_lens + read_len + 1 + 2 + read_len + 1
+    total = int(rec_lens.sum())
+    out = np.empty(total, dtype=np.uint8)
+    offs = np.cumsum(rec_lens) - rec_lens
+    pos = offs
+    for i, nm in enumerate(names):  # headers vary in length; per-record
+        out[pos[i] : pos[i] + name_lens[i]] = np.frombuffer(nm, np.uint8)
+    pos = pos + name_lens
+    idx = pos[:, None] + np.arange(read_len)[None, :]
+    out[idx] = seqs
+    pos = pos + read_len
+    out[pos] = ord("\n")
+    out[pos + 1] = ord("+")
+    out[pos + 2] = ord("\n")
+    pos = pos + 3
+    idx = pos[:, None] + np.arange(read_len)[None, :]
+    out[idx] = quals
+    out[pos + read_len] = ord("\n")
+    return out.tobytes()
+
+
+def host_baseline(data: bytes, n_records: int) -> float:
+    """reads/s of the exact per-read host engine (Python hot loop)."""
+    import io
+
+    from cutadapt_tpu.adapters import BackAdapter
+    from cutadapt_tpu.io.fastq import parse_fastq
+
+    adapter = BackAdapter(ADAPTER, max_errors=0.1, min_overlap=3)
+    reads = []
+    for rec in parse_fastq(io.BytesIO(data)):
+        reads.append(rec)
+        if len(reads) >= n_records:
+            break
+    outputs = []
+    t0 = time.perf_counter()
+    for rec in reads:
+        match = adapter.match_to(rec.sequence)
+        trimmed = match.trimmed(rec) if match is not None else rec
+        outputs.append(trimmed.fastq_bytes())
+    dt = time.perf_counter() - t0
+    return len(reads) / dt, b"".join(outputs)
+
+
+def split_records(data: bytes, records_per_chunk: int):
+    """Split a FASTQ byte buffer at record boundaries."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    nl = np.flatnonzero(buf == 10)
+    n_records = len(nl) // 4
+    bounds = [0]
+    for r in range(records_per_chunk, n_records, records_per_chunk):
+        bounds.append(int(nl[r * 4 - 1]) + 1)
+    bounds.append(len(data))
+    return [data[a:b] for a, b in zip(bounds[:-1], bounds[1:])], n_records
+
+
+def main():
+    from cutadapt_tpu.batch import Back3pBatchEngine
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    log(f"generating {N_READS} synthetic reads ...")
+    data = make_dataset(N_READS, READ_LEN)
+
+    engine = Back3pBatchEngine(
+        ADAPTER, max_error_rate=0.1, min_overlap=3, dp_batch=8192
+    )
+
+    chunks, n_records = split_records(data, CHUNK_RECORDS)
+    log(f"{n_records} reads in {len(chunks)} chunks")
+
+    # correctness: subset must match the exact per-read host engine
+    log("measuring host baseline + verifying parity ...")
+    host_rps, host_out = host_baseline(data, SUBSET)
+    sub_chunks, _ = split_records(data, SUBSET)
+    sub_out, _ = engine.process_chunk(sub_chunks[0])
+    if sub_out[: len(host_out)] != host_out:
+        log("FATAL: batched engine output differs from host engine")
+        sys.exit(1)
+    log(f"parity OK on {SUBSET} reads; host baseline {host_rps:,.0f} reads/s")
+
+    # warmup (compile)
+    t0 = time.perf_counter()
+    engine.process_chunk(chunks[0])
+    log(f"warmup/compile: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    total_out = 0
+    with_adapters = 0
+    for chunk in chunks:
+        out, stats = engine.process_chunk(chunk)
+        total_out += len(out)
+        with_adapters += stats.get("with_adapters", 0)
+    dt = time.perf_counter() - t0
+    rps = n_records / dt
+    log(
+        f"TPU engine: {rps:,.0f} reads/s ({dt:.2f}s for {n_records} reads, "
+        f"{with_adapters} with adapters, {total_out/1e6:.1f} MB out)"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "reads_per_sec_se_3p_adapter_trim",
+                "value": round(rps, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(rps / host_rps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -18,16 +18,21 @@ semantics:
 Design notes (TPU):
 
 - The kernel is a ``lax.scan`` over query columns. The DP column is the
-  carried state, shaped (B, m+1): the batch axis B maps onto vector
-  lanes, the adapter axis onto sublanes.
+  carried state, laid out (m+1, B): the batch axis B maps onto vector
+  lanes (full lane utilization for B >= 128), the small adapter axis
+  onto sublanes.
 - Within a column, the deletion transition is a loop-carried
   dependency along the adapter axis. It is solved exactly with an
-  associative (min, +) scan: each cell contributes an affine map
-  v -> min(K_i, v + D) on (cost, tie-class, position, score, origin)
-  tuples; composing the maps is associative, and the tie-class/key
-  encodes the reference's if-chain precedence so that even deferred
-  ties resolve exactly as the sequential kernel would. This gives
-  O(log m) depth per column instead of O(m).
+  associative (min, +) prefix combine: each cell contributes an affine
+  map v -> min(K_i, v + D) on (cost, tie-class, position, score,
+  origin) tuples; the tie-class/key encodes the reference's if-chain
+  precedence so even deferred ties resolve exactly as the sequential
+  kernel would. The prefix combine is a manual Hillis-Steele ladder
+  with static shifts (log2(m) rounds of pure elementwise work — no
+  dynamic slicing, no gathers).
+- There are NO gather/scatter ops anywhere in the hot loop: all value
+  lookups (acceptance thresholds, band-edge reads, N-count tables) are
+  one-hot compare+select reductions along the small sublane axis.
 - Acceptance thresholds ``cost <= effective_length * max_error_rate``
   are precomputed on the host in float64 as per-length integer bounds,
   so the device kernel never touches floating point.
@@ -35,8 +40,7 @@ Design notes (TPU):
 Reference semantics: /root/reference/src/cutadapt/_align.pyx:298-587.
 """
 
-import math
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import NamedTuple
 
 import numpy as np
@@ -130,7 +134,7 @@ def acceptance_table(spec: AlignerSpec) -> np.ndarray:
     ).astype(np.int32)
 
 
-def _leaf_key_min(a, b):
+def _key_min(a, b):
     """Lexicographic min over (cost, cls, pos) tuples with payloads."""
     ac, acls, apos, ascore, aorig = a
     bc, bcls, bpos, bscore, borig = b
@@ -151,10 +155,10 @@ def _combine(left, right):
     k1, c1 = left
     k2, c2 = right
     c2_cost, c2_score = c2
-    # Propagate the left segment's best candidate through the right
-    # segment's deletions; its tie class/key stay those of its origin
-    # cell (that is where a deferred tie is actually resolved).
     k1c, k1cls, k1pos, k1s, k1o = k1
+    # Propagate the left segment's candidate through the right
+    # segment's deletions; its tie class/key stay those of its origin
+    # cell (where a deferred tie is actually resolved).
     prop = (
         jnp.minimum(k1c + c2_cost, INF_COST),
         k1cls,
@@ -162,10 +166,46 @@ def _combine(left, right):
         k1s + c2_score,
         k1o,
     )
-    k = _leaf_key_min(k2, prop)
+    k = _key_min(k2, prop)
     c1_cost, c1_score = c1
     c = (jnp.minimum(c1_cost + c2_cost, INF_COST), c1_score + c2_score)
     return (k, c)
+
+
+def _shift_down(arr, d, fill):
+    """Shift rows down by d along axis 0, filling the top with `fill`."""
+    top = jnp.full((d,) + arr.shape[1:], fill, arr.dtype)
+    return jnp.concatenate([top, arr[:-d]], axis=0)
+
+
+def _prefix_combine(k, c, m):
+    """Inclusive prefix combine along axis 0 (Hillis-Steele ladder)."""
+    elems = (k, c)
+    d = 1
+    while d < m:
+        shifted_k = tuple(
+            _shift_down(a, d, f)
+            for a, f in zip(elems[0], (INF_COST, 3, 0, 0, 0))
+        )
+        shifted_c = tuple(_shift_down(a, d, 0) for a in elems[1])
+        combined = _combine((shifted_k, shifted_c), elems)
+        elems = combined
+        d *= 2
+    return elems
+
+
+def _onehot_select(values_col, index, iota_col):
+    """values_col[(index)] per lane, via one-hot select (no gathers).
+
+    values_col: (m+1, B); index: (B,); iota_col: (m+1, 1) int32."""
+    onehot = iota_col == index[None, :]
+    return jnp.sum(jnp.where(onehot, values_col, 0), axis=0)
+
+
+def _table_lookup(table_col, index, iota_col):
+    """table_col: (m+1, 1) constant; index: (B,) -> (B,)."""
+    onehot = iota_col == index[None, :]
+    return jnp.sum(jnp.where(onehot, table_col, 0), axis=0)
 
 
 @lru_cache(maxsize=64)
@@ -204,40 +244,44 @@ def make_batch_locate(spec: AlignerSpec, interpret: bool = False):
     init_last = m if start_in_reference else min(m, k + 1)
     first_i = 0 if stop_in_reference else m
 
-    idx_col = np.arange(m + 1, dtype=np.int32)  # cell index within column
-    pos_i = np.arange(1, m + 1, dtype=np.int32)  # cell 1..m
+    idx_col = np.arange(m + 1, dtype=np.int32)[:, None]  # (m+1, 1)
+    pos_col = np.arange(1, m + 1, dtype=np.int32)[:, None]  # (m, 1)
 
     def init_column(min_n):
-        """Initial (cost, score, origin) column for per-read min_n (B,)."""
-        i = jnp.asarray(idx_col)[None, :]  # (1, m+1)
-        mn = min_n[:, None]
+        """Initial (cost, score, origin) column, shaped (m+1, B)."""
+        i = jnp.asarray(idx_col)  # (m+1, 1)
+        mn = min_n[None, :]  # (1, B)
         if not start_in_reference and not start_in_query:
-            score = i * DELETION_SCORE
+            score = i * DELETION_SCORE + jnp.zeros_like(mn)
             cost = jnp.maximum(i, mn) * del_cost
-            origin = jnp.zeros_like(i)
+            origin = jnp.zeros_like(i + mn)
         elif start_in_reference and not start_in_query:
-            score = jnp.zeros_like(i)
+            score = jnp.zeros_like(i + mn)
             cost = mn * del_cost + jnp.zeros_like(i)
             origin = jnp.minimum(0, mn - i)
         elif not start_in_reference and start_in_query:
-            score = i * DELETION_SCORE
-            cost = i * del_cost
+            score = i * DELETION_SCORE + jnp.zeros_like(mn)
+            cost = i * del_cost + jnp.zeros_like(mn)
             origin = jnp.maximum(0, mn - i)
         else:
-            score = jnp.zeros_like(i)
+            score = jnp.zeros_like(i + mn)
             cost = jnp.minimum(i, mn) * del_cost
             origin = mn - i
         B = min_n.shape[0]
-        broad = lambda x: jnp.broadcast_to(x, (B, m + 1)).astype(jnp.int32)
+        broad = lambda x: jnp.broadcast_to(x, (m + 1, B)).astype(jnp.int32)
         return broad(cost), broad(score), broad(origin)
 
     def locate(queries: jnp.ndarray, lengths: jnp.ndarray):
         queries = jnp.asarray(queries, dtype=jnp.uint8)
         lengths = jnp.asarray(lengths, dtype=jnp.int32)
         B, L = queries.shape
-        ref = jnp.asarray(ref_np)
-        thr = jnp.asarray(thr_np)
-        ncnt = jnp.asarray(ncnt_np)
+        queries_t = queries.T  # (L, B): per-column row access is static-ish
+        ref = jnp.asarray(ref_np)[:, None]  # (m, 1)
+        thr_col = jnp.asarray(thr_np)[:, None]  # (m+1, 1)
+        iota = jnp.asarray(idx_col)  # (m+1, 1)
+        pos = jnp.asarray(pos_col)  # (m, 1)
+        if spec.wildcard_ref:
+            ncnt_col = jnp.asarray(ncnt_np)[:, None]  # (m+1, 1)
 
         n = lengths
         if start_in_query:
@@ -266,39 +310,34 @@ def make_batch_locate(spec: AlignerSpec, interpret: bool = False):
             done=jnp.zeros((B,), bool),
         )
 
-        iota = jnp.asarray(idx_col)  # (m+1,)
-        pos = jnp.asarray(pos_i)  # (m,)
-
         def column_step(carry, j):
-            # j is 1-based column index
-            active = (j > carry_min_n) & (j <= carry_max_n)
-            qc = queries[:, j - 1]  # (B,)
+            # j is the 1-based column index
+            active = (j > min_n) & (j <= max_n)  # (B,)
+            qc = queries_t[j - 1]  # (B,)
             if compare_ascii:
-                eq = ref[None, :] == qc[:, None]  # (B, m)
+                eq = ref == qc[None, :]  # (m, B)
             else:
-                eq = (ref[None, :] & qc[:, None]) != 0
+                eq = (ref & qc[None, :]) != 0
 
             cost, score, origin = carry["cost"], carry["score"], carry["origin"]
             # top row of the new column
-            v0c = cost[:, 0] + ins_cost_inc
-            v0s = score[:, 0] + ins_score_inc
-            v0o = origin[:, 0] + origin_increment
+            v0c = cost[0] + ins_cost_inc  # (B,)
+            v0s = score[0] + ins_score_inc
+            v0o = origin[0] + origin_increment
 
-            diag_c, diag_s, diag_o = cost[:, :-1], score[:, :-1], origin[:, :-1]
-            prev_c, prev_s, prev_o = cost[:, 1:], score[:, 1:], origin[:, 1:]
+            diag_c, diag_s, diag_o = cost[:-1], score[:-1], origin[:-1]
+            prev_c, prev_s, prev_o = cost[1:], score[1:], origin[1:]
 
-            # Leaf candidates for cells 1..m:
-            # diag branch (match or mismatch)
+            # Leaf candidates for cells 1..m
             dc = jnp.where(eq, diag_c, diag_c + 1)
             ds = jnp.where(eq, diag_s + MATCH_SCORE, diag_s + MISMATCH_SCORE)
-            # insertion branch (same cell, previous column)
             ic = prev_c + ins_cost
             is_ = prev_s + INSERTION_SCORE
-            # tie classes: diag -> (0, -i); insertion -> (1, +i)
-            posb = jnp.broadcast_to(pos[None, :], eq.shape).astype(jnp.int32)
-            diag_leaf = (dc, jnp.zeros_like(dc), -posb, ds, diag_o)
-            ins_leaf = (ic, jnp.ones_like(ic), posb, is_, prev_o)
-            k_leaf = _leaf_key_min(diag_leaf, ins_leaf)
+            posb = jnp.broadcast_to(pos, eq.shape).astype(jnp.int32)
+            zero = jnp.zeros_like(posb)
+            diag_leaf = (dc, zero, -posb, ds, diag_o)
+            ins_leaf = (ic, zero + 1, posb, is_, prev_o)
+            k_leaf = _key_min(diag_leaf, ins_leaf)
             # matching cells inherit the diagonal unconditionally and
             # suppress the deletion chain entirely (C = INF below)
             k_leaf = tuple(
@@ -307,60 +346,58 @@ def make_batch_locate(spec: AlignerSpec, interpret: bool = False):
             c_cost = jnp.where(eq, INF_COST, del_cost).astype(jnp.int32)
             c_score = jnp.full_like(c_cost, DELETION_SCORE)
 
-            kk, cc = jax.lax.associative_scan(
-                _combine, (k_leaf, (c_cost, c_score)), axis=1
-            )
+            kk, cc = _prefix_combine(k_leaf, (c_cost, c_score), m)
             # apply the seed (new top row) through the prefix deletions
-            seed_cost = jnp.minimum(v0c[:, None] + cc[0], INF_COST)
+            seed_cost = jnp.minimum(v0c[None, :] + cc[0], INF_COST)
             seed = (
                 seed_cost,
                 jnp.ones_like(seed_cost),
                 jnp.full_like(seed_cost, BIG_NEG),
-                v0s[:, None] + cc[1],
-                jnp.broadcast_to(v0o[:, None], seed_cost.shape),
+                v0s[None, :] + cc[1],
+                jnp.broadcast_to(v0o[None, :], seed_cost.shape),
             )
-            final = _leaf_key_min(kk, seed)
-            new_cost = jnp.concatenate([v0c[:, None], final[0]], axis=1)
-            new_score = jnp.concatenate([v0s[:, None], final[3]], axis=1)
-            new_origin = jnp.concatenate([v0o[:, None], final[4]], axis=1)
+            final = _key_min(kk, seed)
+            new_cost = jnp.concatenate([v0c[None, :], final[0]], axis=0)
+            new_score = jnp.concatenate([v0s[None, :], final[3]], axis=0)
+            new_origin = jnp.concatenate([v0o[None, :], final[4]], axis=0)
 
-            act = active[:, None]
+            act = active[None, :]
             new_cost = jnp.where(act, new_cost, cost)
             new_score = jnp.where(act, new_score, score)
             new_origin = jnp.where(act, new_origin, origin)
 
             # --- band update (Ukkonen) ---
-            fill_end = carry["last"]
-            within = (iota[None, :] <= fill_end[:, None]) & (new_cost <= k)
-            shrunk = jnp.max(
-                jnp.where(within, iota[None, :], -1), axis=1
-            ).astype(jnp.int32)
+            fill_end = carry["last"]  # (B,)
+            within = (iota <= fill_end[None, :]) & (new_cost <= k)
+            shrunk = jnp.max(jnp.where(within, iota, -1), axis=0).astype(
+                jnp.int32
+            )
             new_last = jnp.where(shrunk < m, shrunk + 1, m)
             new_last = jnp.where(active, new_last, carry["last"])
             new_last_filled = jnp.where(active, fill_end, carry["last_filled"])
-            gathered_origin = jnp.take_along_axis(
-                new_origin, jnp.clip(fill_end, 0, m)[:, None], axis=1
-            )[:, 0]
+            edge_origin = _onehot_select(new_origin, fill_end, iota)
             new_stale = jnp.where(
-                active & (fill_end >= 1), gathered_origin, carry["stale_origin"]
+                active & (fill_end >= 1), edge_origin, carry["stale_origin"]
             )
 
             # --- last-row candidate ---
             if stop_in_query:
                 cand_mask = active & (shrunk == m) & ~carry["done"]
-                cand_cost = new_cost[:, m]
-                cand_score = new_score[:, m]
-                cand_origin = new_origin[:, m]
+                cand_cost = new_cost[m]
+                cand_score = new_score[m]
+                cand_origin = new_origin[m]
                 length = m + jnp.minimum(cand_origin, 0)
                 if spec.wildcard_ref:
-                    partial_eff = length - (
-                        ncnt[m] - ncnt[jnp.clip(m - length, 0, m)]
+                    # effective length counts only non-N positions of
+                    # the last `length` reference characters
+                    tail_n = ncnt_np[m] - _table_lookup(
+                        ncnt_col, jnp.clip(m - length, 0, m), iota
                     )
-                    cur_eff = jnp.where(length < m, partial_eff, eff_len)
+                    cur_eff = jnp.where(length < m, length - tail_n, eff_len)
                 else:
                     cur_eff = length
                 acceptable = (length >= min_overlap) & (
-                    cand_cost <= thr[jnp.clip(cur_eff, 0, m)]
+                    cand_cost <= _table_lookup(thr_col, jnp.clip(cur_eff, 0, m), iota)
                 )
                 best_length = m + jnp.minimum(carry["best_origin"], 0)
                 update = (
@@ -413,39 +450,34 @@ def make_batch_locate(spec: AlignerSpec, interpret: bool = False):
             )
             return new_carry, None
 
-        carry_min_n = min_n
-        carry_max_n = max_n
         if L > 0:
             carry, _ = jax.lax.scan(
                 column_step, carry, jnp.arange(1, L + 1, dtype=jnp.int32)
             )
 
         # --- final-column scan (bottom-up), where max_n == n ---
+        # The iteration range is static, so the loop is unrolled with
+        # static row indexing (dynamic sublane slicing is pathologically
+        # slow on TPU).
         scan_applies = max_n == n
-
-        def final_step(t, st):
-            i = m - t  # descending from m to first_i
-            cand_cost = st["cost"][:, i]
-            cand_score = st["score"][:, i]
-            cand_origin = st["origin"][:, i]
+        st = carry
+        for i in range(m, first_i - 1, -1):
+            cand_cost = st["cost"][i]
+            cand_score = st["score"][i]
+            cand_origin = st["origin"][i]
             length = i + jnp.minimum(cand_origin, 0)
             if spec.wildcard_ref:
                 ref_start = -jnp.minimum(cand_origin, 0)
-                partial_eff = length - (
-                    ncnt[jnp.clip(i, 0, m)] - ncnt[jnp.clip(ref_start, 0, m)]
+                span_n = int(ncnt_np[i]) - _table_lookup(
+                    ncnt_col, jnp.clip(ref_start, 0, m), iota
                 )
-                cur_eff = jnp.where(length < m, partial_eff, eff_len)
+                cur_eff = jnp.where(length < m, length - span_n, eff_len)
             else:
                 cur_eff = length
             acceptable = (length >= min_overlap) & (
-                cand_cost <= thr[jnp.clip(cur_eff, 0, m)]
+                cand_cost <= _table_lookup(thr_col, jnp.clip(cur_eff, 0, m), iota)
             )
-            mask = (
-                scan_applies
-                & (i <= st["last_filled"])
-                & (i >= first_i)
-                & acceptable
-            )
+            mask = scan_applies & (i <= st["last_filled"]) & acceptable
             best_length = st["best_ref_stop"] + jnp.minimum(st["best_origin"], 0)
             update = mask & (
                 ~st["best_found"]
@@ -460,11 +492,11 @@ def make_batch_locate(spec: AlignerSpec, interpret: bool = False):
             st["best_cost"] = jnp.where(update, cand_cost, st["best_cost"])
             st["best_score"] = jnp.where(update, cand_score, st["best_score"])
             st["best_origin"] = jnp.where(update, cand_origin, st["best_origin"])
-            st["best_ref_stop"] = jnp.where(update, i, st["best_ref_stop"])
+            st["best_ref_stop"] = jnp.where(
+                update, jnp.int32(i), st["best_ref_stop"]
+            )
             st["best_query_stop"] = jnp.where(update, n, st["best_query_stop"])
-            return st
-
-        carry = jax.lax.fori_loop(0, m - first_i + 1, final_step, carry)
+        carry = st
 
         best_origin = carry["best_origin"]
         ref_start = jnp.where(best_origin >= 0, 0, -best_origin)
@@ -488,7 +520,11 @@ def encode_queries(
     """Encode a list of ASCII strings into a padded (B, L) uint8 array
     plus a lengths vector. Padding positions are 0 (matches nothing)."""
     lengths = np.array([len(s) for s in sequences], dtype=np.int32)
-    L = int(length) if length is not None else (int(lengths.max()) if len(sequences) else 0)
+    L = (
+        int(length)
+        if length is not None
+        else (int(lengths.max()) if len(sequences) else 0)
+    )
     out = np.zeros((len(sequences), L), dtype=np.uint8)
     for i, s in enumerate(sequences):
         raw = np.frombuffer(s.encode("ascii"), dtype=np.uint8)

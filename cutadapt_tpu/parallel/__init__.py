@@ -1,0 +1,5 @@
+"""Multi-chip execution: data-parallel sharding over a device mesh."""
+
+from .mesh import make_sharded_trim_step, make_mesh
+
+__all__ = ["make_sharded_trim_step", "make_mesh"]
