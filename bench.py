@@ -112,6 +112,14 @@ def main():
 
     import jax
 
+    # persistent compilation cache: compile times over a device tunnel
+    # are highly variable, cache makes repeat runs predictable
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/cutadapt_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     log(f"devices: {jax.devices()}")
     log(f"generating {N_READS} synthetic reads ...")
     data = make_dataset(N_READS, READ_LEN)

@@ -301,9 +301,7 @@ class Back3pBatchEngine:
             B_pad = (B + pb - 1) // pb * pb
             codes = self._code_lut[raw]
             if B_pad != B:
-                codes_p = np.full(
-                    (B_pad, width), self._code_lut[0], np.uint8
-                )
+                codes_p = np.full((B_pad, width), self._code_lut[0], np.uint8)
                 codes_p[:B] = codes
                 lens_p = np.zeros(B_pad, np.int32)
                 lens_p[:B] = lens
@@ -322,6 +320,10 @@ class Back3pBatchEngine:
             stops_all = np.zeros(n_cand, dtype=np.int32)
             errors_all = np.zeros(n_cand, dtype=np.int32)
             encoded = self._query_lut[raw]
+            # dispatch all sub-batches asynchronously and convert the
+            # results afterwards: every host<->device round-trip pays
+            # real latency (especially over a device tunnel)
+            pending = []
             for off in range(0, padded_count, D):
                 sel = cand[off : off + D]
                 sub_raw = encoded[sel]
@@ -332,13 +334,13 @@ class Back3pBatchEngine:
                         [sub_raw, np.zeros((pad, width), np.uint8)]
                     )
                     sub_len = np.concatenate([sub_len, np.zeros(pad, np.int32)])
-                s, f, e, sc, qs = self._jit_locate(sub_raw, sub_len)
-                s = np.asarray(s)[: len(sel)]
-                f = np.asarray(f)[: len(sel)]
-                e = np.asarray(e)[: len(sel)]
-                found_all[off : off + len(sel)] = f
-                stops_all[off : off + len(sel)] = s
-                errors_all[off : off + len(sel)] = e
+                pending.append(
+                    (off, len(sel), self._jit_locate(sub_raw, sub_len))
+                )
+            for off, count, (s, f, e, sc, qs) in pending:
+                found_all[off : off + count] = np.asarray(f)[:count]
+                stops_all[off : off + count] = np.asarray(s)[:count]
+                errors_all[off : off + count] = np.asarray(e)[:count]
             stops[cand] = stops_all
             removed = lens[cand] - stops_all
             found = found_all

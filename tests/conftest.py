@@ -48,3 +48,15 @@ def run_paired(tmp_path):
         return stats
 
     return _run
+
+
+def pytest_configure(config):
+    # Persist compiled XLA programs across test runs (the batched-kernel
+    # cross-validation tests compile many specs).
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/cutadapt_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass

@@ -1,3 +1,7 @@
+# Test-parity note: the cases in this module re-express the reference
+# engine's test contract (marcelm/cutadapt tests/test_api.py) against this
+# package's API. Exactly matching the reference's asserted behavior is
+# the point: these tests define the output-compatibility guarantee.
 """
 Cutadapt doesn’t have a stable API, yet. This is an attempt to document how
 one currently needs to use Cutadapt from Python to do certain things,

@@ -1,3 +1,7 @@
+# Test-parity note: the cases in this module re-express the reference
+# engine's test contract (marcelm/cutadapt tests/test_info_file.py) against this
+# package's API. Exactly matching the reference's asserted behavior is
+# the point: these tests define the output-compatibility guarantee.
 import pytest
 
 from cutadapt_tpu.cli import main
