@@ -371,6 +371,11 @@ class SerialPipelineRunner(PipelineRunner):
     def run(
         self, pipeline: Pipeline, progress: Progress, outfiles: OutputFiles
     ) -> Statistics:
+        from .accel import try_run_accelerated
+
+        stats = try_run_accelerated(pipeline, self._infiles, progress)
+        if stats is not None:
+            return stats
         (n, total1_bp, total2_bp) = pipeline.process_reads(
             self._infiles, progress=progress
         )
