@@ -124,9 +124,7 @@ def main():
     log(f"generating {N_READS} synthetic reads ...")
     data = make_dataset(N_READS, READ_LEN)
 
-    engine = Back3pBatchEngine(
-        ADAPTER, max_error_rate=0.1, min_overlap=3, dp_batch=8192
-    )
+    engine = Back3pBatchEngine(ADAPTER, max_error_rate=0.1, min_overlap=3)
 
     chunks, n_records = split_records(data, CHUNK_RECORDS)
     log(f"{n_records} reads in {len(chunks)} chunks")
@@ -141,16 +139,18 @@ def main():
         sys.exit(1)
     log(f"parity OK on {SUBSET} reads; host baseline {host_rps:,.0f} reads/s")
 
-    # warmup (compile)
+    # warmup: compile every DP batch shape that can occur
     t0 = time.perf_counter()
+    engine.warmup(READ_LEN)
     engine.process_chunk(chunks[0])
     log(f"warmup/compile: {time.perf_counter() - t0:.1f}s")
+
+    from cutadapt_tpu.batch import process_chunks_pipelined
 
     t0 = time.perf_counter()
     total_out = 0
     with_adapters = 0
-    for chunk in chunks:
-        out, stats = engine.process_chunk(chunk)
+    for out, stats in process_chunks_pipelined(engine, chunks):
         total_out += len(out)
         with_adapters += stats.get("with_adapters", 0)
     dt = time.perf_counter() - t0

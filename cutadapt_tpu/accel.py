@@ -110,7 +110,7 @@ def try_run_accelerated(pipeline, infiles, progress) -> Optional[Statistics]:
     except Exception:
         pass
 
-    from .batch import Back3pBatchEngine, parse_fastq_chunk, assemble_fastq
+    from .batch import Back3pBatchEngine, process_chunks_pipelined
     from .io.fastq import read_chunks
 
     engine = Back3pBatchEngine(
@@ -126,10 +126,9 @@ def try_run_accelerated(pipeline, infiles, progress) -> Optional[Statistics]:
     written_lengths = sink._statistics._written_lengths1
     n = 0
     total_bp = 0
-    for chunk in read_chunks(infile, CHUNK_RECORDS_BYTES):
-        parsed = parse_fastq_chunk(chunk)
-        stops, stats = engine.process_parsed(parsed)
-        out_file.write(assemble_fastq(parsed, stops))
+    chunks = read_chunks(infile, CHUNK_RECORDS_BYTES)
+    for out_bytes, stats in process_chunks_pipelined(engine, chunks):
+        out_file.write(out_bytes)
         n += stats["n"]
         total_bp += stats["total_bp"]
         cutter.with_adapters += stats.get("with_adapters", 0)

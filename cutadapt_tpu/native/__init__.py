@@ -1,0 +1,219 @@
+"""
+ctypes loader for the native host-ops library.
+
+The C++ source is compiled on first import (g++, ~1 s) and cached next
+to the source keyed by a content hash, so repeated runs and the test
+suite never recompile. If no compiler is available the package still
+works — callers check ``AVAILABLE`` and fall back to the NumPy paths.
+"""
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "hostops.cpp")
+
+AVAILABLE = False
+_lib = None
+
+
+def _so_path() -> str:
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_HERE, f"_hostops-{tag}.so")
+
+
+def _build(so: str) -> bool:
+    try:
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
+        os.close(fd)
+        subprocess.run(
+            [
+                "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                "-o", tmp, _SRC,
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        os.replace(tmp, so)  # atomic under concurrent builders
+        return True
+    except Exception:
+        try:
+            os.unlink(tmp)
+        except Exception:
+            pass
+        return False
+
+
+def _load():
+    global _lib, AVAILABLE
+    so = _so_path()
+    if not os.path.exists(so) and not _build(so):
+        return
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return
+
+    i64 = ctypes.c_int64
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_u64 = ctypes.POINTER(ctypes.c_uint64)
+
+    lib.fastq_count.restype = i64
+    lib.fastq_count.argtypes = [p_u8, i64]
+    lib.fastq_parse.restype = i64
+    lib.fastq_parse.argtypes = [
+        p_u8, i64, i64, p_i64, p_i64, p_i64, p_i32, p_i64, p_i32,
+    ]
+    lib.kmer_prefilter.restype = None
+    lib.kmer_prefilter.argtypes = [
+        p_u8, p_i64, p_i32, i64, i64, p_i64, p_i64, p_u64, p_u64, p_u64, p_u8,
+    ]
+    lib.pad_encode.restype = None
+    lib.pad_encode.argtypes = [p_u8, p_i64, p_i32, p_i64, i64, i64, p_u8, p_u8]
+    lib.pad_encode_pack4.restype = None
+    lib.pad_encode_pack4.argtypes = [
+        p_u8, p_i64, p_i32, p_i64, i64, i64, p_u8, p_u8,
+    ]
+    lib.assemble_fastq.restype = i64
+    lib.assemble_fastq.argtypes = [
+        p_u8, i64, p_i64, p_i64, p_i64, p_i64, p_i64, p_u8,
+    ]
+    _lib = lib
+    AVAILABLE = True
+
+
+_load()
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def fastq_parse(buf: np.ndarray):
+    """Parse a record-aligned FASTQ chunk.
+
+    Returns (head_start, head_end, seq_start, seq_len, qual_start,
+    has_cr). Raises ValueError on malformed chunks, matching
+    batch.parse_fastq_chunk.
+    """
+    n = len(buf)
+    n_records = _lib.fastq_count(_ptr(buf, ctypes.c_uint8), n)
+    if n_records < 0:
+        raise ValueError("FASTQ chunk does not contain whole records")
+    head_start = np.empty(n_records, np.int64)
+    head_end = np.empty(n_records, np.int64)
+    seq_start = np.empty(n_records, np.int64)
+    seq_len = np.empty(n_records, np.int32)
+    qual_start = np.empty(n_records, np.int64)
+    flags = np.zeros(1, np.int32)
+    rc = _lib.fastq_parse(
+        _ptr(buf, ctypes.c_uint8), n, n_records,
+        _ptr(head_start, ctypes.c_int64), _ptr(head_end, ctypes.c_int64),
+        _ptr(seq_start, ctypes.c_int64), _ptr(seq_len, ctypes.c_int32),
+        _ptr(qual_start, ctypes.c_int64), _ptr(flags, ctypes.c_int32),
+    )
+    if rc == -2:
+        raise ValueError("Length of sequence and qualities differ")
+    if rc < 0:
+        raise ValueError("FASTQ chunk does not contain whole records")
+    return head_start, head_end, seq_start, seq_len, qual_start, bool(flags[0])
+
+
+class PrefilterTables:
+    """Flat-array form of a KmerFinder's search entries for C."""
+
+    __slots__ = ("n_entries", "starts", "stops", "init_masks",
+                 "found_masks", "masks")
+
+    def __init__(self, kmer_finder):
+        entries = kmer_finder._entries
+        self.n_entries = len(entries)
+        self.starts = np.array([e.start for e in entries], np.int64)
+        self.stops = np.array([e.stop for e in entries], np.int64)
+        self.init_masks = np.array(
+            [e.init_mask for e in entries], np.uint64
+        )
+        self.found_masks = np.array(
+            [e.found_mask for e in entries], np.uint64
+        )
+        masks = np.zeros((max(self.n_entries, 1), 128), np.uint64)
+        for i, e in enumerate(entries):
+            masks[i, :] = e.masks
+        self.masks = masks
+
+
+def kmer_prefilter(
+    buf: np.ndarray, seq_start: np.ndarray, seq_len: np.ndarray,
+    tables: PrefilterTables,
+) -> np.ndarray:
+    n_records = len(seq_start)
+    out = np.empty(n_records, np.uint8)
+    _lib.kmer_prefilter(
+        _ptr(buf, ctypes.c_uint8),
+        _ptr(seq_start, ctypes.c_int64), _ptr(seq_len, ctypes.c_int32),
+        n_records, tables.n_entries,
+        _ptr(tables.starts, ctypes.c_int64),
+        _ptr(tables.stops, ctypes.c_int64),
+        _ptr(tables.init_masks, ctypes.c_uint64),
+        _ptr(tables.found_masks, ctypes.c_uint64),
+        _ptr(tables.masks, ctypes.c_uint64),
+        _ptr(out, ctypes.c_uint8),
+    )
+    return out
+
+
+def pad_encode(
+    buf, seq_start, seq_len, sel, width: int, lut,
+    pack4: bool = False, out: np.ndarray = None,
+) -> np.ndarray:
+    """Gather+encode selected reads into a padded row matrix.
+
+    When ``out`` is given it may have more rows than len(sel); only the
+    first len(sel) rows are written (extra rows serve as batch padding
+    and must be pre-zeroed by the caller)."""
+    n_sel = len(sel)
+    sel = np.ascontiguousarray(sel, np.int64)
+    lut = np.ascontiguousarray(lut, np.uint8)
+    if pack4:
+        assert width % 2 == 0
+        if out is None:
+            out = np.empty((n_sel, width // 2), np.uint8)
+        fn = _lib.pad_encode_pack4
+    else:
+        if out is None:
+            out = np.empty((n_sel, width), np.uint8)
+        fn = _lib.pad_encode
+    fn(
+        _ptr(buf, ctypes.c_uint8),
+        _ptr(seq_start, ctypes.c_int64), _ptr(seq_len, ctypes.c_int32),
+        _ptr(sel, ctypes.c_int64), n_sel, width,
+        _ptr(lut, ctypes.c_uint8), _ptr(out, ctypes.c_uint8),
+    )
+    return out
+
+
+def assemble_fastq(
+    buf, head_start, head_end, seq_start, qual_start, stops
+) -> bytes:
+    stops = np.ascontiguousarray(stops, np.int64)
+    n_records = len(stops)
+    head_len = head_end - head_start
+    total = int(6 * n_records + head_len.sum() + 2 * stops.sum())
+    out = np.empty(total, np.uint8)
+    written = _lib.assemble_fastq(
+        _ptr(buf, ctypes.c_uint8), n_records,
+        _ptr(head_start, ctypes.c_int64), _ptr(head_end, ctypes.c_int64),
+        _ptr(seq_start, ctypes.c_int64), _ptr(qual_start, ctypes.c_int64),
+        _ptr(stops, ctypes.c_int64), _ptr(out, ctypes.c_uint8),
+    )
+    assert written == total
+    return out.tobytes()

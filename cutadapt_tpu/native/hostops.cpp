@@ -1,0 +1,199 @@
+// Native host-side kernels for the batched TPU engine.
+//
+// The TPU does the alignment DP; everything byte-level around it
+// (FASTQ structure scan, the k-mer prefilter that decides which reads
+// cross the wire, candidate gather/encode/pack, and trimmed-FASTQ
+// assembly) is memory-bound host work implemented here.  Semantics
+// mirror the pure-Python/NumPy implementations in
+// cutadapt_tpu/batch.py and cutadapt_tpu/kmer_finder.py exactly
+// (reference behaviour: /root/reference/src/cutadapt/_kmer_finder.pyx
+// and dnaio's record chunking); the Python versions remain as
+// fallbacks and as the oracle for the parity tests.
+//
+// Built as a plain shared library, loaded with ctypes (no pybind11 in
+// this environment).
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// --- FASTQ structure scan -------------------------------------------------
+//
+// Records are 4 lines: @head / seq / + / qual.  A missing final
+// newline is tolerated (a virtual newline at end-of-buffer), CRLF line
+// endings are tolerated per line.  Returns the number of records, or
+//   -1  buffer does not contain a whole number of records
+//   -2  a sequence and its quality line differ in length
+
+int64_t fastq_count(const uint8_t* buf, int64_t n) {
+    int64_t nl = 0;
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + n;
+    while ((p = (const uint8_t*)memchr(p, '\n', end - p)) != nullptr) {
+        ++nl;
+        ++p;
+    }
+    if (nl % 4 != 0) {
+        if (n > 0 && buf[n - 1] != '\n') ++nl;  // virtual final newline
+        if (nl % 4 != 0) return -1;
+    }
+    return nl / 4;
+}
+
+int64_t fastq_parse(const uint8_t* buf, int64_t n, int64_t n_records,
+                    int64_t* head_start, int64_t* head_end,
+                    int64_t* seq_start, int32_t* seq_len,
+                    int64_t* qual_start, int32_t* flags_out) {
+    int64_t pos = 0;
+    int32_t has_cr = 0;
+    for (int64_t r = 0; r < n_records; ++r) {
+        int64_t ls[4], le[4];
+        for (int line = 0; line < 4; ++line) {
+            ls[line] = pos;
+            const uint8_t* nlp =
+                (const uint8_t*)memchr(buf + pos, '\n', n - pos);
+            int64_t lend = nlp ? (int64_t)(nlp - buf) : n;
+            int64_t e = lend;
+            if (e > ls[line] && buf[e - 1] == '\r') {
+                --e;
+                has_cr = 1;
+            }
+            le[line] = e;
+            pos = lend + 1;
+        }
+        head_start[r] = ls[0] + 1;  // skip '@'
+        head_end[r] = le[0];
+        seq_start[r] = ls[1];
+        seq_len[r] = (int32_t)(le[1] - ls[1]);
+        qual_start[r] = ls[3];
+        if (le[3] - ls[3] != le[1] - ls[1]) return -2;
+    }
+    *flags_out = has_cr;
+    return n_records;
+}
+
+// --- k-mer prefilter (concatenated shift-and) -------------------------------
+//
+// Same predicate as KmerFinder.kmers_present, evaluated per record
+// over the raw chunk buffer.  `stops` uses 0 to mean "to the end of
+// the sequence".  Writes 1 into out_mask[r] iff record r needs the DP.
+
+void kmer_prefilter(const uint8_t* buf, const int64_t* seq_start,
+                    const int32_t* seq_len, int64_t n_records,
+                    int64_t n_entries, const int64_t* starts,
+                    const int64_t* stops, const uint64_t* init_masks,
+                    const uint64_t* found_masks, const uint64_t* masks,
+                    uint8_t* out_mask) {
+    for (int64_t r = 0; r < n_records; ++r) {
+        const uint8_t* seq = buf + seq_start[r];
+        const int64_t len = seq_len[r];
+        uint8_t hit = 0;
+        for (int64_t e = 0; e < n_entries && !hit; ++e) {
+            int64_t start = starts[e];
+            int64_t stop = stops[e];
+            if (start < 0) {
+                start += len;
+                if (start < 0) start = 0;
+            } else if (start > len) {
+                continue;
+            }
+            if (stop < 0) {
+                stop += len;
+                if (stop <= 0) continue;
+            } else if (stop == 0) {
+                stop = len;
+            }
+            if (stop > len) stop = len;
+            if (stop - start <= 0) continue;
+            const uint64_t init = init_masks[e];
+            const uint64_t found = found_masks[e];
+            const uint64_t* mask = masks + e * 128;
+            uint64_t rreg = 0;
+            for (int64_t i = start; i < stop; ++i) {
+                const uint8_t c = seq[i];
+                rreg = ((rreg << 1) | init) & (c < 128 ? mask[c] : 0);
+                if (rreg & found) {
+                    hit = 1;
+                    break;
+                }
+            }
+        }
+        out_mask[r] = hit;
+    }
+}
+
+// --- candidate gather + encode ---------------------------------------------
+//
+// Gathers selected reads into a padded (n_sel, width) matrix,
+// translating each byte through a 256-entry LUT; pad positions are 0.
+
+void pad_encode(const uint8_t* buf, const int64_t* seq_start,
+                const int32_t* seq_len, const int64_t* sel, int64_t n_sel,
+                int64_t width, const uint8_t* lut, uint8_t* out) {
+    for (int64_t i = 0; i < n_sel; ++i) {
+        const int64_t r = sel[i];
+        const uint8_t* src = buf + seq_start[r];
+        int64_t len = seq_len[r];
+        if (len > width) len = width;
+        uint8_t* dst = out + i * width;
+        for (int64_t t = 0; t < len; ++t) dst[t] = lut[src[t]];
+        if (len < width) memset(dst + len, 0, width - len);
+    }
+}
+
+// Same, but packs two 4-bit codes per output byte (lo nibble first):
+// out byte t holds code[2t] | code[2t+1] << 4.  width must be even;
+// out is (n_sel, width/2).  LUT values must be < 16.
+
+void pad_encode_pack4(const uint8_t* buf, const int64_t* seq_start,
+                      const int32_t* seq_len, const int64_t* sel,
+                      int64_t n_sel, int64_t width, const uint8_t* lut,
+                      uint8_t* out) {
+    const int64_t wp = width / 2;
+    for (int64_t i = 0; i < n_sel; ++i) {
+        const int64_t r = sel[i];
+        const uint8_t* src = buf + seq_start[r];
+        int64_t len = seq_len[r];
+        if (len > width) len = width;
+        uint8_t* dst = out + i * wp;
+        int64_t full = len / 2;
+        for (int64_t t = 0; t < full; ++t)
+            dst[t] = (uint8_t)(lut[src[2 * t]] | (lut[src[2 * t + 1]] << 4));
+        if (len & 1) dst[full] = lut[src[len - 1]];
+        int64_t used = (len + 1) / 2;
+        if (used < wp) memset(dst + used, 0, wp - used);
+    }
+}
+
+// --- trimmed FASTQ assembly --------------------------------------------------
+//
+// Emits '@head\nseq[:stop]\n+\nqual[:stop]\n' per record.  The caller
+// computes the exact output size (sum of 6 + head_len + 2*stop) and
+// provides the buffer.  Returns bytes written.
+
+int64_t assemble_fastq(const uint8_t* buf, int64_t n_records,
+                       const int64_t* head_start, const int64_t* head_end,
+                       const int64_t* seq_start, const int64_t* qual_start,
+                       const int64_t* stops, uint8_t* out) {
+    uint8_t* dst = out;
+    for (int64_t r = 0; r < n_records; ++r) {
+        *dst++ = '@';
+        const int64_t hl = head_end[r] - head_start[r];
+        memcpy(dst, buf + head_start[r], hl);
+        dst += hl;
+        *dst++ = '\n';
+        const int64_t stop = stops[r];
+        memcpy(dst, buf + seq_start[r], stop);
+        dst += stop;
+        *dst++ = '\n';
+        *dst++ = '+';
+        *dst++ = '\n';
+        memcpy(dst, buf + qual_start[r], stop);
+        dst += stop;
+        *dst++ = '\n';
+    }
+    return (int64_t)(dst - out);
+}
+
+}  // extern "C"

@@ -107,6 +107,43 @@ def query_lut(spec: AlignerSpec) -> np.ndarray:
         return UPPER_LUT
 
 
+def query_class_info(spec: AlignerSpec):
+    """Equivalence-class encoding of query bytes for the packed kernel.
+
+    Two query bytes are equivalent iff they match exactly the same set
+    of reference positions; there are at most (distinct ref chars + 1)
+    such classes for plain comparison and at most 16 for IUPAC codes.
+    Returns (class_lut uint8[256], row_masks int32[m]) with
+    ``row_masks[i] >> class & 1`` equal to "query byte of that class
+    matches reference position i", or None if more than 16 classes are
+    needed (then the packed 4-bit path cannot be used).
+    """
+    ref = encode_reference(spec)  # (m,)
+    lut = query_lut(spec)
+    compare_ascii = not (spec.wildcard_ref or spec.wildcard_query)
+    q = lut[np.arange(256)]
+    if compare_ascii:
+        behave = ref[None, :] == q[:, None]  # (256, m)
+    else:
+        behave = (ref[None, :] & q[:, None]) != 0
+    # assign class ids in order of first appearance, byte 0 first so
+    # padding is class 0
+    uniq, class_ids = np.unique(behave, axis=0, return_inverse=True)
+    if len(uniq) > 16:
+        return None
+    # remap so byte 0's class is 0 (cosmetic; padding is never active)
+    c0 = int(class_ids[0])
+    perm = np.concatenate([[c0], np.delete(np.arange(len(uniq)), c0)])
+    remap = np.empty(len(uniq), np.int64)
+    remap[perm] = np.arange(len(uniq))
+    class_ids = remap[class_ids]
+    uniq = uniq[perm]
+    row_masks = np.zeros(len(ref), np.int32)
+    for c in range(len(uniq)):
+        row_masks |= uniq[c].astype(np.int32) << c
+    return class_ids.astype(np.uint8), row_masks
+
+
 def n_counts(spec: AlignerSpec) -> np.ndarray:
     """n_counts[i] = number of N/n in reference[:i]."""
     counts = np.zeros(len(spec.reference) + 1, dtype=np.int32)
@@ -209,13 +246,23 @@ def _table_lookup(table_col, index, iota_col):
 
 
 @lru_cache(maxsize=64)
-def make_batch_locate(spec: AlignerSpec, interpret: bool = False):
+def make_batch_locate(
+    spec: AlignerSpec, interpret: bool = False, packed: bool = False
+):
     """
     Build a jittable function
         locate(queries, lengths) -> dict of (B,) arrays
     where `queries` is (B, L) uint8 already encoded through
     query_lut(spec) (positions >= length must be 0) and `lengths` is
     (B,) int32.
+
+    With ``packed=True`` the queries argument is instead a (B, L/2)
+    uint8 array holding two 4-bit query *class ids* per byte (low
+    nibble = even position), as produced by encoding through
+    query_class_info(spec)[0]; the kernel unpacks on device and
+    compares via per-row class bitmasks. This halves host->device
+    transfer volume, which dominates when the device is reached over a
+    slow link.
 
     Returned fields: found (bool), ref_start, ref_stop, query_start,
     query_stop, score, errors (all int32; contents undefined where
@@ -225,6 +272,11 @@ def make_batch_locate(spec: AlignerSpec, interpret: bool = False):
     if m == 0:
         raise ValueError("batched aligner requires a non-empty reference")
     ref_np = encode_reference(spec)
+    if packed:
+        info = query_class_info(spec)
+        if info is None:
+            raise ValueError("packed mode needs <= 16 query classes")
+        _, row_masks_np = info
     k = int(spec.max_error_rate * m)
     thr_np = acceptance_table(spec)
     ncnt_np = n_counts(spec)
@@ -274,8 +326,17 @@ def make_batch_locate(spec: AlignerSpec, interpret: bool = False):
     def locate(queries: jnp.ndarray, lengths: jnp.ndarray):
         queries = jnp.asarray(queries, dtype=jnp.uint8)
         lengths = jnp.asarray(lengths, dtype=jnp.int32)
-        B, L = queries.shape
-        queries_t = queries.T  # (L, B): per-column row access is static-ish
+        if packed:
+            B, Lp = queries.shape
+            L = 2 * Lp
+            pt = queries.T  # (Lp, B)
+            queries_t = jnp.stack(
+                [pt & jnp.uint8(0xF), pt >> 4], axis=1
+            ).reshape(L, B)
+            row_masks = jnp.asarray(row_masks_np)[:, None]  # (m, 1)
+        else:
+            B, L = queries.shape
+            queries_t = queries.T  # (L, B): per-column access is static-ish
         ref = jnp.asarray(ref_np)[:, None]  # (m, 1)
         thr_col = jnp.asarray(thr_np)[:, None]  # (m+1, 1)
         iota = jnp.asarray(idx_col)  # (m+1, 1)
@@ -314,7 +375,11 @@ def make_batch_locate(spec: AlignerSpec, interpret: bool = False):
             # j is the 1-based column index
             active = (j > min_n) & (j <= max_n)  # (B,)
             qc = queries_t[j - 1]  # (B,)
-            if compare_ascii:
+            if packed:
+                eq = (
+                    (row_masks >> qc[None, :].astype(jnp.int32)) & 1
+                ) != 0  # (m, B)
+            elif compare_ascii:
                 eq = ref == qc[None, :]  # (m, B)
             else:
                 eq = (ref & qc[None, :]) != 0
