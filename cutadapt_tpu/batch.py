@@ -86,12 +86,20 @@ class ParsedChunk:
 
 
 def parse_fastq_chunk(data) -> ParsedChunk:
-    """Parse a record-aligned FASTQ chunk into offset arrays."""
+    """Parse a record-aligned FASTQ chunk into offset arrays.
+
+    Malformed chunks raise FastqFormatError so the CLI reports them
+    like the per-read reader does (clean message, exit code 1)."""
+    from .io.records import FastqFormatError
+
     buf = np.frombuffer(data, dtype=np.uint8)
-    if native.AVAILABLE:
-        hs, he, ss, sl, qs, has_cr = native.fastq_parse(buf)
-        return ParsedChunk(buf, hs, he, ss, sl, qs, has_cr=has_cr)
-    return _parse_fastq_chunk_np(buf)
+    try:
+        if native.AVAILABLE:
+            hs, he, ss, sl, qs, has_cr = native.fastq_parse(buf)
+            return ParsedChunk(buf, hs, he, ss, sl, qs, has_cr=has_cr)
+        return _parse_fastq_chunk_np(buf)
+    except ValueError as e:
+        raise FastqFormatError(str(e), line=None) from None
 
 
 def _parse_fastq_chunk_np(buf: np.ndarray) -> ParsedChunk:

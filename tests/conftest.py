@@ -1,5 +1,24 @@
 import os
 
+# Tests run JAX on a virtual 8-device CPU mesh: hermetic, fast
+# (no tunnel round-trips/compiles), and it exercises the same sharded
+# code paths the driver validates via __graft_entry__.dryrun_multichip.
+# The axon sitecustomize pins jax_platforms="axon,cpu" through the
+# config API (which overrides the env var), so undo it the same way —
+# before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        _xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+try:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 import pytest
 
 from utils import assert_files_equal, cutpath, datapath

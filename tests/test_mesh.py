@@ -1,0 +1,90 @@
+"""
+Multi-chip sharded execution tests on a virtual 8-device CPU mesh.
+
+The driver validates the same path via __graft_entry__.dryrun_multichip;
+this keeps it covered by the regular suite.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from cutadapt_tpu.adapters import Where
+from cutadapt_tpu.ops.align_batch import (
+    AlignerSpec,
+    make_batch_locate,
+    query_lut,
+)
+from cutadapt_tpu.parallel import make_mesh, make_sharded_trim_step
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+ADAPTER = "AGATCGGAAGAGC"
+
+
+def _spec():
+    return AlignerSpec(
+        reference=ADAPTER,
+        max_error_rate=0.1,
+        flags=Where.BACK.value,
+        min_overlap=3,
+    )
+
+
+def _batch(rng, batch, length):
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = bases[rng.randint(0, 4, size=(batch, length))]
+    ad = np.frombuffer(ADAPTER.encode(), np.uint8)
+    for i in range(0, batch, 3):
+        pos = rng.randint(0, length - 4)
+        take = min(len(ad), length - pos)
+        reads[i, pos : pos + take] = ad[:take]
+    lengths = np.full((batch,), length, np.int32)
+    return reads, lengths
+
+
+def test_sharded_step_matches_single_device():
+    rng = np.random.RandomState(7)
+    spec = _spec()
+    mesh = make_mesh(jax.devices()[:8])
+    length = 64
+    batch = 16 * 8
+    step = make_sharded_trim_step(spec, mesh, max_len=length)
+    reads, lengths = _batch(rng, batch, length)
+    stops, found, stats = step(reads, lengths)
+    stops, found = np.asarray(stops), np.asarray(found)
+
+    # single-device reference
+    locate = make_batch_locate(spec)
+    out = locate(query_lut(spec)[reads], lengths)
+    ref_found = np.asarray(out["found"])
+    ref_stops = np.where(
+        ref_found, np.asarray(out["query_start"]), lengths
+    )
+    assert (found == ref_found).all()
+    assert (stops == ref_stops).all()
+
+    # psum-reduced counters must count every read exactly once
+    hist = np.asarray(stats["length_error_histogram"])
+    assert int(hist.sum()) == int(ref_found.sum())
+    assert int(np.asarray(stats["with_adapters"])) == int(ref_found.sum())
+    assert int(np.asarray(stats["total_bp"])) == int(lengths.sum())
+    wl = np.asarray(stats["written_lengths"])
+    assert int(wl.sum()) == batch
+    np.testing.assert_array_equal(
+        wl, np.bincount(ref_stops, minlength=length + 1)
+    )
+    adj = np.asarray(stats["adjacent_bases"])
+    assert int(adj.sum()) == int(ref_found.sum())
