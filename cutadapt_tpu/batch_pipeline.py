@@ -1,0 +1,567 @@
+"""
+Generalized batched (TPU) pipeline engine.
+
+Where :mod:`cutadapt_tpu.batch` handles the single flagship case
+(`-a ADAPTER`), this module executes a whole *pipeline* of eligible
+modifiers over read batches: unconditional cuts, quality/NextSeq
+trimming, multi-adapter 3'/5'/anywhere cutting (with `times` rounds),
+poly-A trimming, shortening, and the length/trimmed-state filters —
+with byte-identical semantics to the per-read host pipeline.
+
+Design: each read carries a current window [win_start, win_stop) into
+its original bytes. Host stages (cuts, quality scans — memory-bound
+byte work, see native/hostops.cpp) update windows directly; the
+adapter stage runs the exact-semantics DP on device over the *current
+windows* of prefilter-passing reads only, so the bytes that cross the
+(slow) host<->device link are exactly the candidate windows. Matches
+update windows per adapter kind; `times > 1` re-runs matched reads.
+Filters produce a keep-mask; the final FASTQ is assembled from
+(window, keep) without ever materializing intermediate reads.
+
+Per-read trimming never changes relative base order, so a window +
+keep-mask is a complete representation of any trim-action pipeline
+(mask/lowercase actions rewrite bytes and stay on the host path).
+
+Reference semantics: modifiers at
+/root/reference/src/cutadapt/modifiers.py, selection order of
+MultipleAdapters.match_to at adapters.py:1265-1286.
+"""
+
+from functools import lru_cache
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import native
+from .adapters import Where
+from .ops.align_batch import (
+    AlignerSpec,
+    make_batch_locate,
+    query_class_info,
+    query_lut,
+)
+
+_QS_BITS = 14
+_QSTOP_SHIFT = 14
+_FOUND_SHIFT = 28
+_SCORE_BIAS = 32768
+
+
+@lru_cache(maxsize=128)
+def _make_locate_step(spec: AlignerSpec, packed: bool):
+    """Jitted locate returning a (2, B) int32: row0 = query_start |
+    query_stop<<14 | found<<28; row1 = errors | (score+bias)<<16."""
+    import jax
+    import jax.numpy as jnp
+
+    locate = make_batch_locate(spec, packed=packed)
+
+    def step(enc, lengths):
+        out = locate(enc, lengths)
+        r0 = (
+            out["query_start"]
+            | (out["query_stop"] << _QSTOP_SHIFT)
+            | (out["found"].astype(jnp.int32) << _FOUND_SHIFT)
+        )
+        r1 = out["errors"] | ((out["score"] + _SCORE_BIAS) << 16)
+        return jnp.stack([r0, r1])
+
+    return jax.jit(step)
+
+
+def _unpack_result(arr: np.ndarray):
+    """(2, B) int32 -> (found, qstart, qstop, errors, score)."""
+    r0 = arr[0].view(np.uint32)
+    r1 = arr[1].view(np.uint32)
+    qstart = (r0 & ((1 << _QS_BITS) - 1)).astype(np.int32)
+    qstop = ((r0 >> _QSTOP_SHIFT) & ((1 << _QS_BITS) - 1)).astype(np.int32)
+    found = ((r0 >> _FOUND_SHIFT) & 1).astype(bool)
+    errors = (r1 & 0xFFFF).astype(np.int32)
+    score = (r1 >> 16).astype(np.int32) - _SCORE_BIAS
+    return found, qstart, qstop, errors, score
+
+
+class AdapterTask:
+    """Device-side matching program for one adapter.
+
+    kind: 'back' (3', trims [qstart:]), 'front' (5', trims [:qstop]),
+    'anywhere' (5' when the match starts at position 0, else 3') —
+    mirroring Remove{Before,After}Match (reference adapters.py:427-493,
+    896-941).
+    """
+
+    def __init__(self, adapter, kind: str, index: int):
+        from .kmer_finder import KmerFinder
+
+        self.adapter = adapter
+        self.kind = kind
+        self.index = index
+        flags = {
+            "back": Where.BACK.value,
+            "front": Where.FRONT.value,
+            "anywhere": Where.ANYWHERE.value,
+        }[kind]
+        self.spec = AlignerSpec(
+            reference=adapter.sequence,
+            max_error_rate=adapter.max_error_rate,
+            flags=flags,
+            wildcard_ref=adapter.adapter_wildcards,
+            wildcard_query=adapter.read_wildcards,
+            indel_cost=1 if adapter.indels else 100000,
+            min_overlap=adapter.min_overlap,
+        )
+        info = query_class_info(self.spec)
+        self.packed = info is not None
+        self.lut = info[0] if self.packed else query_lut(self.spec)
+        self.pf_tables = None
+        if native.AVAILABLE and isinstance(adapter.kmer_finder, KmerFinder):
+            self.pf_tables = native.PrefilterTables(adapter.kmer_finder)
+        self._step = _make_locate_step(self.spec, self.packed)
+
+
+class Stage:
+    pass
+
+
+class CutStage(Stage):
+    """UnconditionalCutter (-u): remove first n (n>0) / last n (n<0)."""
+
+    def __init__(self, length: int, modifier=None):
+        self.length = length
+        self.modifier = modifier
+
+
+class QualityStage(Stage):
+    def __init__(self, cutoff_front: int, cutoff_back: int, base: int = 33,
+                 modifier=None):
+        self.cutoff_front = cutoff_front
+        self.cutoff_back = cutoff_back
+        self.base = base
+        self.modifier = modifier
+
+
+class NextseqStage(Stage):
+    def __init__(self, cutoff: int, base: int = 33, modifier=None):
+        self.cutoff = cutoff
+        self.base = base
+        self.modifier = modifier
+
+
+class PolyAStage(Stage):
+    def __init__(self, modifier=None):
+        self.modifier = modifier
+
+
+class ShortenStage(Stage):
+    def __init__(self, length: int, modifier=None):
+        self.length = length
+        self.modifier = modifier
+
+
+class AdapterStage(Stage):
+    def __init__(self, tasks: Sequence[AdapterTask], times: int = 1,
+                 modifier=None):
+        self.tasks = list(tasks)
+        self.times = times
+        self.modifier = modifier
+
+
+class FilterSpec:
+    """One filtering step: 'too_short', 'too_long', 'discard_trimmed',
+    'discard_untrimmed' with its threshold; counts how many it drops."""
+
+    def __init__(self, kind: str, threshold: Optional[int] = None, step=None):
+        self.kind = kind
+        self.threshold = threshold
+        self.step = step
+
+
+class PendingBatch:
+    __slots__ = (
+        "parsed", "win_start", "win_stop", "stats",
+        "adapter_stage", "adapter_round", "post_stages", "filters_state",
+        "dp_futures", "width",
+    )
+
+    def __init__(self, parsed, win_start, win_stop, stats, adapter_stage,
+                 post_stages, dp_futures, width):
+        self.parsed = parsed
+        self.win_start = win_start
+        self.win_stop = win_stop
+        self.stats = stats
+        self.adapter_stage = adapter_stage
+        self.post_stages = post_stages
+        self.dp_futures = dp_futures
+        self.width = width
+
+
+class BatchPipelineEngine:
+    """Executes stages then filters over parsed FASTQ chunks."""
+
+    def __init__(
+        self,
+        stages: Sequence[Stage],
+        filters: Sequence[FilterSpec] = (),
+        length_bucket: int = 64,
+        min_dp_batch: int = 4096,
+        max_dp_batch: int = 131072,
+    ):
+        self.stages = list(stages)
+        self.filters = list(filters)
+        self.length_bucket = length_bucket
+        self.min_dp_batch = min_dp_batch
+        self.max_dp_batch = max_dp_batch
+        # split stages at the (single) adapter stage: everything after
+        # it depends on DP results and runs in collect()
+        self._adapter_pos = next(
+            (i for i, s in enumerate(self.stages)
+             if isinstance(s, AdapterStage)),
+            None,
+        )
+        if sum(isinstance(s, AdapterStage) for s in self.stages) > 1:
+            raise ValueError("at most one adapter stage is supported")
+
+    # --- host stages -------------------------------------------------------
+
+    def _apply_host_stage(self, si, stage, chunk, win_start, win_stop, stats):
+        if isinstance(stage, CutStage):
+            n = stage.length
+            if n > 0:
+                win_start = np.minimum(win_start + n, win_stop)
+            else:
+                win_stop = np.maximum(win_stop + n, win_start)
+        elif isinstance(stage, QualityStage):
+            rs, re_ = native.quality_trim(
+                chunk.buf, chunk.qual_start, win_start, win_stop,
+                stage.cutoff_front if stage.cutoff_front else -1,
+                stage.cutoff_back if stage.cutoff_back else -1,
+                stage.base,
+            )
+            trimmed = (win_stop - win_start) - (re_ - rs)
+            stats.setdefault("quality_trimmed", {})[si] = int(trimmed.sum())
+            new_start = win_start + rs
+            win_stop = win_start + re_
+            win_start = new_start
+        elif isinstance(stage, NextseqStage):
+            re_ = native.nextseq_trim(
+                chunk.buf, chunk.seq_start, chunk.qual_start,
+                win_start, win_stop, stage.cutoff, stage.base,
+            )
+            trimmed = (win_stop - win_start) - re_
+            stats.setdefault("quality_trimmed", {})[si] = int(trimmed.sum())
+            win_stop = win_start + re_
+        elif isinstance(stage, PolyAStage):
+            idx = native.poly_a_trim(
+                chunk.buf, chunk.seq_start, win_start, win_stop,
+            )
+            removed = (win_stop - win_start) - idx
+            stats.setdefault("poly_a_removed", {})[si] = removed
+            win_stop = win_start + idx
+        elif isinstance(stage, ShortenStage):
+            n = stage.length
+            if n >= 0:
+                win_stop = np.minimum(win_start + n, win_stop)
+            else:
+                win_start = np.maximum(win_stop + n, win_start)
+        else:
+            raise TypeError(f"not a host stage: {stage}")
+        return win_start, win_stop
+
+    # --- adapter stage -----------------------------------------------------
+
+    def _bucket_length(self, max_len: int) -> int:
+        b = self.length_bucket
+        return max(b, (int(max_len) + b - 1) // b * b)
+
+    def _dp_sizes(self, n: int) -> List[int]:
+        sizes = []
+        while n > self.max_dp_batch:
+            sizes.append(self.max_dp_batch)
+            n -= self.max_dp_batch
+        s = self.min_dp_batch
+        while s < n:
+            s *= 2
+        sizes.append(s)
+        return sizes
+
+    def _dispatch_task(self, task, chunk, subset, win_start, win_stop, width):
+        """Prefilter + encode + dispatch DP for `subset` (read indices)
+        over their current windows. Returns (cand_indices, futures)."""
+        starts = (chunk.seq_start[subset] + win_start[subset]).astype(np.int64)
+        lens = (win_stop[subset] - win_start[subset]).astype(np.int32)
+        if task.pf_tables is not None:
+            mask = native.kmer_prefilter(
+                chunk.buf, starts, lens, task.pf_tables
+            ).astype(bool)
+            sel = np.flatnonzero(mask)
+        else:
+            # no prefilter (MockKmerFinder, or native lib unavailable):
+            # every read is a DP candidate — slower, never different
+            sel = np.arange(len(subset))
+        cand = subset[sel]
+        futures = []
+        if len(sel):
+            c_starts = starts[sel]
+            c_lens = lens[sel]
+            off = 0
+            for size in self._dp_sizes(len(sel)):
+                take = min(size, len(sel) - off)
+                if take <= 0:
+                    break
+                w_in = width // 2 if task.packed else width
+                enc = np.zeros((size, w_in), np.uint8)
+                if native.AVAILABLE:
+                    native.pad_encode(
+                        chunk.buf, c_starts, c_lens,
+                        np.arange(off, off + take, dtype=np.int64),
+                        width, task.lut, pack4=task.packed, out=enc,
+                    )
+                else:
+                    from .batch import pad_rows
+
+                    raw = pad_rows(
+                        chunk.buf, c_starts[off : off + take],
+                        c_lens[off : off + take], width,
+                    )
+                    e = task.lut[raw]
+                    if task.packed:
+                        e = (e[:, 0::2] | (e[:, 1::2] << 4)).astype(np.uint8)
+                    enc[:take] = e
+                sub_len = np.zeros(size, np.int32)
+                sub_len[:take] = c_lens[off : off + take]
+                fut = task._step(enc, sub_len)
+                try:
+                    fut.copy_to_host_async()
+                except Exception:
+                    pass
+                futures.append((off, take, fut))
+                off += size
+        return cand, futures
+
+    def _fetch_task(self, n_cand, futures):
+        found = np.zeros(n_cand, bool)
+        qstart = np.zeros(n_cand, np.int32)
+        qstop = np.zeros(n_cand, np.int32)
+        errors = np.zeros(n_cand, np.int32)
+        score = np.zeros(n_cand, np.int32)
+        for off, count, fut in futures:
+            arr = np.asarray(fut)
+            f, qs, qe, er, sc = _unpack_result(arr[:, :count])
+            found[off : off + count] = f
+            qstart[off : off + count] = qs
+            qstop[off : off + count] = qe
+            errors[off : off + count] = er
+            score[off : off + count] = sc
+        return found, qstart, qstop, errors, score
+
+    def _adapter_round(self, stage, chunk, subset, win_start, win_stop,
+                       width, dispatched=None):
+        """One matching round over `subset`. Returns (matched_mask_over_
+        subset, events) and updates windows in place."""
+        B = chunk.n_records
+        if dispatched is None:
+            dispatched = [
+                self._dispatch_task(t, chunk, subset, win_start, win_stop,
+                                    width)
+                for t in stage.tasks
+            ]
+        # combine: best score, then fewer errors, then first adapter
+        best_found = np.zeros(B, bool)
+        best_score = np.zeros(B, np.int32)
+        best_errors = np.zeros(B, np.int32)
+        best_qstart = np.zeros(B, np.int32)
+        best_qstop = np.zeros(B, np.int32)
+        best_task = np.full(B, -1, np.int32)
+        for t_i, (task, (cand, futures)) in enumerate(
+            zip(stage.tasks, dispatched)
+        ):
+            if len(cand) == 0:
+                continue
+            f, qs, qe, er, sc = self._fetch_task(len(cand), futures)
+            better = f & (
+                ~best_found[cand]
+                | (sc > best_score[cand])
+                | ((sc == best_score[cand]) & (er < best_errors[cand]))
+            )
+            upd = cand[better]
+            best_found[upd] = True
+            best_score[upd] = sc[better]
+            best_errors[upd] = er[better]
+            best_qstart[upd] = qs[better]
+            best_qstop[upd] = qe[better]
+            best_task[upd] = t_i
+
+        matched = best_found[subset]
+        events = []
+        for t_i, task in enumerate(stage.tasks):
+            hit = np.flatnonzero(best_found & (best_task == t_i))
+            if len(hit) == 0:
+                continue
+            qs = best_qstart[hit]
+            qe = best_qstop[hit]
+            er = best_errors[hit]
+            cur_len = (win_stop[hit] - win_start[hit]).astype(np.int32)
+            if task.kind == "front":
+                as_front = np.ones(len(hit), bool)
+            elif task.kind == "back":
+                as_front = np.zeros(len(hit), bool)
+            else:  # anywhere: 5' iff match begins at read start
+                as_front = qs == 0
+            # removed lengths + adjacent base (3' side only)
+            removed = np.where(as_front, qe, cur_len - qs)
+            adj_pos = chunk.seq_start[hit] + win_start[hit] + qs - 1
+            adjacent = np.where(
+                ~as_front & (qs > 0),
+                chunk.buf[np.clip(adj_pos, 0, None)],
+                0,
+            )
+            events.append(
+                dict(task=t_i, removed=removed, errors=er,
+                     as_front=as_front, adjacent=adjacent)
+            )
+            # apply trims
+            fr = hit[as_front]
+            win_start[fr] = win_start[fr] + qe[as_front]
+            bk = hit[~as_front]
+            win_stop[bk] = win_start[bk] + qs[~as_front]
+        return matched, events
+
+    # --- public API --------------------------------------------------------
+
+    def submit(self, parsed) -> PendingBatch:
+        B = parsed.n_records
+        win_start = np.zeros(B, np.int32)
+        win_stop = parsed.seq_len.astype(np.int32).copy()
+        stats = dict(n=B, total_bp=int(parsed.seq_len.sum()))
+        pos = self._adapter_pos if self._adapter_pos is not None else len(
+            self.stages
+        )
+        for si, stage in enumerate(self.stages[:pos]):
+            win_start, win_stop = self._apply_host_stage(
+                si, stage, parsed, win_start, win_stop, stats
+            )
+        dp_futures = None
+        width = 0
+        if self._adapter_pos is not None and B > 0:
+            stage = self.stages[self._adapter_pos]
+            width = self._bucket_length(int((win_stop - win_start).max()))
+            subset = np.arange(B)
+            dp_futures = [
+                self._dispatch_task(t, parsed, subset, win_start, win_stop,
+                                    width)
+                for t in stage.tasks
+            ]
+        post = (
+            self.stages[pos + 1 :] if self._adapter_pos is not None else []
+        )
+        return PendingBatch(
+            parsed, win_start, win_stop, stats,
+            self.stages[self._adapter_pos]
+            if self._adapter_pos is not None else None,
+            post, dp_futures, width,
+        )
+
+    def collect(self, pending: PendingBatch):
+        chunk = pending.parsed
+        B = chunk.n_records
+        win_start, win_stop = pending.win_start, pending.win_stop
+        stats = pending.stats
+        matched_any = np.zeros(B, bool)
+        if pending.adapter_stage is not None and B > 0:
+            stage = pending.adapter_stage
+            events_all = []
+            subset = np.arange(B)
+            matched, events = self._adapter_round(
+                stage, chunk, subset, win_start, win_stop, pending.width,
+                dispatched=pending.dp_futures,
+            )
+            events_all.extend(events)
+            matched_any = self._scatter_mask(subset, matched, B)
+            active = subset[matched]
+            for _ in range(1, stage.times):
+                if len(active) == 0:
+                    break
+                matched, events = self._adapter_round(
+                    stage, chunk, active, win_start, win_stop, pending.width
+                )
+                events_all.extend(events)
+                active = active[matched]
+            stats["adapter_events"] = events_all
+            stats["with_adapters"] = int(matched_any.sum())
+        base_si = (self._adapter_pos + 1) if self._adapter_pos is not None else 0
+        for j, stage in enumerate(pending.post_stages):
+            win_start, win_stop = self._apply_host_stage(
+                base_si + j, stage, chunk, win_start, win_stop, stats
+            )
+        # filters
+        keep = np.ones(B, bool)
+        filter_counts = []
+        lengths = win_stop - win_start
+        for f in self.filters:
+            if f.kind == "too_short":
+                drop = lengths < f.threshold
+            elif f.kind == "too_long":
+                drop = lengths > f.threshold
+            elif f.kind == "discard_trimmed":
+                drop = matched_any
+            elif f.kind == "discard_untrimmed":
+                drop = ~matched_any
+            else:
+                raise ValueError(f.kind)
+            newly = drop & keep
+            filter_counts.append(int(newly.sum()))
+            keep &= ~drop
+        stats["filter_counts"] = filter_counts
+        stats["written"] = int(keep.sum())
+        stats["written_lengths"] = np.bincount(lengths[keep])
+        stats["written_bp"] = int(lengths[keep].sum())
+        return win_start, win_stop, keep, stats
+
+    @staticmethod
+    def _scatter_mask(subset, mask, n):
+        out = np.zeros(n, bool)
+        out[subset[mask]] = True
+        return out
+
+    def process_parsed(self, parsed):
+        return self.collect(self.submit(parsed))
+
+
+def assemble_window(chunk, win_start, win_stop, keep) -> bytes:
+    if native.AVAILABLE:
+        return native.assemble_fastq_window(
+            chunk.buf, chunk.head_start, chunk.head_end, chunk.seq_start,
+            chunk.qual_start, win_start, win_stop, keep,
+        )
+    # NumPy fallback: compress to kept records and reuse the flat
+    # scatter assembler with shifted sequence starts
+    from .batch import ParsedChunk, _assemble_fastq_np
+
+    idx = np.flatnonzero(keep)
+    sub = ParsedChunk(
+        chunk.buf,
+        chunk.head_start[idx],
+        chunk.head_end[idx],
+        chunk.seq_start[idx] + win_start[idx],
+        (win_stop[idx] - win_start[idx]).astype(np.int32),
+        chunk.qual_start[idx] + win_start[idx],
+        has_cr=chunk.has_cr,
+    )
+    return _assemble_fastq_np(sub, (win_stop[idx] - win_start[idx]))
+
+
+def process_chunks_pipelined(engine: BatchPipelineEngine, chunks):
+    """Yield (trimmed_bytes, stats) per chunk in order, overlapping
+    device work with neighboring chunks' host work."""
+    from .batch import parse_fastq_chunk
+
+    pending = None
+    for data in chunks:
+        nxt = engine.submit(parse_fastq_chunk(data))
+        if pending is not None:
+            ws, we, keep, stats = engine.collect(pending)
+            yield assemble_window(pending.parsed, ws, we, keep), stats
+        pending = nxt
+    if pending is not None:
+        ws, we, keep, stats = engine.collect(pending)
+        yield assemble_window(pending.parsed, ws, we, keep), stats

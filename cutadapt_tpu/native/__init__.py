@@ -87,6 +87,21 @@ def _load():
     lib.assemble_fastq.argtypes = [
         p_u8, i64, p_i64, p_i64, p_i64, p_i64, p_i64, p_u8,
     ]
+    i32 = ctypes.c_int32
+    lib.quality_trim.restype = None
+    lib.quality_trim.argtypes = [
+        p_u8, p_i64, p_i32, p_i32, i64, i32, i32, i32, p_i32, p_i32,
+    ]
+    lib.nextseq_trim.restype = None
+    lib.nextseq_trim.argtypes = [
+        p_u8, p_i64, p_i64, p_i32, p_i32, i64, i32, i32, p_i32,
+    ]
+    lib.poly_a_trim.restype = None
+    lib.poly_a_trim.argtypes = [p_u8, p_i64, p_i32, p_i32, i64, i32, p_i32]
+    lib.assemble_fastq_window.restype = i64
+    lib.assemble_fastq_window.argtypes = [
+        p_u8, i64, p_i64, p_i64, p_i64, p_i64, p_i32, p_i32, p_u8, p_u8,
+    ]
     _lib = lib
     AVAILABLE = True
 
@@ -199,6 +214,71 @@ def pad_encode(
         _ptr(lut, ctypes.c_uint8), _ptr(out, ctypes.c_uint8),
     )
     return out
+
+
+def quality_trim(
+    buf, qual_start, win_start, win_stop,
+    cutoff_front: int, cutoff_back: int, base: int = 33,
+):
+    """Window-relative BWA quality trim; negative cutoff disables that
+    end. Returns (rel_start, rel_stop) int32 arrays."""
+    n = len(qual_start)
+    out_start = np.empty(n, np.int32)
+    out_stop = np.empty(n, np.int32)
+    _lib.quality_trim(
+        _ptr(buf, ctypes.c_uint8), _ptr(qual_start, ctypes.c_int64),
+        _ptr(win_start, ctypes.c_int32), _ptr(win_stop, ctypes.c_int32),
+        n, cutoff_front, cutoff_back, base,
+        _ptr(out_start, ctypes.c_int32), _ptr(out_stop, ctypes.c_int32),
+    )
+    return out_start, out_stop
+
+
+def nextseq_trim(buf, seq_start, qual_start, win_start, win_stop,
+                 cutoff: int, base: int = 33):
+    n = len(qual_start)
+    out_stop = np.empty(n, np.int32)
+    _lib.nextseq_trim(
+        _ptr(buf, ctypes.c_uint8), _ptr(seq_start, ctypes.c_int64),
+        _ptr(qual_start, ctypes.c_int64),
+        _ptr(win_start, ctypes.c_int32), _ptr(win_stop, ctypes.c_int32),
+        n, cutoff, base, _ptr(out_stop, ctypes.c_int32),
+    )
+    return out_stop
+
+
+def poly_a_trim(buf, seq_start, win_start, win_stop, revcomp: bool = False):
+    n = len(seq_start)
+    out = np.empty(n, np.int32)
+    _lib.poly_a_trim(
+        _ptr(buf, ctypes.c_uint8), _ptr(seq_start, ctypes.c_int64),
+        _ptr(win_start, ctypes.c_int32), _ptr(win_stop, ctypes.c_int32),
+        n, int(revcomp), _ptr(out, ctypes.c_int32),
+    )
+    return out
+
+
+def assemble_fastq_window(
+    buf, head_start, head_end, seq_start, qual_start,
+    win_start, win_stop, keep,
+) -> bytes:
+    win_start = np.ascontiguousarray(win_start, np.int32)
+    win_stop = np.ascontiguousarray(win_stop, np.int32)
+    keep = np.ascontiguousarray(keep, np.uint8)
+    n_records = len(win_start)
+    head_len = (head_end - head_start) * keep.astype(np.int64)
+    lens = (win_stop - win_start).astype(np.int64) * keep
+    total = int(6 * int(keep.sum()) + head_len.sum() + 2 * lens.sum())
+    out = np.empty(total, np.uint8)
+    written = _lib.assemble_fastq_window(
+        _ptr(buf, ctypes.c_uint8), n_records,
+        _ptr(head_start, ctypes.c_int64), _ptr(head_end, ctypes.c_int64),
+        _ptr(seq_start, ctypes.c_int64), _ptr(qual_start, ctypes.c_int64),
+        _ptr(win_start, ctypes.c_int32), _ptr(win_stop, ctypes.c_int32),
+        _ptr(keep, ctypes.c_uint8), _ptr(out, ctypes.c_uint8),
+    )
+    assert written == total
+    return out.tobytes()
 
 
 def assemble_fastq(

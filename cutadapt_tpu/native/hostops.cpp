@@ -196,4 +196,158 @@ int64_t assemble_fastq(const uint8_t* buf, int64_t n_records,
     return (int64_t)(dst - out);
 }
 
+// --- quality / poly-A trimming scans -----------------------------------------
+//
+// Exact reference semantics (qualtrim.pyx / cutadapt_tpu/qualtrim.py),
+// evaluated per read over the current [win_start, win_stop) window of
+// each record. Outputs are window-relative trim offsets applied as
+// new absolute windows by the caller.
+
+// BWA quality trim. cutoff_front < 0 disables the 5' pass,
+// cutoff_back < 0 disables the 3' pass. Window collapse -> empty
+// window at the original start (start == stop == 0 relative).
+void quality_trim(const uint8_t* buf, const int64_t* qual_start,
+                  const int32_t* win_start, const int32_t* win_stop,
+                  int64_t n_records, int32_t cutoff_front,
+                  int32_t cutoff_back, int32_t base, int32_t* out_start,
+                  int32_t* out_stop) {
+    for (int64_t r = 0; r < n_records; ++r) {
+        const uint8_t* q = buf + qual_start[r] + win_start[r];
+        const int64_t n = win_stop[r] - win_start[r];
+        int64_t start = 0, stop = n;
+        if (cutoff_front >= 0) {
+            int64_t s = 0, max_qual = 0;
+            for (int64_t i = 0; i < n; ++i) {
+                s += cutoff_front - ((int64_t)q[i] - base);
+                if (s < 0) break;
+                if (s > max_qual) {
+                    max_qual = s;
+                    start = i + 1;
+                }
+            }
+        }
+        if (cutoff_back >= 0) {
+            int64_t s = 0, max_qual = 0;
+            for (int64_t i = n - 1; i >= 0; --i) {
+                s += cutoff_back - ((int64_t)q[i] - base);
+                if (s < 0) break;
+                if (s > max_qual) {
+                    max_qual = s;
+                    stop = i;
+                }
+            }
+        }
+        if (start >= stop) {
+            start = 0;
+            stop = 0;
+        }
+        out_start[r] = (int32_t)start;
+        out_stop[r] = (int32_t)stop;
+    }
+}
+
+// NextSeq 3' trim: like the 3' pass above but G bases count as
+// quality (cutoff - 1). Returns the window-relative stop.
+void nextseq_trim(const uint8_t* buf, const int64_t* seq_start,
+                  const int64_t* qual_start, const int32_t* win_start,
+                  const int32_t* win_stop, int64_t n_records, int32_t cutoff,
+                  int32_t base, int32_t* out_stop) {
+    for (int64_t r = 0; r < n_records; ++r) {
+        const uint8_t* sq = buf + seq_start[r] + win_start[r];
+        const uint8_t* q = buf + qual_start[r] + win_start[r];
+        const int64_t n = win_stop[r] - win_start[r];
+        int64_t s = 0, max_qual = 0, max_i = n;
+        for (int64_t i = n - 1; i >= 0; --i) {
+            int64_t qv = (int64_t)q[i] - base;
+            if (sq[i] == 'G') qv = cutoff - 1;
+            s += cutoff - qv;
+            if (s < 0) break;
+            if (s > max_qual) {
+                max_qual = s;
+                max_i = i;
+            }
+        }
+        out_stop[r] = (int32_t)max_i;
+    }
+}
+
+// Poly-A tail (revcomp=0: 'A' tail at the 3' end, returns
+// window-relative tail start) or poly-T head (revcomp=1: returns
+// window-relative head end). Max error rate 0.2, min length 3.
+void poly_a_trim(const uint8_t* buf, const int64_t* seq_start,
+                 const int32_t* win_start, const int32_t* win_stop,
+                 int64_t n_records, int32_t revcomp, int32_t* out_index) {
+    for (int64_t r = 0; r < n_records; ++r) {
+        const uint8_t* s = buf + seq_start[r] + win_start[r];
+        const int64_t n = win_stop[r] - win_start[r];
+        int64_t best_score = 0, score = 0, errors = 0, best_index;
+        if (revcomp) {
+            best_index = 0;
+            for (int64_t i = 0; i < n; ++i) {
+                if (s[i] == 'T') {
+                    score += 1;
+                } else {
+                    score -= 2;
+                    ++errors;
+                }
+                if (score > best_score && errors * 5 <= i + 1) {
+                    best_score = score;
+                    best_index = i + 1;
+                }
+            }
+            if (best_index < 3) best_index = 0;
+        } else {
+            best_index = n;
+            for (int64_t i = n - 1; i >= 0; --i) {
+                if (s[i] == 'A') {
+                    score += 1;
+                } else {
+                    score -= 2;
+                    ++errors;
+                }
+                if (score > best_score && errors * 5 <= n - i) {
+                    best_score = score;
+                    best_index = i;
+                }
+            }
+            if (best_index > n - 3) best_index = n;
+        }
+        out_index[r] = (int32_t)best_index;
+    }
+}
+
+// --- windowed trimmed-FASTQ assembly with keep mask --------------------------
+//
+// Emits '@head\nseq[start:stop]\n+\nqual[start:stop]\n' for records
+// with keep[r] != 0. Caller precomputes the exact output size.
+
+int64_t assemble_fastq_window(const uint8_t* buf, int64_t n_records,
+                              const int64_t* head_start,
+                              const int64_t* head_end,
+                              const int64_t* seq_start,
+                              const int64_t* qual_start,
+                              const int32_t* win_start,
+                              const int32_t* win_stop, const uint8_t* keep,
+                              uint8_t* out) {
+    uint8_t* dst = out;
+    for (int64_t r = 0; r < n_records; ++r) {
+        if (!keep[r]) continue;
+        *dst++ = '@';
+        const int64_t hl = head_end[r] - head_start[r];
+        memcpy(dst, buf + head_start[r], hl);
+        dst += hl;
+        *dst++ = '\n';
+        const int64_t len = win_stop[r] - win_start[r];
+        memcpy(dst, buf + seq_start[r] + win_start[r], len);
+        dst += len;
+        *dst++ = '\n';
+        *dst++ = '+';
+        *dst++ = '\n';
+        memcpy(dst, buf + qual_start[r] + win_start[r], len);
+        dst += len;
+        *dst++ = '\n';
+    }
+    return (int64_t)(dst - out);
+}
+
 }  // extern "C"

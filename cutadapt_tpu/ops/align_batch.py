@@ -171,6 +171,19 @@ def acceptance_table(spec: AlignerSpec) -> np.ndarray:
     ).astype(np.int32)
 
 
+def min_length_table(spec: AlignerSpec) -> np.ndarray:
+    """minlen[c] = smallest effective length whose error budget admits
+    cost c (INF for c > k). Exact inverse of acceptance_table — lets
+    the kernel test `cost <= floor(len*e)` as `len >= minlen[cost]`
+    with a (k+2)-entry lookup instead of an (m+1)-entry one."""
+    thr = acceptance_table(spec)
+    k = int(thr[-1])
+    out = np.empty(k + 2, np.int32)
+    out[: k + 1] = np.searchsorted(thr, np.arange(k + 1), side="left")
+    out[k + 1] = INF_COST
+    return out
+
+
 def _key_min(a, b):
     """Lexicographic min over (cost, cls, pos) tuples with payloads."""
     ac, acls, apos, ascore, aorig = a
@@ -278,7 +291,7 @@ def make_batch_locate(
             raise ValueError("packed mode needs <= 16 query classes")
         _, row_masks_np = info
     k = int(spec.max_error_rate * m)
-    thr_np = acceptance_table(spec)
+    minlen_np = min_length_table(spec)
     ncnt_np = n_counts(spec)
     eff_len = effective_length(spec)
 
@@ -338,7 +351,11 @@ def make_batch_locate(
             B, L = queries.shape
             queries_t = queries.T  # (L, B): per-column access is static-ish
         ref = jnp.asarray(ref_np)[:, None]  # (m, 1)
-        thr_col = jnp.asarray(thr_np)[:, None]  # (m+1, 1)
+        minlen_col = jnp.asarray(minlen_np)[:, None]  # (k+2, 1)
+        iota_k = jnp.asarray(
+            np.arange(len(minlen_np), dtype=np.int32)[:, None]
+        )
+        cost_cap = jnp.int32(len(minlen_np) - 1)  # k+1 -> INF bucket
         iota = jnp.asarray(idx_col)  # (m+1, 1)
         pos = jnp.asarray(pos_col)  # (m, 1)
         if spec.wildcard_ref:
@@ -461,9 +478,10 @@ def make_batch_locate(
                     cur_eff = jnp.where(length < m, length - tail_n, eff_len)
                 else:
                     cur_eff = length
-                acceptable = (length >= min_overlap) & (
-                    cand_cost <= _table_lookup(thr_col, jnp.clip(cur_eff, 0, m), iota)
+                need_len = _table_lookup(
+                    minlen_col, jnp.minimum(cand_cost, cost_cap), iota_k
                 )
+                acceptable = (length >= min_overlap) & (cur_eff >= need_len)
                 best_length = m + jnp.minimum(carry["best_origin"], 0)
                 update = (
                     cand_mask
@@ -521,46 +539,74 @@ def make_batch_locate(
             )
 
         # --- final-column scan (bottom-up), where max_n == n ---
-        # The iteration range is static, so the loop is unrolled with
-        # static row indexing (dynamic sublane slicing is pathologically
-        # slow on TPU).
+        # A lax.scan over the row axis (reversed, consuming the already
+        # materialized column as xs — no dynamic slicing) so compile
+        # time is O(1) in the adapter length; an unrolled loop here
+        # made XLA compile time blow up for longer adapters.
         scan_applies = max_n == n
         st = carry
-        for i in range(m, first_i - 1, -1):
-            cand_cost = st["cost"][i]
-            cand_score = st["score"][i]
-            cand_origin = st["origin"][i]
+        stale_le = st["stale_origin"]
+        last_filled = st["last_filled"]
+
+        row_ids = np.arange(m, first_i - 1, -1, dtype=np.int32)  # desc
+        cost_rows = st["cost"][first_i:][::-1]
+        score_rows = st["score"][first_i:][::-1]
+        origin_rows = st["origin"][first_i:][::-1]
+        if spec.wildcard_ref:
+            ncnt_rows = ncnt_np[row_ids]  # (R,)
+
+        def final_row_step(best, xs):
+            if spec.wildcard_ref:
+                i, cand_cost, cand_score, cand_origin, ncnt_i = xs
+            else:
+                i, cand_cost, cand_score, cand_origin = xs
+            (b_found, b_cost, b_score, b_origin, b_ref_stop,
+             b_query_stop) = best
             length = i + jnp.minimum(cand_origin, 0)
             if spec.wildcard_ref:
                 ref_start = -jnp.minimum(cand_origin, 0)
-                span_n = int(ncnt_np[i]) - _table_lookup(
+                span_n = ncnt_i - _table_lookup(
                     ncnt_col, jnp.clip(ref_start, 0, m), iota
                 )
                 cur_eff = jnp.where(length < m, length - span_n, eff_len)
             else:
                 cur_eff = length
-            acceptable = (length >= min_overlap) & (
-                cand_cost <= _table_lookup(thr_col, jnp.clip(cur_eff, 0, m), iota)
+            need_len = _table_lookup(
+                minlen_col, jnp.minimum(cand_cost, cost_cap), iota_k
             )
-            mask = scan_applies & (i <= st["last_filled"]) & acceptable
-            best_length = st["best_ref_stop"] + jnp.minimum(st["best_origin"], 0)
+            acceptable = (length >= min_overlap) & (cur_eff >= need_len)
+            mask = scan_applies & (i <= last_filled) & acceptable
+            best_length = b_ref_stop + jnp.minimum(b_origin, 0)
             update = mask & (
-                ~st["best_found"]
+                ~b_found
                 | (
-                    (st["stale_origin"] <= st["best_origin"] + m // 2)
-                    & (cand_score > st["best_score"])
+                    (stale_le <= b_origin + m // 2)
+                    & (cand_score > b_score)
                 )
-                | ((length > best_length) & (cand_score > st["best_score"]))
+                | ((length > best_length) & (cand_score > b_score))
             )
-            st = dict(st)
-            st["best_found"] = st["best_found"] | update
-            st["best_cost"] = jnp.where(update, cand_cost, st["best_cost"])
-            st["best_score"] = jnp.where(update, cand_score, st["best_score"])
-            st["best_origin"] = jnp.where(update, cand_origin, st["best_origin"])
-            st["best_ref_stop"] = jnp.where(
-                update, jnp.int32(i), st["best_ref_stop"]
+            new_best = (
+                b_found | update,
+                jnp.where(update, cand_cost, b_cost),
+                jnp.where(update, cand_score, b_score),
+                jnp.where(update, cand_origin, b_origin),
+                jnp.where(update, i, b_ref_stop),
+                jnp.where(update, n, b_query_stop),
             )
-            st["best_query_stop"] = jnp.where(update, n, st["best_query_stop"])
+            return new_best, None
+
+        best0 = (
+            st["best_found"], st["best_cost"], st["best_score"],
+            st["best_origin"], st["best_ref_stop"], st["best_query_stop"],
+        )
+        xs = (jnp.asarray(row_ids), cost_rows, score_rows, origin_rows)
+        if spec.wildcard_ref:
+            xs = xs + (jnp.asarray(ncnt_rows),)
+        best, _ = jax.lax.scan(final_row_step, best0, xs)
+        st = dict(st)
+        (st["best_found"], st["best_cost"], st["best_score"],
+         st["best_origin"], st["best_ref_stop"],
+         st["best_query_stop"]) = best
         carry = st
 
         best_origin = carry["best_origin"]

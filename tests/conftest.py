@@ -16,6 +16,15 @@ try:
     import jax as _jax
 
     _jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: kernel compiles on this 1-core host
+    # take 1-30s each and dominate suite runtime otherwise
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("CUTADAPT_TPU_TEST_CACHE",
+                       "/tmp/cutadapt_tpu_test_jax_cache"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 except Exception:
     pass
 

@@ -1,0 +1,256 @@
+"""
+Byte-parity of the generalized batched pipeline engine against the
+per-read host pipeline, across stage combinations: cuts, quality /
+NextSeq trimming, multi-adapter matching (3'/5'/anywhere, wildcards,
+times), poly-A trimming, shortening, and filters.
+"""
+
+import os
+import random
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+import pytest
+
+from cutadapt_tpu.adapters import AnywhereAdapter, BackAdapter, FrontAdapter
+from cutadapt_tpu.batch import parse_fastq_chunk
+from cutadapt_tpu.batch_pipeline import (
+    AdapterStage,
+    AdapterTask,
+    BatchPipelineEngine,
+    CutStage,
+    FilterSpec,
+    NextseqStage,
+    PolyAStage,
+    QualityStage,
+    ShortenStage,
+    assemble_window,
+)
+from cutadapt_tpu.info import ModificationInfo
+from cutadapt_tpu.modifiers import (
+    AdapterCutter,
+    NextseqQualityTrimmer,
+    PolyATrimmer,
+    QualityTrimmer,
+    Shortener,
+    UnconditionalCutter,
+)
+from cutadapt_tpu.io.fastq import parse_fastq
+
+
+def make_reads(rng, n, adapters, with_tail=False):
+    recs = []
+    for i in range(n):
+        L = rng.randint(1, 90)
+        s = "".join(rng.choice("ACGT") for _ in range(L))
+        r = rng.random()
+        if adapters and r < 0.5:
+            ad = adapters[rng.randrange(len(adapters))]
+            take = rng.randint(4, len(ad))
+            p = rng.randint(0, max(0, L - take))
+            s = (s[:p] + ad[:take] + s[p + take:])[:L]
+        if with_tail and rng.random() < 0.3:
+            s = (s + "A" * rng.randint(3, 15))[:90]
+        L = len(s)
+        q = "".join(chr(rng.randint(35, 74)) for _ in range(L))
+        recs.append(f"@r{i} x\n{s}\n+\n{q}\n")
+    return "".join(recs).encode()
+
+
+def host_expected(data, modifiers, keep_fn):
+    out = []
+    for rec in parse_fastq(__import__("io").BytesIO(data)):
+        info = ModificationInfo(rec)
+        r = rec
+        for mod in modifiers:
+            r = mod(r, info)
+        if keep_fn(r, info):
+            out.append(r.fastq_bytes())
+    return b"".join(out)
+
+
+def run_engine(data, stages, filters=()):
+    # single DP shape (128) keeps per-test compile count at one per spec
+    engine = BatchPipelineEngine(
+        stages, filters, min_dp_batch=128, max_dp_batch=128
+    )
+    parsed = parse_fastq_chunk(data)
+    ws, we, keep, stats = engine.process_parsed(parsed)
+    return assemble_window(parsed, ws, we, keep), stats
+
+
+ADAPTER = "AGATCGGAAGAGC"
+
+
+def test_quality_and_back_adapter_and_minlen():
+    rng = random.Random(10)
+    data = make_reads(rng, 500, [ADAPTER])
+    back = BackAdapter(ADAPTER, max_errors=0.1, min_overlap=3)
+    cutter = AdapterCutter([back])
+    qt = QualityTrimmer(0, 20)
+    expected = host_expected(
+        data, [qt, cutter], lambda r, info: len(r) >= 10
+    )
+    got, stats = run_engine(
+        data,
+        [
+            QualityStage(0, 20),
+            AdapterStage([AdapterTask(back, "back", 0)]),
+        ],
+        [FilterSpec("too_short", 10)],
+    )
+    assert got == expected
+    assert stats["with_adapters"] == cutter.with_adapters
+
+
+def test_multi_adapter_best_by_score():
+    rng = random.Random(11)
+    a1 = "AGATCGGAAGAGC"
+    a2 = "TTAGACATATCTCCGTCG"
+    data = make_reads(rng, 500, [a1, a2])
+    b1 = BackAdapter(a1, max_errors=0.1, min_overlap=3)
+    b2 = BackAdapter(a2, max_errors=0.2, min_overlap=4)
+    cutter = AdapterCutter([b1, b2])
+    expected = host_expected(data, [cutter], lambda r, info: True)
+    got, stats = run_engine(
+        data,
+        [AdapterStage([AdapterTask(b1, "back", 0),
+                       AdapterTask(b2, "back", 1)])],
+    )
+    assert got == expected
+
+
+def test_front_and_anywhere():
+    rng = random.Random(12)
+    af = "CTGATCGGACT"
+    data = make_reads(rng, 500, [af])
+    for make_host, kind in [
+        (lambda: FrontAdapter(af, max_errors=0.1, min_overlap=3), "front"),
+        (lambda: AnywhereAdapter(af, max_errors=0.1, min_overlap=3),
+         "anywhere"),
+    ]:
+        host_a = make_host()
+        cutter = AdapterCutter([host_a])
+        expected = host_expected(data, [cutter], lambda r, info: True)
+        got, _ = run_engine(
+            data, [AdapterStage([AdapterTask(make_host(), kind, 0)])]
+        )
+        assert got == expected, kind
+
+
+def test_wildcard_adapter():
+    rng = random.Random(13)
+    aw = "AGANCGGANGAGC"
+    data = make_reads(rng, 400, ["AGATCGGATGAGC", "AGACCGGACGAGC"])
+    host_a = BackAdapter(aw, max_errors=0.1, min_overlap=3)
+    cutter = AdapterCutter([host_a])
+    expected = host_expected(data, [cutter], lambda r, info: True)
+    got, _ = run_engine(
+        data,
+        [AdapterStage([AdapterTask(
+            BackAdapter(aw, max_errors=0.1, min_overlap=3), "back", 0)])],
+    )
+    assert got == expected
+
+
+def test_times_2():
+    rng = random.Random(14)
+    data = make_reads(rng, 400, [ADAPTER])
+    host_a = BackAdapter(ADAPTER, max_errors=0.1, min_overlap=3)
+    cutter = AdapterCutter([host_a], times=2)
+    expected = host_expected(data, [cutter], lambda r, info: True)
+    got, _ = run_engine(
+        data,
+        [AdapterStage(
+            [AdapterTask(BackAdapter(ADAPTER, max_errors=0.1, min_overlap=3),
+                         "back", 0)],
+            times=2,
+        )],
+    )
+    assert got == expected
+
+
+def test_cut_nextseq_polya_shorten():
+    rng = random.Random(15)
+    data = make_reads(rng, 500, [ADAPTER], with_tail=True)
+    back = BackAdapter(ADAPTER, max_errors=0.1, min_overlap=3)
+    mods = [
+        UnconditionalCutter(2),
+        UnconditionalCutter(-1),
+        NextseqQualityTrimmer(20),
+        AdapterCutter([back]),
+        PolyATrimmer(),
+        Shortener(60),
+    ]
+    expected = host_expected(data, mods, lambda r, info: True)
+    got, _ = run_engine(
+        data,
+        [
+            CutStage(2),
+            CutStage(-1),
+            NextseqStage(20),
+            AdapterStage([AdapterTask(
+                BackAdapter(ADAPTER, max_errors=0.1, min_overlap=3),
+                "back", 0)]),
+            PolyAStage(),
+            ShortenStage(60),
+        ],
+    )
+    assert got == expected
+
+
+def test_discard_trimmed_untrimmed_and_maxlen():
+    rng = random.Random(16)
+    data = make_reads(rng, 500, [ADAPTER])
+    for filt, keep_fn_maker in [
+        (FilterSpec("discard_trimmed"),
+         lambda cutter: lambda r, info: not info.matches),
+        (FilterSpec("discard_untrimmed"),
+         lambda cutter: lambda r, info: bool(info.matches)),
+        (FilterSpec("too_long", 50),
+         lambda cutter: lambda r, info: len(r) <= 50),
+    ]:
+        back = BackAdapter(ADAPTER, max_errors=0.1, min_overlap=3)
+        cutter = AdapterCutter([back])
+        expected = host_expected(data, [cutter], keep_fn_maker(cutter))
+        got, _ = run_engine(
+            data,
+            [AdapterStage([AdapterTask(
+                BackAdapter(ADAPTER, max_errors=0.1, min_overlap=3),
+                "back", 0)])],
+            [filt],
+        )
+        assert got == expected, filt.kind
+
+
+def test_adapter_event_stats_match_host():
+    rng = random.Random(17)
+    data = make_reads(rng, 600, [ADAPTER])
+    back_host = BackAdapter(ADAPTER, max_errors=0.1, min_overlap=3)
+    cutter = AdapterCutter([back_host])
+    host_expected(data, [cutter], lambda r, info: True)
+    host_end = cutter.adapter_statistics[back_host].end
+
+    back_dev = BackAdapter(ADAPTER, max_errors=0.1, min_overlap=3)
+    got, stats = run_engine(
+        data, [AdapterStage([AdapterTask(back_dev, "back", 0)])]
+    )
+    # rebuild the (removed_length -> errors) histogram from events
+    from collections import defaultdict
+
+    errors = defaultdict(lambda: defaultdict(int))
+    adjacent = {"A": 0, "C": 0, "G": 0, "T": 0, "": 0}
+    for ev in stats["adapter_events"]:
+        assert ev["task"] == 0
+        for rem, er, asf, adj in zip(
+            ev["removed"], ev["errors"], ev["as_front"], ev["adjacent"]
+        ):
+            assert not asf
+            errors[int(rem)][int(er)] += 1
+            ch = chr(adj) if adj else ""
+            adjacent[ch if ch in "ACGT" and ch else ""] += 1
+    assert {k: dict(v) for k, v in errors.items()} == {
+        k: dict(v) for k, v in host_end.errors.items()
+    }
+    assert adjacent == host_end.adjacent_bases
