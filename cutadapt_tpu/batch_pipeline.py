@@ -493,9 +493,11 @@ class BatchPipelineEngine:
             win_start, win_stop = self._apply_host_stage(
                 base_si + j, stage, chunk, win_start, win_stop, stats
             )
-        # filters
+        # filters (first matching filter claims the read, like the
+        # host step order)
         keep = np.ones(B, bool)
         filter_counts = []
+        filter_dropped = []
         lengths = win_stop - win_start
         for f in self.filters:
             if f.kind == "too_short":
@@ -510,8 +512,10 @@ class BatchPipelineEngine:
                 raise ValueError(f.kind)
             newly = drop & keep
             filter_counts.append(int(newly.sum()))
+            filter_dropped.append(newly)
             keep &= ~drop
         stats["filter_counts"] = filter_counts
+        stats["filter_dropped_masks"] = filter_dropped
         stats["written"] = int(keep.sum())
         stats["written_lengths"] = np.bincount(lengths[keep])
         stats["written_bp"] = int(lengths[keep].sum())
