@@ -3,14 +3,15 @@ Accelerated execution path: route eligible pipelines through the
 batched TPU engine while producing byte-identical output and identical
 statistics to the per-read host pipeline.
 
-Eligible today (single-end FASTQ input, FASTQ output):
+Eligible today (FASTQ input, FASTQ output; single-end and paired-end):
 
 - modifiers, in any order: -u cuts, -q quality trimming,
-  --nextseq-trim, one AdapterCutter with any mix of regular
+  --nextseq-trim, one AdapterCutter per side with any mix of regular
   3'/5'/anywhere adapters (IUPAC wildcards on either side, --no-indels,
   --times N, action=trim), --poly-a, --length shortening
 - steps: length filters (-m/-M) with optional --too-short/long-output,
-  --discard-trimmed / --discard-untrimmed, final sink
+  --discard-trimmed / --discard-untrimmed (all pair-filter modes),
+  final sink
 
 Anything else falls back to the per-read host pipeline. The engine
 updates the very same modifier/step statistics objects the host path
@@ -23,6 +24,8 @@ amortizes. jax imports lazily so small runs never pay for it.
 
 import os
 from typing import Optional
+
+import numpy as np
 
 from .report import Statistics
 
@@ -43,14 +46,13 @@ def _translate_adapter(adapter):
     return None
 
 
-def _translate_pipeline(pipeline):
-    """Map an eligible host pipeline to (stages, filters, cutter, sink,
-    stage_modifiers) or return None."""
+def _translate_modifier(mod, has_cutter):
+    """Return (stage, is_cutter) for an eligible single-end modifier,
+    or None."""
     from .batch_pipeline import (
         AdapterStage,
         AdapterTask,
         CutStage,
-        FilterSpec,
         NextseqStage,
         PolyAStage,
         QualityStage,
@@ -64,50 +66,66 @@ def _translate_pipeline(pipeline):
         Shortener,
         UnconditionalCutter,
     )
-    from .pipeline import SingleEndPipeline
+
+    if isinstance(mod, UnconditionalCutter):
+        return CutStage(mod.length, mod), False
+    if isinstance(mod, QualityTrimmer):
+        return (
+            QualityStage(mod.cutoff_front, mod.cutoff_back, mod.base, mod),
+            False,
+        )
+    if isinstance(mod, NextseqQualityTrimmer):
+        return NextseqStage(mod.cutoff, mod.base, mod), False
+    if isinstance(mod, Shortener):
+        return ShortenStage(mod.length, mod), False
+    if isinstance(mod, PolyATrimmer):
+        if mod.revcomp:
+            return None
+        return PolyAStage(mod), False
+    if isinstance(mod, AdapterCutter):
+        if has_cutter or mod.action != "trim":
+            return None
+        tasks = []
+        for i, adapter in enumerate(mod.adapters):
+            kind = _translate_adapter(adapter)
+            if kind is None:
+                return None
+            tasks.append(AdapterTask(adapter, kind, i))
+        return AdapterStage(tasks, times=mod.times, modifier=mod), True
+    return None
+
+
+def _translate_predicate(pred):
     from .predicates import IsTrimmed, IsUntrimmed, TooLong, TooShort
+
+    if isinstance(pred, TooShort):
+        return ("too_short", pred.minimum_length)
+    if isinstance(pred, TooLong):
+        return ("too_long", pred.maximum_length)
+    if isinstance(pred, IsTrimmed):
+        return ("discard_trimmed", None)
+    if isinstance(pred, IsUntrimmed):
+        return ("discard_untrimmed", None)
+    return None
+
+
+def _translate_single(pipeline):
+    """Map an eligible single-end host pipeline to (stages, filters,
+    cutter, sink) or None."""
+    from .batch_pipeline import FilterSpec
     from .steps import SingleEndFilter, SingleEndSink
     from .io.fastq import FastqWriter
-
-    if not isinstance(pipeline, SingleEndPipeline):
-        return None
 
     stages = []
     cutter = None
     for mod in pipeline._modifiers:
-        if isinstance(mod, UnconditionalCutter):
-            stages.append(CutStage(mod.length, mod))
-        elif isinstance(mod, QualityTrimmer):
-            stages.append(
-                QualityStage(mod.cutoff_front, mod.cutoff_back, mod.base, mod)
-            )
-        elif isinstance(mod, NextseqQualityTrimmer):
-            stages.append(NextseqStage(mod.cutoff, mod.base, mod))
-        elif isinstance(mod, Shortener):
-            stages.append(ShortenStage(mod.length, mod))
-        elif isinstance(mod, PolyATrimmer):
-            if mod.revcomp:
-                return None
-            stages.append(PolyAStage(mod))
-        elif isinstance(mod, AdapterCutter):
-            if cutter is not None or mod.action != "trim":
-                return None
-            tasks = []
-            for i, adapter in enumerate(mod.adapters):
-                kind = _translate_adapter(adapter)
-                if kind is None:
-                    return None
-                tasks.append((adapter, kind, i))
-            cutter = mod
-            stages.append(
-                AdapterStage(
-                    [AdapterTask(a, kind, i) for a, kind, i in tasks],
-                    times=mod.times,
-                    modifier=mod,
-                )
-            )
-        else:
+        t = _translate_modifier(mod, cutter is not None)
+        if t is None:
             return None
+        stage, is_cutter = t
+        if is_cutter:
+            cutter = mod
+        stages.append(stage)
 
     filters = []
     sink = None
@@ -118,33 +136,23 @@ def _translate_pipeline(pipeline):
             sink = step
             continue
         if sink is not None or not isinstance(step, SingleEndFilter):
-            return None  # steps after the sink / non-filter steps
-        pred = step._predicate
+            return None
         if step._writer is not None and not isinstance(
             step._writer, FastqWriter
         ):
             return None
-        if isinstance(pred, TooShort):
-            filters.append(
-                FilterSpec("too_short", pred.minimum_length, step)
-            )
-        elif isinstance(pred, TooLong):
-            filters.append(FilterSpec("too_long", pred.maximum_length, step))
-        elif isinstance(pred, IsTrimmed):
-            filters.append(FilterSpec("discard_trimmed", None, step))
-        elif isinstance(pred, IsUntrimmed):
-            filters.append(FilterSpec("discard_untrimmed", None, step))
-        else:
+        t = _translate_predicate(step._predicate)
+        if t is None:
             return None
+        filters.append(FilterSpec(t[0], t[1], step))
     if sink is None:
         return None
     return stages, filters, cutter, sink
 
 
-def _apply_stats(stats, stages, filters, cutter, sink):
-    """Fold one chunk's engine stats into the host pipeline objects."""
-    import numpy as np
-
+def _apply_side_stats(stats, stages, cutter, written_lengths):
+    """Fold one chunk's engine stats for one side into the host
+    pipeline objects. Returns total_bp of the side."""
     for si, n in stats.get("quality_trimmed", {}).items():
         stages[si].modifier.trimmed_bases += n
     for si, removed in stats.get("poly_a_removed", {}).items():
@@ -176,12 +184,11 @@ def _apply_stats(stats, stages, filters, cutter, sink):
                         back_end.adjacent_bases[ch] += 1
                     else:
                         back_end.adjacent_bases[""] += 1
-    for f, count in zip(filters, stats.get("filter_counts", ())):
-        f.step._filtered += count
-    written_lengths = sink._statistics._written_lengths1
-    for length, count in enumerate(stats["written_lengths"]):
-        if count:
-            written_lengths[int(length)] += int(count)
+    if written_lengths is not None:
+        for length, count in enumerate(stats["written_lengths"]):
+            if count:
+                written_lengths[int(length)] += int(count)
+    return stats["total_bp"]
 
 
 def _activation_allowed(infile) -> bool:
@@ -202,30 +209,7 @@ def _activation_allowed(infile) -> bool:
     return False
 
 
-def try_run_accelerated(pipeline, infiles, progress) -> Optional[Statistics]:
-    """
-    Run the pipeline through the batched engine if eligible; return the
-    collected Statistics, or None if the configuration is not eligible
-    (caller falls back to the host path).
-    """
-    if infiles.interleaved or len(infiles._files) != 1:
-        return None
-    infile = infiles._files[0]
-    if not _activation_allowed(infile):
-        return None
-    from .io.files import detect_file_format, FileFormat
-
-    try:
-        if detect_file_format(infile) != FileFormat.FASTQ:
-            return None
-    except Exception:
-        return None
-
-    translated = _translate_pipeline(pipeline)
-    if translated is None:
-        return None
-    stages, filters, cutter, sink = translated
-
+def _setup_jax():
     import jax  # lazy; only on the accelerated path
 
     try:
@@ -236,6 +220,43 @@ def try_run_accelerated(pipeline, infiles, progress) -> Optional[Statistics]:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+
+
+def _is_fastq(infile) -> bool:
+    from .io.files import detect_file_format, FileFormat
+
+    try:
+        return detect_file_format(infile) == FileFormat.FASTQ
+    except Exception:
+        return False
+
+
+def try_run_accelerated(pipeline, infiles, progress) -> Optional[Statistics]:
+    """
+    Run the pipeline through the batched engine if eligible; return the
+    collected Statistics, or None if the configuration is not eligible
+    (caller falls back to the host path).
+    """
+    from .pipeline import PairedEndPipeline, SingleEndPipeline
+
+    if isinstance(pipeline, SingleEndPipeline):
+        return _run_single(pipeline, infiles, progress)
+    if isinstance(pipeline, PairedEndPipeline):
+        return _run_paired(pipeline, infiles, progress)
+    return None
+
+
+def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
+    if infiles.interleaved or len(infiles._files) != 1:
+        return None
+    infile = infiles._files[0]
+    if not _activation_allowed(infile) or not _is_fastq(infile):
+        return None
+    translated = _translate_single(pipeline)
+    if translated is None:
+        return None
+    stages, filters, cutter, sink = translated
+    _setup_jax()
 
     from .batch import parse_fastq_chunk
     from .batch_pipeline import BatchPipelineEngine, assemble_window
@@ -261,9 +282,12 @@ def try_run_accelerated(pipeline, infiles, progress) -> Optional[Statistics]:
         for ff, newly in zip(filter_files, stats["filter_dropped_masks"]):
             if ff is not None and newly.any():
                 ff.write(assemble_window(chunk, ws, we, newly))
-        _apply_stats(stats, stages, filters, cutter, sink)
+        for f, count in zip(filters, stats.get("filter_counts", ())):
+            f.step._filtered += count
+        total_bp += _apply_side_stats(
+            stats, stages, cutter, sink._statistics._written_lengths1
+        )
         n += stats["n"]
-        total_bp += stats["total_bp"]
         if progress is not None:
             progress.update(stats["n"])
 
@@ -280,4 +304,218 @@ def try_run_accelerated(pipeline, infiles, progress) -> Optional[Statistics]:
         progress.close()
     return Statistics().collect(
         n, total_bp, None, pipeline._modifiers, pipeline._steps
+    )
+
+
+# --- paired-end --------------------------------------------------------------
+
+
+def _translate_paired(pipeline):
+    """Map an eligible paired-end pipeline to per-side stage lists plus
+    pair filters, or None."""
+    from .modifiers import PairedEndModifierWrapper
+    from .steps import PairedEndFilter, PairedEndSink
+    from .io.fastq import FastqWriter, PairedSequenceWriter
+
+    stages1, stages2 = [], []
+    cutters = [None, None]
+    for mod in pipeline._modifiers:
+        if not isinstance(mod, PairedEndModifierWrapper):
+            return None
+        for side, m in enumerate((mod._modifier1, mod._modifier2)):
+            if m is None:
+                continue
+            t = _translate_modifier(m, cutters[side] is not None)
+            if t is None:
+                return None
+            stage, is_cutter = t
+            if is_cutter:
+                cutters[side] = m
+            (stages1 if side == 0 else stages2).append(stage)
+
+    pair_filters = []  # (step, kind1/None, thr1, kind2/None, thr2, mode)
+    sink = None
+    for step in pipeline._steps:
+        if isinstance(step, PairedEndSink):
+            if sink is not None:
+                return None
+            w = step.writer
+            if not isinstance(w, PairedSequenceWriter) or not isinstance(
+                w._writer1, FastqWriter
+            ) or not isinstance(w._writer2, FastqWriter):
+                return None
+            sink = step
+            continue
+        if sink is not None or not isinstance(step, PairedEndFilter):
+            return None
+        if step.writer is not None:
+            w = step.writer
+            from .io.fastq import PairedSequenceWriter as PSW
+
+            if not isinstance(w, PSW) or not isinstance(
+                w._writer1, FastqWriter
+            ) or not isinstance(w._writer2, FastqWriter):
+                return None
+        t1 = (
+            _translate_predicate(step.predicate1)
+            if step.predicate1 is not None
+            else None
+        )
+        t2 = (
+            _translate_predicate(step.predicate2)
+            if step.predicate2 is not None
+            else None
+        )
+        if step.predicate1 is not None and t1 is None:
+            return None
+        if step.predicate2 is not None and t2 is None:
+            return None
+        if t1 is None and t2 is None:
+            return None
+        pair_filters.append((step, t1, t2, step._pair_filter_mode))
+    if sink is None:
+        return None
+    return stages1, stages2, cutters, pair_filters, sink
+
+
+def _pair_condition(t, lengths, matched):
+    kind, thr = t
+    if kind == "too_short":
+        return lengths < thr
+    if kind == "too_long":
+        return lengths > thr
+    if kind == "discard_trimmed":
+        return matched
+    if kind == "discard_untrimmed":
+        return ~matched
+    raise ValueError(kind)
+
+
+def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
+    if infiles.interleaved or len(infiles._files) != 2:
+        return None
+    f1, f2 = infiles._files
+    if not _activation_allowed(f1):
+        return None
+    if not (_is_fastq(f1) and _is_fastq(f2)):
+        return None
+    translated = _translate_paired(pipeline)
+    if translated is None:
+        return None
+    stages1, stages2, cutters, pair_filters, sink = translated
+    _setup_jax()
+
+    from . import native
+    from .batch import parse_fastq_chunk
+    from .batch_pipeline import BatchPipelineEngine, assemble_window
+    from .io.fastq import read_paired_chunks
+    from .io.records import FileFormatError
+
+    if not native.AVAILABLE:
+        return None  # the paired name check needs the native lib
+
+    engine1 = BatchPipelineEngine(stages1)
+    engine2 = BatchPipelineEngine(stages2)
+    out1 = sink.writer._writer1._file
+    out2 = sink.writer._writer2._file
+    n = 0
+    bp1 = 0
+    bp2 = 0
+    wl = sink._statistics
+
+    def check_names(p1, p2):
+        from .io.records import record_names_match
+
+        if p1.n_records != p2.n_records:
+            more = 1 if p1.n_records > p2.n_records else 2
+            raise FileFormatError(
+                "Reads are improperly paired. There are more reads in "
+                f"file {more} than in file {3 - more}.",
+                line=None,
+            )
+        bad = native.check_pair_names(
+            p1.buf, p1.head_start, p1.head_end,
+            p2.buf, p2.head_start, p2.head_end,
+        )
+        if bad >= 0:
+            name1 = bytes(
+                p1.buf[p1.head_start[bad] : p1.head_end[bad]]
+            ).decode("latin-1")
+            name2 = bytes(
+                p2.buf[p2.head_start[bad] : p2.head_end[bad]]
+            ).decode("latin-1")
+            # the C fast path takes the ID from position 0; Python
+            # split() skips leading whitespace — reconfirm before
+            # raising so edge cases stay identical
+            if not record_names_match(name1, name2):
+                raise FileFormatError(
+                    "Reads are improperly paired. Read name "
+                    f"'{name1}' in file 1 does not match "
+                    f"'{name2}' in file 2.",
+                    line=None,
+                )
+
+    def emit(pend1, pend2):
+        nonlocal n, bp1, bp2
+        ws1, we1, _, stats1 = engine1.collect(pend1)
+        ws2, we2, _, stats2 = engine2.collect(pend2)
+        c1, c2 = pend1.parsed, pend2.parsed
+        len1 = we1 - ws1
+        len2 = we2 - ws2
+        m1 = stats1["matched_mask"]
+        m2 = stats2["matched_mask"]
+        keep = np.ones(c1.n_records, bool)
+        for step, t1, t2, mode in pair_filters:
+            if t2 is None:
+                drop = _pair_condition(t1, len1, m1)
+            elif t1 is None:
+                drop = _pair_condition(t2, len2, m2)
+            else:
+                d1 = _pair_condition(t1, len1, m1)
+                d2 = _pair_condition(t2, len2, m2)
+                if mode == "any":
+                    drop = d1 | d2
+                elif mode == "both":
+                    drop = d1 & d2
+                else:  # first
+                    drop = d1
+            newly = drop & keep
+            count = int(newly.sum())
+            step._filtered += count
+            if step.writer is not None and count:
+                step.writer._writer1._file.write(
+                    assemble_window(c1, ws1, we1, newly)
+                )
+                step.writer._writer2._file.write(
+                    assemble_window(c2, ws2, we2, newly)
+                )
+            keep &= ~drop
+        out1.write(assemble_window(c1, ws1, we1, keep))
+        out2.write(assemble_window(c2, ws2, we2, keep))
+        for length, count in zip(*np.unique(len1[keep], return_counts=True)):
+            wl._written_lengths1[int(length)] += int(count)
+        for length, count in zip(*np.unique(len2[keep], return_counts=True)):
+            wl._written_lengths2[int(length)] += int(count)
+        bp1 += _apply_side_stats(stats1, stages1, cutters[0], None)
+        bp2 += _apply_side_stats(stats2, stages2, cutters[1], None)
+        n += stats1["n"]
+        if progress is not None:
+            progress.update(stats1["n"])
+
+    pending = None
+    for d1, d2 in read_paired_chunks(f1, f2, CHUNK_RECORDS_BYTES):
+        p1 = parse_fastq_chunk(d1)
+        p2 = parse_fastq_chunk(d2)
+        check_names(p1, p2)
+        nxt = (engine1.submit(p1), engine2.submit(p2))
+        if pending is not None:
+            emit(*pending)
+        pending = nxt
+    if pending is not None:
+        emit(*pending)
+    infiles.close()
+    if progress is not None:
+        progress.close()
+    return Statistics().collect(
+        n, bp1, bp2, pipeline._modifiers, pipeline._steps
     )

@@ -488,6 +488,7 @@ class BatchPipelineEngine:
                 active = active[matched]
             stats["adapter_events"] = events_all
             stats["with_adapters"] = int(matched_any.sum())
+        stats["matched_mask"] = matched_any
         base_si = (self._adapter_pos + 1) if self._adapter_pos is not None else 0
         for j, stage in enumerate(pending.post_stages):
             win_start, win_stop = self._apply_host_stage(

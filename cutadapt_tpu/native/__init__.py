@@ -102,6 +102,8 @@ def _load():
     lib.assemble_fastq_window.argtypes = [
         p_u8, i64, p_i64, p_i64, p_i64, p_i64, p_i32, p_i32, p_u8, p_u8,
     ]
+    lib.check_pair_names.restype = i64
+    lib.check_pair_names.argtypes = [p_u8, p_i64, p_i64, p_u8, p_i64, p_i64, i64]
     _lib = lib
     AVAILABLE = True
 
@@ -214,6 +216,17 @@ def pad_encode(
         _ptr(lut, ctypes.c_uint8), _ptr(out, ctypes.c_uint8),
     )
     return out
+
+
+def check_pair_names(buf1, hs1, he1, buf2, hs2, he2) -> int:
+    """First index whose read IDs do not match, or -1 if all match."""
+    n = min(len(hs1), len(hs2))
+    return int(_lib.check_pair_names(
+        _ptr(buf1, ctypes.c_uint8), _ptr(hs1, ctypes.c_int64),
+        _ptr(he1, ctypes.c_int64),
+        _ptr(buf2, ctypes.c_uint8), _ptr(hs2, ctypes.c_int64),
+        _ptr(he2, ctypes.c_int64), n,
+    ))
 
 
 def quality_trim(

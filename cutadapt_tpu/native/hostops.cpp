@@ -196,6 +196,43 @@ int64_t assemble_fastq(const uint8_t* buf, int64_t n_records,
     return (int64_t)(dst - out);
 }
 
+// --- paired-read name check ---------------------------------------------------
+//
+// Read IDs (header up to the first ASCII whitespace) must match,
+// ignoring a trailing '1'/'2'/'3' (mate-number conventions) — same
+// predicate as record_names_match (cutadapt_tpu/io/records.py).
+// Returns -1 when every pair matches, else the first offending index.
+
+static inline int64_t id_len(const uint8_t* h, int64_t n) {
+    int64_t i = 0;
+    while (i < n) {
+        const uint8_t c = h[i];
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\v' ||
+            c == '\f')
+            break;
+        ++i;
+    }
+    if (i > 0) {
+        const uint8_t last = h[i - 1];
+        if (last == '1' || last == '2' || last == '3') --i;
+    }
+    return i;
+}
+
+int64_t check_pair_names(const uint8_t* buf1, const int64_t* hs1,
+                         const int64_t* he1, const uint8_t* buf2,
+                         const int64_t* hs2, const int64_t* he2,
+                         int64_t n_records) {
+    for (int64_t r = 0; r < n_records; ++r) {
+        const uint8_t* h1 = buf1 + hs1[r];
+        const uint8_t* h2 = buf2 + hs2[r];
+        const int64_t l1 = id_len(h1, he1[r] - hs1[r]);
+        const int64_t l2 = id_len(h2, he2[r] - hs2[r]);
+        if (l1 != l2 || memcmp(h1, h2, l1) != 0) return r;
+    }
+    return -1;
+}
+
 // --- quality / poly-A trimming scans -----------------------------------------
 //
 // Exact reference semantics (qualtrim.pyx / cutadapt_tpu/qualtrim.py),
