@@ -108,7 +108,15 @@ def split_records(data: bytes, records_per_chunk: int):
 
 
 def main():
-    from cutadapt_tpu.batch import Back3pBatchEngine
+    from cutadapt_tpu.adapters import BackAdapter
+    from cutadapt_tpu.batch_pipeline import (
+        AdapterStage,
+        AdapterTask,
+        BatchPipelineEngine,
+    )
+    from cutadapt_tpu.batch_pipeline import (
+        process_chunks_pipelined as run_pipelined,
+    )
 
     import jax
 
@@ -124,7 +132,19 @@ def main():
     log(f"generating {N_READS} synthetic reads ...")
     data = make_dataset(N_READS, READ_LEN)
 
-    engine = Back3pBatchEngine(ADAPTER, max_error_rate=0.1, min_overlap=3)
+    # the same engine + program the CLI fast path builds for -a ADAPTER
+    adapter_obj = BackAdapter(ADAPTER, max_errors=0.1, min_overlap=3)
+    engine = BatchPipelineEngine(
+        [AdapterStage([AdapterTask(adapter_obj, "back", 0)])]
+    )
+
+    def process_chunk(data):
+        from cutadapt_tpu.batch import parse_fastq_chunk
+        from cutadapt_tpu.batch_pipeline import assemble_window
+
+        parsed = parse_fastq_chunk(data)
+        ws, we, keep, stats = engine.process_parsed(parsed)
+        return assemble_window(parsed, ws, we, keep), stats
 
     chunks, n_records = split_records(data, CHUNK_RECORDS)
     log(f"{n_records} reads in {len(chunks)} chunks")
@@ -133,7 +153,7 @@ def main():
     log("measuring host baseline + verifying parity ...")
     host_rps, host_out = host_baseline(data, SUBSET)
     sub_chunks, _ = split_records(data, SUBSET)
-    sub_out, _ = engine.process_chunk(sub_chunks[0])
+    sub_out, _ = process_chunk(sub_chunks[0])
     if sub_out[: len(host_out)] != host_out:
         log("FATAL: batched engine output differs from host engine")
         sys.exit(1)
@@ -142,10 +162,8 @@ def main():
     # warmup: compile every DP batch shape that can occur
     t0 = time.perf_counter()
     engine.warmup(READ_LEN)
-    engine.process_chunk(chunks[0])
+    process_chunk(chunks[0])
     log(f"warmup/compile: {time.perf_counter() - t0:.1f}s")
-
-    from cutadapt_tpu.batch import process_chunks_pipelined
 
     # The device link's throughput fluctuates run to run; measure
     # several full passes and report the median.
@@ -155,7 +173,7 @@ def main():
         t0 = time.perf_counter()
         total_out = 0
         with_adapters = 0
-        for out, stats in process_chunks_pipelined(engine, chunks):
+        for out, stats in run_pipelined(engine, chunks):
             total_out += len(out)
             with_adapters += stats.get("with_adapters", 0)
         dt = time.perf_counter() - t0

@@ -27,6 +27,7 @@ Reference semantics: modifiers at
 MultipleAdapters.match_to at adapters.py:1265-1286.
 """
 
+import os
 from functools import lru_cache
 from typing import List, Optional, Sequence, Tuple
 
@@ -48,11 +49,22 @@ _SCORE_BIAS = 32768
 
 
 @lru_cache(maxsize=128)
-def _make_locate_step(spec: AlignerSpec, packed: bool):
+def _make_locate_step(spec: AlignerSpec, packed: bool, backend: str = "xla"):
     """Jitted locate returning a (2, B) int32: row0 = query_start |
-    query_stop<<14 | found<<28; row1 = errors | (score+bias)<<16."""
+    query_stop<<14 | found<<28; row1 = errors | (score+bias)<<16.
+
+    backend 'pallas' uses the VMEM-resident Pallas kernel (packed mode
+    only; same bit-exact results, ~16x faster to compile); 'xla' the
+    lax.scan formulation."""
     import jax
     import jax.numpy as jnp
+
+    if backend == "pallas":
+        if not packed:
+            raise ValueError("pallas backend requires packed inputs")
+        from .ops.align_pallas import make_pallas_locate
+
+        return jax.jit(make_pallas_locate(spec))
 
     locate = make_batch_locate(spec, packed=packed)
 
@@ -67,6 +79,24 @@ def _make_locate_step(spec: AlignerSpec, packed: bool):
         return jnp.stack([r0, r1])
 
     return jax.jit(step)
+
+
+def _pick_backend(packed: bool) -> str:
+    """Pallas on real TPU backends (when packed); XLA elsewhere. The
+    CUTADAPT_TPU_PALLAS env var forces it on (1) or off (0)."""
+    env = os.environ.get("CUTADAPT_TPU_PALLAS")
+    if env == "0" or not packed:
+        return "xla"
+    if env == "1":
+        return "pallas"
+    try:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            return "pallas"
+    except Exception:
+        pass
+    return "xla"
 
 
 def _unpack_result(arr: np.ndarray):
@@ -116,7 +146,19 @@ class AdapterTask:
         self.pf_tables = None
         if native.AVAILABLE and isinstance(adapter.kmer_finder, KmerFinder):
             self.pf_tables = native.PrefilterTables(adapter.kmer_finder)
-        self._step = _make_locate_step(self.spec, self.packed)
+        self._backend = _pick_backend(self.packed)
+        self._step = _make_locate_step(self.spec, self.packed, self._backend)
+
+    def step(self, enc, lengths):
+        """Dispatch the DP; drops to the XLA kernel if the Pallas
+        backend fails to build/compile for this spec or shape."""
+        if self._backend == "pallas":
+            try:
+                return self._step(enc, lengths)
+            except Exception:
+                self._backend = "xla"
+                self._step = _make_locate_step(self.spec, self.packed, "xla")
+        return self._step(enc, lengths)
 
 
 class Stage:
@@ -284,6 +326,22 @@ class BatchPipelineEngine:
         sizes.append(s)
         return sizes
 
+    def warmup(self, max_len: int) -> None:
+        """Compile every adapter task's DP program for each batch shape
+        that can occur for reads up to max_len."""
+        width = self._bucket_length(max_len)
+        for stage in self.stages:
+            if not isinstance(stage, AdapterStage):
+                continue
+            for task in stage.tasks:
+                w_in = width // 2 if task.packed else width
+                s = self.min_dp_batch
+                while s <= self.max_dp_batch:
+                    task.step(
+                        np.zeros((s, w_in), np.uint8), np.zeros(s, np.int32)
+                    ).block_until_ready()
+                    s *= 2
+
     def _dispatch_task(self, task, chunk, subset, win_start, win_stop, width):
         """Prefilter + encode + dispatch DP for `subset` (read indices)
         over their current windows. Returns (cand_indices, futures)."""
@@ -329,7 +387,7 @@ class BatchPipelineEngine:
                     enc[:take] = e
                 sub_len = np.zeros(size, np.int32)
                 sub_len[:take] = c_lens[off : off + take]
-                fut = task._step(enc, sub_len)
+                fut = task.step(enc, sub_len)
                 try:
                     fut.copy_to_host_async()
                 except Exception:
