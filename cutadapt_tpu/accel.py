@@ -35,14 +35,39 @@ CHUNK_RECORDS_BYTES = 64 * 1024 * 1024
 
 def _translate_adapter(adapter):
     """Return the AdapterTask kind for a host adapter, or None."""
-    from .adapters import AnywhereAdapter, BackAdapter, FrontAdapter
+    from .adapters import (
+        AnywhereAdapter,
+        BackAdapter,
+        FrontAdapter,
+        NonInternalBackAdapter,
+        NonInternalFrontAdapter,
+        PrefixAdapter,
+        RightmostBackAdapter,
+        RightmostFrontAdapter,
+        SuffixAdapter,
+    )
 
-    if type(adapter) is BackAdapter and not adapter._force_anywhere:
+    if getattr(adapter, "_force_anywhere", False):
+        return None
+    t = type(adapter)
+    if t is BackAdapter:
         return "back"
-    if type(adapter) is FrontAdapter and not adapter._force_anywhere:
+    if t is FrontAdapter:
         return "front"
-    if type(adapter) is AnywhereAdapter:
+    if t is AnywhereAdapter:
         return "anywhere"
+    if t is NonInternalFrontAdapter:
+        return "noninternal_front"
+    if t is NonInternalBackAdapter:
+        return "noninternal_back"
+    if t is PrefixAdapter:
+        return "prefix" if adapter.indels else "prefix_cmp"
+    if t is SuffixAdapter:
+        return "suffix" if adapter.indels else "suffix_cmp"
+    if t is RightmostFrontAdapter:
+        return "rightmost_front"
+    if t is RightmostBackAdapter:
+        return "rightmost_back"
     return None
 
 
@@ -166,9 +191,9 @@ def _apply_side_stats(stats, stages, cutter, written_lengths):
         for ev in stats.get("adapter_events", ()):
             task = stage.tasks[ev["task"]]
             astats = cutter.adapter_statistics[task.adapter]
-            if task.kind == "anywhere":
+            if task.trim == "auto":  # anywhere: both ends exist
                 front_end, back_end = astats.front, astats.back
-            elif task.kind == "front":
+            elif task.trim == "before":
                 front_end, back_end = astats.end, None
             else:
                 front_end, back_end = None, astats.end

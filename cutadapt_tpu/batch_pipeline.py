@@ -111,13 +111,33 @@ def _unpack_result(arr: np.ndarray):
     return found, qstart, qstop, errors, score
 
 
+# kind -> (Where flags or None=host comparer, reversed alignment,
+#          trim mode: 'before' | 'after' | 'auto')
+_KIND_INFO = {
+    "back": (Where.BACK.value, False, "after"),
+    "front": (Where.FRONT.value, False, "before"),
+    "anywhere": (Where.ANYWHERE.value, False, "auto"),
+    "noninternal_front": (Where.FRONT_NOT_INTERNAL.value, False, "before"),
+    "noninternal_back": (Where.BACK_NOT_INTERNAL.value, False, "after"),
+    "prefix": (Where.PREFIX.value, False, "before"),
+    "suffix": (Where.SUFFIX.value, False, "after"),
+    "rightmost_front": (Where.BACK.value, True, "before"),
+    "rightmost_back": (Where.FRONT.value, True, "after"),
+    "prefix_cmp": (None, False, "before"),
+    "suffix_cmp": (None, True, "after"),
+}
+
+
 class AdapterTask:
     """Device-side matching program for one adapter.
 
-    kind: 'back' (3', trims [qstart:]), 'front' (5', trims [:qstop]),
-    'anywhere' (5' when the match starts at position 0, else 3') —
-    mirroring Remove{Before,After}Match (reference adapters.py:427-493,
-    896-941).
+    The trim mode mirrors Remove{Before,After}Match (reference
+    adapters.py:427-493): 'after' trims [qstart:], 'before' trims
+    [:qstop], 'auto' (anywhere) picks 'before' when the match starts
+    at read position 0. Rightmost variants align the reversed window
+    (reversed reference, mirrored coordinates — adapters.py:657-786);
+    the *_cmp kinds are the anchored no-indel Prefix/SuffixComparer
+    scans, evaluated vectorized on the host.
     """
 
     def __init__(self, adapter, kind: str, index: int):
@@ -126,13 +146,29 @@ class AdapterTask:
         self.adapter = adapter
         self.kind = kind
         self.index = index
-        flags = {
-            "back": Where.BACK.value,
-            "front": Where.FRONT.value,
-            "anywhere": Where.ANYWHERE.value,
-        }[kind]
+        flags, self.reverse, self.trim = _KIND_INFO[kind]
+        self.comparer = flags is None
+        if self.comparer:
+            # anchored no-indels comparer: vectorized Hamming on host
+            cmp_ = adapter.aligner  # Prefix/SuffixComparer instance
+            self.cmp_ref = np.frombuffer(cmp_.reference, np.uint8)
+            self.cmp_max_k = cmp_.max_k
+            self.cmp_min_overlap = cmp_.min_overlap
+            self.cmp_wildcards = cmp_.wildcard_ref or cmp_.wildcard_query
+            if cmp_.wildcard_query:
+                from .ops.tables import IUPAC_LUT as _lut
+            elif cmp_.wildcard_ref:
+                from .ops.tables import ACGT_LUT as _lut
+            else:
+                from .ops.tables import UPPER_LUT as _lut
+            self.lut = _lut
+            self.packed = False
+            self.pf_tables = None
+            self.spec = None
+            return
+        reference = adapter.sequence[::-1] if self.reverse else adapter.sequence
         self.spec = AlignerSpec(
-            reference=adapter.sequence,
+            reference=reference,
             max_error_rate=adapter.max_error_rate,
             flags=flags,
             wildcard_ref=adapter.adapter_wildcards,
@@ -148,6 +184,28 @@ class AdapterTask:
             self.pf_tables = native.PrefilterTables(adapter.kmer_finder)
         self._backend = _pick_backend(self.packed)
         self._step = _make_locate_step(self.spec, self.packed, self._backend)
+
+    def run_comparer(self, enc, lens):
+        """Vectorized Prefix/SuffixComparer over encoded windows
+        (suffix windows arrive reversed). enc is (B, m')."""
+        m = len(self.cmp_ref)
+        length = np.minimum(lens, m)
+        cols = enc[:, :m]
+        if self.cmp_wildcards:
+            mism = (cols & self.cmp_ref[None, :]) == 0
+        else:
+            mism = cols != self.cmp_ref[None, :]
+        in_prefix = np.arange(m)[None, :] < length[:, None]
+        errors = (mism & in_prefix).sum(axis=1).astype(np.int32)
+        found = (errors <= self.cmp_max_k) & (length >= self.cmp_min_overlap)
+        score = (length - 2 * errors).astype(np.int32)
+        if self.kind == "prefix_cmp":
+            qstart = np.zeros_like(length)
+            qstop = length.astype(np.int32)
+        else:  # suffix: fwd coords (n - length, n)
+            qstart = (lens - length).astype(np.int32)
+            qstop = lens.astype(np.int32)
+        return found, qstart, qstop, errors, score
 
     def step(self, enc, lengths):
         """Dispatch the DP; drops to the XLA kernel if the Pallas
@@ -342,58 +400,80 @@ class BatchPipelineEngine:
                     ).block_until_ready()
                     s *= 2
 
+    def _encode(self, task, chunk, starts, lens, sel, rows, width):
+        """(rows, width[/2]) uint8 batch of the selected windows."""
+        w_in = width // 2 if task.packed else width
+        enc = np.zeros((rows, w_in), np.uint8)
+        take = len(sel)
+        if native.AVAILABLE:
+            native.pad_encode(
+                chunk.buf, starts, lens, sel, width, task.lut,
+                pack4=task.packed, out=enc, reverse=task.reverse,
+            )
+        else:
+            from .batch import pad_rows
+
+            raw = pad_rows(chunk.buf, starts[sel], lens[sel], width)
+            if task.reverse:
+                # reverse each row's first len bytes
+                rev = np.zeros_like(raw)
+                for pos, (row, ln) in enumerate(zip(raw, lens[sel])):
+                    rev[pos, :ln] = row[:ln][::-1]
+                raw = rev
+            e = task.lut[raw]
+            if task.packed:
+                e = (e[:, 0::2] | (e[:, 1::2] << 4)).astype(np.uint8)
+            enc[:take] = e
+        return enc
+
     def _dispatch_task(self, task, chunk, subset, win_start, win_stop, width):
         """Prefilter + encode + dispatch DP for `subset` (read indices)
-        over their current windows. Returns (cand_indices, futures)."""
+        over their current windows. Returns (cand_indices, futures);
+        a future is (offset, count, device array) or
+        ('host', found, qstart, qstop, errors, score)."""
         starts = (chunk.seq_start[subset] + win_start[subset]).astype(np.int64)
         lens = (win_stop[subset] - win_start[subset]).astype(np.int32)
-        if task.pf_tables is not None:
+        if task.pf_tables is not None and native.AVAILABLE:
             mask = native.kmer_prefilter(
-                chunk.buf, starts, lens, task.pf_tables
+                chunk.buf, starts, lens, task.pf_tables, reverse=task.reverse
             ).astype(bool)
             sel = np.flatnonzero(mask)
         else:
-            # no prefilter (MockKmerFinder, or native lib unavailable):
-            # every read is a DP candidate — slower, never different
+            # no prefilter (MockKmerFinder, comparers, or native lib
+            # unavailable): every read is a candidate — never different
             sel = np.arange(len(subset))
         cand = subset[sel]
         futures = []
-        if len(sel):
-            c_starts = starts[sel]
-            c_lens = lens[sel]
-            off = 0
-            for size in self._dp_sizes(len(sel)):
-                take = min(size, len(sel) - off)
-                if take <= 0:
-                    break
-                w_in = width // 2 if task.packed else width
-                enc = np.zeros((size, w_in), np.uint8)
-                if native.AVAILABLE:
-                    native.pad_encode(
-                        chunk.buf, c_starts, c_lens,
-                        np.arange(off, off + take, dtype=np.int64),
-                        width, task.lut, pack4=task.packed, out=enc,
-                    )
-                else:
-                    from .batch import pad_rows
-
-                    raw = pad_rows(
-                        chunk.buf, c_starts[off : off + take],
-                        c_lens[off : off + take], width,
-                    )
-                    e = task.lut[raw]
-                    if task.packed:
-                        e = (e[:, 0::2] | (e[:, 1::2] << 4)).astype(np.uint8)
-                    enc[:take] = e
-                sub_len = np.zeros(size, np.int32)
-                sub_len[:take] = c_lens[off : off + take]
-                fut = task.step(enc, sub_len)
-                try:
-                    fut.copy_to_host_async()
-                except Exception:
-                    pass
-                futures.append((off, take, fut))
-                off += size
+        if len(sel) == 0:
+            return cand, futures
+        c_starts = starts[sel]
+        c_lens = lens[sel]
+        if task.comparer:
+            m_w = (len(task.cmp_ref) + 1) // 2 * 2
+            enc = self._encode(
+                task, chunk, c_starts, c_lens,
+                np.arange(len(sel), dtype=np.int64), len(sel), m_w,
+            )
+            futures.append(("host",) + task.run_comparer(enc, c_lens))
+            return cand, futures
+        off = 0
+        for size in self._dp_sizes(len(sel)):
+            take = min(size, len(sel) - off)
+            if take <= 0:
+                break
+            enc = self._encode(
+                task, chunk, c_starts, c_lens,
+                np.arange(off, off + take, dtype=np.int64), size, width,
+            )
+            sub_len = np.zeros(size, np.int32)
+            sub_len[:take] = c_lens[off : off + take]
+            fut = task.step(enc, sub_len)
+            try:
+                fut.copy_to_host_async()
+            except Exception:
+                pass
+            futures.append((off, take, fut))
+            off += size
         return cand, futures
 
     def _fetch_task(self, n_cand, futures):
@@ -402,8 +482,12 @@ class BatchPipelineEngine:
         qstop = np.zeros(n_cand, np.int32)
         errors = np.zeros(n_cand, np.int32)
         score = np.zeros(n_cand, np.int32)
-        for off, count, fut in futures:
-            arr = np.asarray(fut)
+        for fut in futures:
+            if fut[0] == "host":  # comparer result, already complete
+                _, found[:], qstart[:], qstop[:], errors[:], score[:] = fut
+                continue
+            off, count, dev = fut
+            arr = np.asarray(dev)
             f, qs, qe, er, sc = _unpack_result(arr[:, :count])
             found[off : off + count] = f
             qstart[off : off + count] = qs
@@ -436,6 +520,10 @@ class BatchPipelineEngine:
             if len(cand) == 0:
                 continue
             f, qs, qe, er, sc = self._fetch_task(len(cand), futures)
+            if task.reverse and not task.comparer:
+                # mirror reversed-alignment coordinates to forward ones
+                L = (win_stop[cand] - win_start[cand]).astype(np.int32)
+                qs, qe = L - qe, L - qs
             better = f & (
                 ~best_found[cand]
                 | (sc > best_score[cand])
@@ -459,11 +547,11 @@ class BatchPipelineEngine:
             qe = best_qstop[hit]
             er = best_errors[hit]
             cur_len = (win_stop[hit] - win_start[hit]).astype(np.int32)
-            if task.kind == "front":
+            if task.trim == "before":
                 as_front = np.ones(len(hit), bool)
-            elif task.kind == "back":
+            elif task.trim == "after":
                 as_front = np.zeros(len(hit), bool)
-            else:  # anywhere: 5' iff match begins at read start
+            else:  # 'auto' (anywhere): 5' iff match begins at read start
                 as_front = qs == 0
             # removed lengths + adjacent base (3' side only)
             removed = np.where(as_front, qe, cur_len - qs)

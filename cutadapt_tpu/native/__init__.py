@@ -73,15 +73,19 @@ def _load():
     lib.fastq_parse.argtypes = [
         p_u8, i64, i64, p_i64, p_i64, p_i64, p_i32, p_i64, p_i32,
     ]
+    _i32 = ctypes.c_int32
     lib.kmer_prefilter.restype = None
     lib.kmer_prefilter.argtypes = [
-        p_u8, p_i64, p_i32, i64, i64, p_i64, p_i64, p_u64, p_u64, p_u64, p_u8,
+        p_u8, p_i64, p_i32, i64, i64, p_i64, p_i64, p_u64, p_u64, p_u64,
+        _i32, p_u8,
     ]
     lib.pad_encode.restype = None
-    lib.pad_encode.argtypes = [p_u8, p_i64, p_i32, p_i64, i64, i64, p_u8, p_u8]
+    lib.pad_encode.argtypes = [
+        p_u8, p_i64, p_i32, p_i64, i64, i64, p_u8, _i32, p_u8,
+    ]
     lib.pad_encode_pack4.restype = None
     lib.pad_encode_pack4.argtypes = [
-        p_u8, p_i64, p_i32, p_i64, i64, i64, p_u8, p_u8,
+        p_u8, p_i64, p_i32, p_i64, i64, i64, p_u8, _i32, p_u8,
     ]
     lib.assemble_fastq.restype = i64
     lib.assemble_fastq.argtypes = [
@@ -170,7 +174,7 @@ class PrefilterTables:
 
 def kmer_prefilter(
     buf: np.ndarray, seq_start: np.ndarray, seq_len: np.ndarray,
-    tables: PrefilterTables,
+    tables: PrefilterTables, reverse: bool = False,
 ) -> np.ndarray:
     n_records = len(seq_start)
     out = np.empty(n_records, np.uint8)
@@ -183,6 +187,7 @@ def kmer_prefilter(
         _ptr(tables.init_masks, ctypes.c_uint64),
         _ptr(tables.found_masks, ctypes.c_uint64),
         _ptr(tables.masks, ctypes.c_uint64),
+        int(reverse),
         _ptr(out, ctypes.c_uint8),
     )
     return out
@@ -190,9 +195,10 @@ def kmer_prefilter(
 
 def pad_encode(
     buf, seq_start, seq_len, sel, width: int, lut,
-    pack4: bool = False, out: np.ndarray = None,
+    pack4: bool = False, out: np.ndarray = None, reverse: bool = False,
 ) -> np.ndarray:
-    """Gather+encode selected reads into a padded row matrix.
+    """Gather+encode selected reads into a padded row matrix
+    (back-to-front when ``reverse``).
 
     When ``out`` is given it may have more rows than len(sel); only the
     first len(sel) rows are written (extra rows serve as batch padding
@@ -213,7 +219,7 @@ def pad_encode(
         _ptr(buf, ctypes.c_uint8),
         _ptr(seq_start, ctypes.c_int64), _ptr(seq_len, ctypes.c_int32),
         _ptr(sel, ctypes.c_int64), n_sel, width,
-        _ptr(lut, ctypes.c_uint8), _ptr(out, ctypes.c_uint8),
+        _ptr(lut, ctypes.c_uint8), int(reverse), _ptr(out, ctypes.c_uint8),
     )
     return out
 

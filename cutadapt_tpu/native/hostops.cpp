@@ -79,12 +79,14 @@ int64_t fastq_parse(const uint8_t* buf, int64_t n, int64_t n_records,
 // over the raw chunk buffer.  `stops` uses 0 to mean "to the end of
 // the sequence".  Writes 1 into out_mask[r] iff record r needs the DP.
 
+// `reverse` scans each sequence back-to-front (for rightmost adapter
+// variants, whose k-mer sets are built against the reversed read).
 void kmer_prefilter(const uint8_t* buf, const int64_t* seq_start,
                     const int32_t* seq_len, int64_t n_records,
                     int64_t n_entries, const int64_t* starts,
                     const int64_t* stops, const uint64_t* init_masks,
                     const uint64_t* found_masks, const uint64_t* masks,
-                    uint8_t* out_mask) {
+                    int32_t reverse, uint8_t* out_mask) {
     for (int64_t r = 0; r < n_records; ++r) {
         const uint8_t* seq = buf + seq_start[r];
         const int64_t len = seq_len[r];
@@ -111,7 +113,7 @@ void kmer_prefilter(const uint8_t* buf, const int64_t* seq_start,
             const uint64_t* mask = masks + e * 128;
             uint64_t rreg = 0;
             for (int64_t i = start; i < stop; ++i) {
-                const uint8_t c = seq[i];
+                const uint8_t c = reverse ? seq[len - 1 - i] : seq[i];
                 rreg = ((rreg << 1) | init) & (c < 128 ? mask[c] : 0);
                 if (rreg & found) {
                     hit = 1;
@@ -128,16 +130,24 @@ void kmer_prefilter(const uint8_t* buf, const int64_t* seq_start,
 // Gathers selected reads into a padded (n_sel, width) matrix,
 // translating each byte through a 256-entry LUT; pad positions are 0.
 
+// `reverse` emits each selected read back-to-front.
 void pad_encode(const uint8_t* buf, const int64_t* seq_start,
                 const int32_t* seq_len, const int64_t* sel, int64_t n_sel,
-                int64_t width, const uint8_t* lut, uint8_t* out) {
+                int64_t width, const uint8_t* lut, int32_t reverse,
+                uint8_t* out) {
     for (int64_t i = 0; i < n_sel; ++i) {
         const int64_t r = sel[i];
+        const int64_t full = seq_len[r];
         const uint8_t* src = buf + seq_start[r];
-        int64_t len = seq_len[r];
+        int64_t len = full;
         if (len > width) len = width;
         uint8_t* dst = out + i * width;
-        for (int64_t t = 0; t < len; ++t) dst[t] = lut[src[t]];
+        if (reverse) {
+            for (int64_t t = 0; t < len; ++t)
+                dst[t] = lut[src[full - 1 - t]];
+        } else {
+            for (int64_t t = 0; t < len; ++t) dst[t] = lut[src[t]];
+        }
         if (len < width) memset(dst + len, 0, width - len);
     }
 }
@@ -149,18 +159,27 @@ void pad_encode(const uint8_t* buf, const int64_t* seq_start,
 void pad_encode_pack4(const uint8_t* buf, const int64_t* seq_start,
                       const int32_t* seq_len, const int64_t* sel,
                       int64_t n_sel, int64_t width, const uint8_t* lut,
-                      uint8_t* out) {
+                      int32_t reverse, uint8_t* out) {
     const int64_t wp = width / 2;
     for (int64_t i = 0; i < n_sel; ++i) {
         const int64_t r = sel[i];
+        const int64_t n = seq_len[r];
         const uint8_t* src = buf + seq_start[r];
-        int64_t len = seq_len[r];
+        int64_t len = n;
         if (len > width) len = width;
         uint8_t* dst = out + i * wp;
-        int64_t full = len / 2;
-        for (int64_t t = 0; t < full; ++t)
-            dst[t] = (uint8_t)(lut[src[2 * t]] | (lut[src[2 * t + 1]] << 4));
-        if (len & 1) dst[full] = lut[src[len - 1]];
+        int64_t pairs = len / 2;
+        if (reverse) {
+            for (int64_t t = 0; t < pairs; ++t)
+                dst[t] = (uint8_t)(lut[src[n - 1 - 2 * t]] |
+                                   (lut[src[n - 2 - 2 * t]] << 4));
+            if (len & 1) dst[pairs] = lut[src[n - len]];
+        } else {
+            for (int64_t t = 0; t < pairs; ++t)
+                dst[t] = (uint8_t)(lut[src[2 * t]] |
+                                   (lut[src[2 * t + 1]] << 4));
+            if (len & 1) dst[pairs] = lut[src[len - 1]];
+        }
         int64_t used = (len + 1) / 2;
         if (used < wp) memset(dst + used, 0, wp - used);
     }

@@ -13,7 +13,17 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import numpy as np
 import pytest
 
-from cutadapt_tpu.adapters import AnywhereAdapter, BackAdapter, FrontAdapter
+from cutadapt_tpu.adapters import (
+    AnywhereAdapter,
+    BackAdapter,
+    FrontAdapter,
+    NonInternalBackAdapter,
+    NonInternalFrontAdapter,
+    PrefixAdapter,
+    RightmostBackAdapter,
+    RightmostFrontAdapter,
+    SuffixAdapter,
+)
 from cutadapt_tpu.batch import parse_fastq_chunk
 from cutadapt_tpu.batch_pipeline import (
     AdapterStage,
@@ -198,6 +208,58 @@ def test_cut_nextseq_polya_shorten():
         ],
     )
     assert got == expected
+
+
+@pytest.mark.parametrize(
+    "factory,kind",
+    [
+        (lambda a: NonInternalFrontAdapter(a, max_errors=0.2, min_overlap=3),
+         "noninternal_front"),
+        (lambda a: NonInternalBackAdapter(a, max_errors=0.2, min_overlap=3),
+         "noninternal_back"),
+        (lambda a: PrefixAdapter(a, max_errors=0.2), "prefix"),
+        (lambda a: SuffixAdapter(a, max_errors=0.2), "suffix"),
+        (lambda a: PrefixAdapter(a, max_errors=0.2, indels=False),
+         "prefix_cmp"),
+        (lambda a: SuffixAdapter(a, max_errors=0.2, indels=False),
+         "suffix_cmp"),
+        (lambda a: RightmostFrontAdapter(a, max_errors=0.1, min_overlap=3),
+         "rightmost_front"),
+        (lambda a: RightmostBackAdapter(a, max_errors=0.1, min_overlap=3),
+         "rightmost_back"),
+    ],
+)
+def test_adapter_type_matrix(factory, kind):
+    rng = random.Random(hash(kind) % 100000)
+    a = "CTGATCGGACTAA"
+    data = make_reads(rng, 400, [a])
+    cutter = AdapterCutter([factory(a)], index=False)
+    expected = host_expected(data, [cutter], lambda r, info: True)
+    got, stats = run_engine(
+        data, [AdapterStage([AdapterTask(factory(a), kind, 0)])]
+    )
+    assert got == expected, kind
+    assert stats["with_adapters"] == cutter.with_adapters, kind
+
+
+def test_adapter_type_matrix_wildcards():
+    rng = random.Random(77)
+    a = "CTGANCGGANTAA"
+    data = make_reads(rng, 300, ["CTGATCGGACTAA", "CTGACCGGAGTAA"])
+    for factory, kind in [
+        (lambda s: NonInternalBackAdapter(s, max_errors=0.2, min_overlap=3),
+         "noninternal_back"),
+        (lambda s: PrefixAdapter(s, max_errors=0.2, indels=False),
+         "prefix_cmp"),
+        (lambda s: RightmostBackAdapter(s, max_errors=0.2, min_overlap=3),
+         "rightmost_back"),
+    ]:
+        cutter = AdapterCutter([factory(a)], index=False)
+        expected = host_expected(data, [cutter], lambda r, info: True)
+        got, _ = run_engine(
+            data, [AdapterStage([AdapterTask(factory(a), kind, 0)])]
+        )
+        assert got == expected, kind
 
 
 def test_discard_trimmed_untrimmed_and_maxlen():
