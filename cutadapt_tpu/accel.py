@@ -33,44 +33,6 @@ AUTO_SIZE_THRESHOLD = 64 * 1024 * 1024  # bytes
 CHUNK_RECORDS_BYTES = 64 * 1024 * 1024
 
 
-def _translate_adapter(adapter):
-    """Return the AdapterTask kind for a host adapter, or None."""
-    from .adapters import (
-        AnywhereAdapter,
-        BackAdapter,
-        FrontAdapter,
-        NonInternalBackAdapter,
-        NonInternalFrontAdapter,
-        PrefixAdapter,
-        RightmostBackAdapter,
-        RightmostFrontAdapter,
-        SuffixAdapter,
-    )
-
-    if getattr(adapter, "_force_anywhere", False):
-        return None
-    t = type(adapter)
-    if t is BackAdapter:
-        return "back"
-    if t is FrontAdapter:
-        return "front"
-    if t is AnywhereAdapter:
-        return "anywhere"
-    if t is NonInternalFrontAdapter:
-        return "noninternal_front"
-    if t is NonInternalBackAdapter:
-        return "noninternal_back"
-    if t is PrefixAdapter:
-        return "prefix" if adapter.indels else "prefix_cmp"
-    if t is SuffixAdapter:
-        return "suffix" if adapter.indels else "suffix_cmp"
-    if t is RightmostFrontAdapter:
-        return "rightmost_front"
-    if t is RightmostBackAdapter:
-        return "rightmost_back"
-    return None
-
-
 def _translate_modifier(mod, has_cutter):
     """Return (stage, is_cutter) for an eligible single-end modifier,
     or None."""
@@ -110,12 +72,17 @@ def _translate_modifier(mod, has_cutter):
     if isinstance(mod, AdapterCutter):
         if has_cutter or mod.action != "trim":
             return None
+        from .batch_pipeline import adapter_kind
+
         tasks = []
         for i, adapter in enumerate(mod.adapters):
-            kind = _translate_adapter(adapter)
+            kind = adapter_kind(adapter)
             if kind is None:
                 return None
-            tasks.append(AdapterTask(adapter, kind, i))
+            try:
+                tasks.append(AdapterTask(adapter, kind, i))
+            except ValueError:  # e.g. non-batchable linked sub-adapter
+                return None
         return AdapterStage(tasks, times=mod.times, modifier=mod), True
     return None
 
@@ -191,7 +158,7 @@ def _apply_side_stats(stats, stages, cutter, written_lengths):
         for ev in stats.get("adapter_events", ()):
             task = stage.tasks[ev["task"]]
             astats = cutter.adapter_statistics[task.adapter]
-            if task.trim == "auto":  # anywhere: both ends exist
+            if task.trim in ("auto", "linked"):  # both ends exist
                 front_end, back_end = astats.front, astats.back
             elif task.trim == "before":
                 front_end, back_end = astats.end, None

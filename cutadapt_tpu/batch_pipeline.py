@@ -111,6 +111,48 @@ def _unpack_result(arr: np.ndarray):
     return found, qstart, qstop, errors, score
 
 
+def adapter_kind(adapter) -> Optional[str]:
+    """Map a host adapter object to its AdapterTask kind (None when
+    the batch engine has no implementation for it)."""
+    from .adapters import (
+        AnywhereAdapter,
+        BackAdapter,
+        FrontAdapter,
+        LinkedAdapter,
+        NonInternalBackAdapter,
+        NonInternalFrontAdapter,
+        PrefixAdapter,
+        RightmostBackAdapter,
+        RightmostFrontAdapter,
+        SuffixAdapter,
+    )
+
+    if getattr(adapter, "_force_anywhere", False):
+        return None
+    t = type(adapter)
+    if t is BackAdapter:
+        return "back"
+    if t is FrontAdapter:
+        return "front"
+    if t is AnywhereAdapter:
+        return "anywhere"
+    if t is NonInternalFrontAdapter:
+        return "noninternal_front"
+    if t is NonInternalBackAdapter:
+        return "noninternal_back"
+    if t is PrefixAdapter:
+        return "prefix" if adapter.indels else "prefix_cmp"
+    if t is SuffixAdapter:
+        return "suffix" if adapter.indels else "suffix_cmp"
+    if t is RightmostFrontAdapter:
+        return "rightmost_front"
+    if t is RightmostBackAdapter:
+        return "rightmost_back"
+    if t is LinkedAdapter:
+        return "linked"
+    return None
+
+
 # kind -> (Where flags or None=host comparer, reversed alignment,
 #          trim mode: 'before' | 'after' | 'auto')
 _KIND_INFO = {
@@ -146,6 +188,26 @@ class AdapterTask:
         self.adapter = adapter
         self.kind = kind
         self.index = index
+        if kind == "linked":
+            # 5' phase trims first, 3' phase searches the remainder
+            # (reference adapters.py:1064-1178)
+            self.trim = "linked"
+            self.reverse = False
+            self.comparer = False
+            fk = adapter_kind(adapter.front_adapter)
+            bk = adapter_kind(adapter.back_adapter)
+            if fk is None or bk is None or fk == "linked" or bk == "linked":
+                raise ValueError("linked sub-adapter not batchable")
+            self.front_task = AdapterTask(adapter.front_adapter, fk, 0)
+            self.back_task = AdapterTask(adapter.back_adapter, bk, 1)
+            if (
+                self.front_task.trim != "before"
+                or self.back_task.trim != "after"
+            ):
+                raise ValueError("linked sub-adapter trim modes unsupported")
+            self.front_required = adapter.front_required
+            self.back_required = adapter.back_required
+            return
         flags, self.reverse, self.trim = _KIND_INFO[kind]
         self.comparer = flags is None
         if self.comparer:
@@ -392,13 +454,21 @@ class BatchPipelineEngine:
             if not isinstance(stage, AdapterStage):
                 continue
             for task in stage.tasks:
-                w_in = width // 2 if task.packed else width
-                s = self.min_dp_batch
-                while s <= self.max_dp_batch:
-                    task.step(
-                        np.zeros((s, w_in), np.uint8), np.zeros(s, np.int32)
-                    ).block_until_ready()
-                    s *= 2
+                subtasks = (
+                    [task.front_task, task.back_task]
+                    if task.kind == "linked" else [task]
+                )
+                for t in subtasks:
+                    if t.comparer:
+                        continue
+                    w_in = width // 2 if t.packed else width
+                    s = self.min_dp_batch
+                    while s <= self.max_dp_batch:
+                        t.step(
+                            np.zeros((s, w_in), np.uint8),
+                            np.zeros(s, np.int32),
+                        ).block_until_ready()
+                        s *= 2
 
     def _encode(self, task, chunk, starts, lens, sel, rows, width):
         """(rows, width[/2]) uint8 batch of the selected windows."""
@@ -427,12 +497,23 @@ class BatchPipelineEngine:
         return enc
 
     def _dispatch_task(self, task, chunk, subset, win_start, win_stop, width):
-        """Prefilter + encode + dispatch DP for `subset` (read indices)
-        over their current windows. Returns (cand_indices, futures);
-        a future is (offset, count, device array) or
-        ('host', found, qstart, qstop, errors, score)."""
+        """Prefilter + encode + dispatch for `subset` (read indices)
+        over their current windows. Returns ('single', sel, futures)
+        or, for linked adapters, ('linked', starts, lens, front_disp)
+        where positions are relative to `subset`."""
         starts = (chunk.seq_start[subset] + win_start[subset]).astype(np.int64)
         lens = (win_stop[subset] - win_start[subset]).astype(np.int32)
+        if task.kind == "linked":
+            fd = self._dispatch_windows(
+                task.front_task, chunk, starts, lens, width
+            )
+            return ("linked", starts, lens, fd)
+        sel, futures = self._dispatch_windows(task, chunk, starts, lens, width)
+        return ("single", sel, futures)
+
+    def _dispatch_windows(self, task, chunk, starts, lens, width):
+        """Like _dispatch_task but over explicit (starts, lens) window
+        arrays; returns (sel positions into starts, futures)."""
         if task.pf_tables is not None and native.AVAILABLE:
             mask = native.kmer_prefilter(
                 chunk.buf, starts, lens, task.pf_tables, reverse=task.reverse
@@ -441,11 +522,10 @@ class BatchPipelineEngine:
         else:
             # no prefilter (MockKmerFinder, comparers, or native lib
             # unavailable): every read is a candidate — never different
-            sel = np.arange(len(subset))
-        cand = subset[sel]
+            sel = np.arange(len(starts))
         futures = []
         if len(sel) == 0:
-            return cand, futures
+            return sel, futures
         c_starts = starts[sel]
         c_lens = lens[sel]
         if task.comparer:
@@ -455,7 +535,7 @@ class BatchPipelineEngine:
                 np.arange(len(sel), dtype=np.int64), len(sel), m_w,
             )
             futures.append(("host",) + task.run_comparer(enc, c_lens))
-            return cand, futures
+            return sel, futures
         off = 0
         for size in self._dp_sizes(len(sel)):
             take = min(size, len(sel) - off)
@@ -474,7 +554,72 @@ class BatchPipelineEngine:
                 pass
             futures.append((off, take, fut))
             off += size
-        return cand, futures
+        return sel, futures
+
+    def _fetch_windows(self, task, sel, futures, lens):
+        """Fetch one task's results; returns arrays over `sel`'s
+        positions with coordinates mirrored to forward orientation."""
+        f, qs, qe, er, sc = self._fetch_task(len(sel), futures)
+        if task.reverse and not task.comparer:
+            L = lens[sel]
+            qs, qe = L - qe, L - qs
+        return f, qs, qe, er, sc
+
+    def _resolve_linked(self, task, chunk, starts, lens, front_disp, width):
+        """Run the two-phase linked matching; returns a dict of arrays
+        over the subset positions (window-relative coordinates; back
+        coordinates are relative to the post-front-trim window)."""
+        n = len(starts)
+        sel_f, fut_f = front_disp
+        ff, _, fqe, fer, fsc = self._fetch_windows(
+            task.front_task, sel_f, fut_f, lens
+        )
+        front_found = np.zeros(n, bool)
+        front_found[sel_f] = ff
+        front_qe = np.zeros(n, np.int32)
+        front_qe[sel_f] = np.where(ff, fqe, 0)
+        front_er = np.zeros(n, np.int32)
+        front_er[sel_f] = np.where(ff, fer, 0)
+        front_sc = np.zeros(n, np.int32)
+        front_sc[sel_f] = np.where(ff, fsc, 0)
+
+        if task.front_required:
+            el = np.flatnonzero(front_found)
+        else:
+            el = np.arange(n)
+        back_found = np.zeros(n, bool)
+        back_qs = np.zeros(n, np.int32)
+        back_er = np.zeros(n, np.int32)
+        back_sc = np.zeros(n, np.int32)
+        if len(el):
+            starts_b = starts[el] + front_qe[el]
+            lens_b = lens[el] - front_qe[el]
+            sel_b, fut_b = self._dispatch_windows(
+                task.back_task, chunk, starts_b, lens_b, width
+            )
+            bf, bqs, _, ber, bsc = self._fetch_windows(
+                task.back_task, sel_b, fut_b, lens_b
+            )
+            hit = el[sel_b]
+            back_found[hit] = bf
+            back_qs[hit] = np.where(bf, bqs, 0)
+            back_er[hit] = np.where(bf, ber, 0)
+            back_sc[hit] = np.where(bf, bsc, 0)
+
+        found = (front_found | (not task.front_required)) & (
+            back_found | (front_found & (not task.back_required))
+        )
+        return dict(
+            found=found,
+            score=front_sc + back_sc,
+            errors=front_er + back_er,
+            front_found=front_found,
+            front_qe=front_qe,
+            front_errors=front_er,
+            back_found=back_found,
+            back_qs=back_qs,
+            back_errors=back_er,
+        )
 
     def _fetch_task(self, n_cand, futures):
         found = np.zeros(n_cand, bool)
@@ -514,16 +659,27 @@ class BatchPipelineEngine:
         best_qstart = np.zeros(B, np.int32)
         best_qstop = np.zeros(B, np.int32)
         best_task = np.full(B, -1, np.int32)
-        for t_i, (task, (cand, futures)) in enumerate(
-            zip(stage.tasks, dispatched)
-        ):
-            if len(cand) == 0:
-                continue
-            f, qs, qe, er, sc = self._fetch_task(len(cand), futures)
-            if task.reverse and not task.comparer:
-                # mirror reversed-alignment coordinates to forward ones
-                L = (win_stop[cand] - win_start[cand]).astype(np.int32)
-                qs, qe = L - qe, L - qs
+        linked_results = {}
+        for t_i, (task, disp) in enumerate(zip(stage.tasks, dispatched)):
+            if disp[0] == "linked":
+                _, starts, lens, front_disp = disp
+                res = self._resolve_linked(
+                    task, chunk, starts, lens, front_disp, width
+                )
+                linked_results[t_i] = res
+                cand = subset
+                f, er, sc = res["found"], res["errors"], res["score"]
+                qs = qe = np.zeros(len(subset), np.int32)  # unused
+            else:
+                _, sel, futures = disp
+                if len(sel) == 0:
+                    continue
+                cand = subset[sel]
+                lens = (win_stop[cand] - win_start[cand]).astype(np.int32)
+                f, qs, qe, er, sc = self._fetch_task(len(sel), futures)
+                if task.reverse and not task.comparer:
+                    # mirror reversed coordinates to forward orientation
+                    qs, qe = lens - qe, lens - qs
             better = f & (
                 ~best_found[cand]
                 | (sc > best_score[cand])
@@ -542,6 +698,39 @@ class BatchPipelineEngine:
         for t_i, task in enumerate(stage.tasks):
             hit = np.flatnonzero(best_found & (best_task == t_i))
             if len(hit) == 0:
+                continue
+            if task.trim == "linked":
+                res = linked_results[t_i]
+                pos = np.searchsorted(subset, hit)
+                # 5' phase
+                ffm = res["front_found"][pos]
+                fh = hit[ffm]
+                f_qe = res["front_qe"][pos][ffm]
+                if len(fh):
+                    events.append(
+                        dict(task=t_i, removed=f_qe,
+                             errors=res["front_errors"][pos][ffm],
+                             as_front=np.ones(len(fh), bool),
+                             adjacent=np.zeros(len(fh), np.uint8))
+                    )
+                    win_start[fh] = win_start[fh] + f_qe
+                # 3' phase (coordinates relative to post-front window)
+                bfm = res["back_found"][pos]
+                bh = hit[bfm]
+                if len(bh):
+                    b_qs = res["back_qs"][pos][bfm]
+                    cur_len = (win_stop[bh] - win_start[bh]).astype(np.int32)
+                    adj_pos = chunk.seq_start[bh] + win_start[bh] + b_qs - 1
+                    adjacent = np.where(
+                        b_qs > 0, chunk.buf[np.clip(adj_pos, 0, None)], 0
+                    )
+                    events.append(
+                        dict(task=t_i, removed=cur_len - b_qs,
+                             errors=res["back_errors"][pos][bfm],
+                             as_front=np.zeros(len(bh), bool),
+                             adjacent=adjacent)
+                    )
+                    win_stop[bh] = win_start[bh] + b_qs
                 continue
             qs = best_qstart[hit]
             qe = best_qstop[hit]

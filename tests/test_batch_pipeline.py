@@ -262,6 +262,88 @@ def test_adapter_type_matrix_wildcards():
         assert got == expected, kind
 
 
+@pytest.mark.parametrize("front_required,back_required", [
+    (True, True), (True, False), (False, True), (False, False),
+])
+def test_linked_adapter(front_required, back_required):
+    from cutadapt_tpu.adapters import LinkedAdapter, PrefixAdapter
+
+    rng = random.Random(front_required * 2 + back_required)
+    f, b = "CTGTCTCTTATA", "AGATCGGAAGAGC"
+    # reads with front at the start and/or back inside
+    recs = []
+    for i in range(400):
+        L = rng.randint(1, 80)
+        s = "".join(rng.choice("ACGT") for _ in range(L))
+        if rng.random() < 0.6:
+            s = f[: rng.randint(6, len(f))] + s
+        if rng.random() < 0.6 and len(s) > 20:
+            p = rng.randint(12, len(s) - 5)
+            s = s[:p] + b[: rng.randint(4, len(b))] + s[p:]
+        s = s[:90]
+        q = "".join(chr(rng.randint(35, 70)) for _ in s)
+        recs.append(f"@r{i}\n{s}\n+\n{q}\n")
+    data = "".join(recs).encode()
+
+    def make():
+        front = (
+            PrefixAdapter(f, max_errors=0.1)
+            if front_required
+            else FrontAdapter(f, max_errors=0.1, min_overlap=3)
+        )
+        back = BackAdapter(b, max_errors=0.1, min_overlap=3)
+        return LinkedAdapter(
+            front, back, front_required, back_required, name="lnk"
+        )
+
+    cutter = AdapterCutter([make()], index=False)
+    expected = host_expected(data, [cutter], lambda r, info: True)
+    linked = make()
+    got, stats = run_engine(
+        data, [AdapterStage([AdapterTask(linked, "linked", 0)])]
+    )
+    assert got == expected
+    assert stats["with_adapters"] == cutter.with_adapters
+
+
+def test_linked_adapter_stats_match_host():
+    from collections import defaultdict
+
+    from cutadapt_tpu.adapters import LinkedAdapter, PrefixAdapter
+
+    rng = random.Random(42)
+    f, b = "CTGTCTCTTATA", "AGATCGGAAGAGC"
+    data = make_reads(rng, 300, [f + "ACGTACGTAC" + b])
+
+    def make():
+        return LinkedAdapter(
+            PrefixAdapter(f, max_errors=0.1),
+            BackAdapter(b, max_errors=0.1, min_overlap=3),
+            True, False, name="lnk",
+        )
+
+    host_a = make()
+    cutter = AdapterCutter([host_a], index=False)
+    host_expected(data, [cutter], lambda r, info: True)
+    host_stats = cutter.adapter_statistics[host_a]
+
+    linked = make()
+    got, stats = run_engine(
+        data, [AdapterStage([AdapterTask(linked, "linked", 0)])]
+    )
+    front = defaultdict(lambda: defaultdict(int))
+    back = defaultdict(lambda: defaultdict(int))
+    for ev in stats["adapter_events"]:
+        for rem, er, asf in zip(ev["removed"], ev["errors"], ev["as_front"]):
+            (front if asf else back)[int(rem)][int(er)] += 1
+    assert {k: dict(v) for k, v in front.items()} == {
+        k: dict(v) for k, v in host_stats.front.errors.items()
+    }
+    assert {k: dict(v) for k, v in back.items()} == {
+        k: dict(v) for k, v in host_stats.back.errors.items()
+    }
+
+
 def test_discard_trimmed_untrimmed_and_maxlen():
     rng = random.Random(16)
     data = make_reads(rng, 500, [ADAPTER])
