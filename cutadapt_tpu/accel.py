@@ -70,7 +70,7 @@ def _translate_modifier(mod, has_cutter):
             return None
         return PolyAStage(mod), False
     if isinstance(mod, AdapterCutter):
-        if has_cutter or mod.action != "trim":
+        if has_cutter or mod.action not in ("trim", None):
             return None
         from .batch_pipeline import adapter_kind
 
@@ -83,7 +83,12 @@ def _translate_modifier(mod, has_cutter):
                 tasks.append(AdapterTask(adapter, kind, i))
             except ValueError:  # e.g. non-batchable linked sub-adapter
                 return None
-        return AdapterStage(tasks, times=mod.times, modifier=mod), True
+        return (
+            AdapterStage(
+                tasks, times=mod.times, modifier=mod, action=mod.action
+            ),
+            True,
+        )
     return None
 
 
@@ -103,9 +108,10 @@ def _translate_predicate(pred):
 
 def _translate_single(pipeline):
     """Map an eligible single-end host pipeline to (stages, filters,
-    cutter, sink) or None."""
+    cutter, sink_or_demux) or None. The final step may be a plain sink
+    or a Demultiplexer (all of whose writers must be FastqWriters)."""
     from .batch_pipeline import FilterSpec
-    from .steps import SingleEndFilter, SingleEndSink
+    from .steps import Demultiplexer, SingleEndFilter, SingleEndSink
     from .io.fastq import FastqWriter
 
     stages = []
@@ -124,6 +130,16 @@ def _translate_single(pipeline):
     for step in pipeline._steps:
         if isinstance(step, SingleEndSink):
             if sink is not None or not isinstance(step.writer, FastqWriter):
+                return None
+            sink = step
+            continue
+        if isinstance(step, Demultiplexer):
+            if sink is not None or cutter is None:
+                return None
+            writers = list(step._writers.values())
+            if step._untrimmed_writer is not None:
+                writers.append(step._untrimmed_writer)
+            if not all(isinstance(w, FastqWriter) for w in writers):
                 return None
             sink = step
             continue
@@ -157,16 +173,17 @@ def _apply_side_stats(stats, stages, cutter, written_lengths):
         stage = next(s for s in stages if hasattr(s, "tasks"))
         for ev in stats.get("adapter_events", ()):
             task = stage.tasks[ev["task"]]
-            astats = cutter.adapter_statistics[task.adapter]
-            if task.trim in ("auto", "linked"):  # both ends exist
-                front_end, back_end = astats.front, astats.back
-            elif task.trim == "before":
-                front_end, back_end = astats.end, None
-            else:
-                front_end, back_end = None, astats.end
-            for rem, err, asf, adj in zip(
-                ev["removed"], ev["errors"], ev["as_front"], ev["adjacent"]
+            for rem, err, asf, adj, sub in zip(
+                ev["removed"], ev["errors"], ev["as_front"],
+                ev["adjacent"], ev["sub"],
             ):
+                astats = cutter.adapter_statistics[task.adapters[sub]]
+                if task.trim in ("auto", "linked"):  # both ends exist
+                    front_end, back_end = astats.front, astats.back
+                elif task.trim == "before":
+                    front_end, back_end = astats.end, None
+                else:
+                    front_end, back_end = None, astats.end
                 if asf:
                     front_end.errors[int(rem)][int(err)] += 1
                 else:
@@ -256,11 +273,24 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
 
     engine = BatchPipelineEngine(stages, filters)
 
-    out_file = sink.writer._file
+    from .steps import Demultiplexer
+
+    demux = sink if isinstance(sink, Demultiplexer) else None
+    out_file = None if demux else sink.writer._file
     filter_files = [
         f.step._writer._file if f.step._writer is not None else None
         for f in filters
     ]
+    if demux is not None:
+        # gid (flattened adapter position) -> output file
+        stage = next(s for s in stages if hasattr(s, "flat_adapters"))
+        demux_files = [
+            demux._writers[a.name]._file for a in stage.flat_adapters
+        ]
+        untrimmed_file = (
+            demux._untrimmed_writer._file
+            if demux._untrimmed_writer is not None else None
+        )
     n = 0
     total_bp = 0
 
@@ -268,7 +298,41 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
         nonlocal n, total_bp
         ws, we, keep, stats = engine.collect(pending)
         chunk = pending.parsed
-        out_file.write(assemble_window(chunk, ws, we, keep))
+        written_lengths = None
+        if demux is None:
+            out_file.write(assemble_window(chunk, ws, we, keep))
+            written_lengths = sink._statistics._written_lengths1
+        else:
+            gids = stats["last_adapter_gid"]
+            dl = demux._statistics._written_lengths1
+            # merge gids sharing one output file (duplicate adapter
+            # names) so records stay in input order within each file
+            per_file = {}
+            for gid, ff in enumerate(demux_files):
+                mask = keep & (gids == gid)
+                if id(ff) in per_file:
+                    per_file[id(ff)] = (ff, per_file[id(ff)][1] | mask)
+                else:
+                    per_file[id(ff)] = (ff, mask)
+            for ff, mask in per_file.values():
+                if mask.any():
+                    ff.write(assemble_window(chunk, ws, we, mask))
+                    for length, count in zip(
+                        *np.unique((we - ws)[mask], return_counts=True)
+                    ):
+                        dl[int(length)] += int(count)
+            untrimmed = keep & (gids == -1)
+            if untrimmed_file is not None:
+                if untrimmed.any():
+                    untrimmed_file.write(
+                        assemble_window(chunk, ws, we, untrimmed)
+                    )
+                    for length, count in zip(
+                        *np.unique((we - ws)[untrimmed], return_counts=True)
+                    ):
+                        dl[int(length)] += int(count)
+            else:
+                demux._filtered += int(untrimmed.sum())
         # routed filter outputs (--too-short-output etc.): records a
         # filter dropped, in input order, with their state at drop time
         for ff, newly in zip(filter_files, stats["filter_dropped_masks"]):
@@ -276,9 +340,7 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
                 ff.write(assemble_window(chunk, ws, we, newly))
         for f, count in zip(filters, stats.get("filter_counts", ())):
             f.step._filtered += count
-        total_bp += _apply_side_stats(
-            stats, stages, cutter, sink._statistics._written_lengths1
-        )
+        total_bp += _apply_side_stats(stats, stages, cutter, written_lengths)
         n += stats["n"]
         if progress is not None:
             progress.update(stats["n"])

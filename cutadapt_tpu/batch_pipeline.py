@@ -150,6 +150,12 @@ def adapter_kind(adapter) -> Optional[str]:
         return "rightmost_back"
     if t is LinkedAdapter:
         return "linked"
+    from .adapters import IndexedPrefixAdapters, IndexedSuffixAdapters
+
+    if t is IndexedPrefixAdapters:
+        return "indexed_prefix"
+    if t is IndexedSuffixAdapters:
+        return "indexed_suffix"
     return None
 
 
@@ -188,6 +194,45 @@ class AdapterTask:
         self.adapter = adapter
         self.kind = kind
         self.index = index
+        self.indexed = kind in ("indexed_prefix", "indexed_suffix")
+        self.adapters = [adapter]  # flattened identities for routing
+        if self.indexed:
+            # anchored multi-adapter dict index (host lookups with the
+            # exact AdapterIndex semantics, reference adapters.py:
+            # 1396-1533); one task stands for many adapters
+            self.trim = "before" if kind == "indexed_prefix" else "after"
+            self.reverse = False
+            self.comparer = False
+            self.packed = False
+            self.pf_tables = None
+            self.spec = None
+            self.adapter_index = adapter._index
+            self.adapters = list(adapter._index._adapters)
+            self._sub_of = {id(a): i for i, a in enumerate(self.adapters)}
+            # vectorized single-length lookup: the index dict as a
+            # sorted fixed-width key array + payload columns, queried
+            # with searchsorted (reads with N or shorter than the key
+            # length take the exact per-read path)
+            self._fast_len = None
+            idx = self.adapter_index
+            if len(idx._lengths) == 1:
+                L = idx._lengths[0]
+                items = sorted(idx._index.items())
+                if items:
+                    self._fast_len = L
+                    self._fast_keys = np.array(
+                        [k.encode("ascii") for k, _ in items], dtype=f"S{L}"
+                    )
+                    self._fast_sub = np.array(
+                        [self._sub_of[id(v[0])] for _, v in items], np.int32
+                    )
+                    self._fast_err = np.array(
+                        [v[1] for _, v in items], np.int32
+                    )
+                    self._fast_score = np.array(
+                        [v[2] for _, v in items], np.int32
+                    )
+            return
         if kind == "linked":
             # 5' phase trims first, 3' phase searches the remainder
             # (reference adapters.py:1064-1178)
@@ -246,6 +291,68 @@ class AdapterTask:
             self.pf_tables = native.PrefilterTables(adapter.kmer_finder)
         self._backend = _pick_backend(self.packed)
         self._step = _make_locate_step(self.spec, self.packed, self._backend)
+
+    def run_index(self, chunk, starts, lens):
+        """Per-read AdapterIndex lookups over the current windows.
+        Returns (found, qstart, qstop, errors, score, sub)."""
+        n = len(starts)
+        found = np.zeros(n, bool)
+        qs = np.zeros(n, np.int32)
+        qe = np.zeros(n, np.int32)
+        er = np.zeros(n, np.int32)
+        sc = np.zeros(n, np.int32)
+        sub = np.zeros(n, np.int32)
+        slow = np.arange(n)
+        if self._fast_len is not None and native.AVAILABLE and n:
+            L = self._fast_len
+            ok = np.flatnonzero(lens >= L)
+            if len(ok):
+                aff_starts = starts[ok]
+                if self.kind == "indexed_suffix":
+                    aff_starts = aff_starts + (lens[ok] - L)
+                from .ops.tables import UPPER_LUT
+
+                aff = native.pad_encode(
+                    chunk.buf, aff_starts.astype(np.int64),
+                    np.full(len(ok), L, np.int32),
+                    np.arange(len(ok), dtype=np.int64), L, UPPER_LUT,
+                )
+                has_n = (aff == ord("N")).any(axis=1)
+                queries = np.ascontiguousarray(aff).view(f"S{L}").ravel()
+                pos = np.searchsorted(self._fast_keys, queries)
+                pos_c = np.minimum(pos, len(self._fast_keys) - 1)
+                hit = (self._fast_keys[pos_c] == queries) & ~has_n
+                hi = ok[hit]
+                found[hi] = True
+                er[hi] = self._fast_err[pos_c[hit]]
+                sc[hi] = self._fast_score[pos_c[hit]]
+                sub[hi] = self._fast_sub[pos_c[hit]]
+                if self.kind == "indexed_prefix":
+                    qs[hi] = 0
+                    qe[hi] = L
+                else:
+                    qs[hi] = lens[hi] - L
+                    qe[hi] = lens[hi]
+                # N-containing affixes need the wildcard-aware re-
+                # alignment path; everything else is fully resolved
+                slow = ok[has_n]
+        buf = chunk.buf
+        match_to = self.adapter_index.match_to
+        sub_of = self._sub_of
+        for i in slow:
+            s = bytes(
+                buf[starts[i] : starts[i] + lens[i]]
+            ).decode("latin-1")
+            m = match_to(s)
+            if m is None:
+                continue
+            found[i] = True
+            qs[i] = m.rstart
+            qe[i] = m.rstop
+            er[i] = m.errors
+            sc[i] = m.score
+            sub[i] = sub_of[id(m.adapter)]
+        return found, qs, qe, er, sc, sub
 
     def run_comparer(self, enc, lens):
         """Vectorized Prefix/SuffixComparer over encoded windows
@@ -322,10 +429,19 @@ class ShortenStage(Stage):
 
 class AdapterStage(Stage):
     def __init__(self, tasks: Sequence[AdapterTask], times: int = 1,
-                 modifier=None):
+                 modifier=None, action: Optional[str] = "trim"):
+        assert action in ("trim", None)
         self.tasks = list(tasks)
         self.times = times
         self.modifier = modifier
+        self.action = action
+        # flattened adapter ids for routing (demultiplexing)
+        self.gid_base = []
+        off = 0
+        for t in self.tasks:
+            self.gid_base.append(off)
+            off += len(t.adapters)
+        self.flat_adapters = [a for t in self.tasks for a in t.adapters]
 
 
 class FilterSpec:
@@ -528,6 +644,11 @@ class BatchPipelineEngine:
             return sel, futures
         c_starts = starts[sel]
         c_lens = lens[sel]
+        if task.indexed:
+            futures.append(
+                ("host",) + task.run_index(chunk, c_starts, c_lens)
+            )
+            return sel, futures
         if task.comparer:
             m_w = (len(task.cmp_ref) + 1) // 2 * 2
             enc = self._encode(
@@ -559,7 +680,7 @@ class BatchPipelineEngine:
     def _fetch_windows(self, task, sel, futures, lens):
         """Fetch one task's results; returns arrays over `sel`'s
         positions with coordinates mirrored to forward orientation."""
-        f, qs, qe, er, sc = self._fetch_task(len(sel), futures)
+        f, qs, qe, er, sc, _ = self._fetch_task(len(sel), futures)
         if task.reverse and not task.comparer:
             L = lens[sel]
             qs, qe = L - qe, L - qs
@@ -627,9 +748,15 @@ class BatchPipelineEngine:
         qstop = np.zeros(n_cand, np.int32)
         errors = np.zeros(n_cand, np.int32)
         score = np.zeros(n_cand, np.int32)
+        sub = np.zeros(n_cand, np.int32)
         for fut in futures:
-            if fut[0] == "host":  # comparer result, already complete
-                _, found[:], qstart[:], qstop[:], errors[:], score[:] = fut
+            if fut[0] == "host":  # comparer/index result, complete
+                if len(fut) == 7:  # indexed: carries sub-adapter ids
+                    (_, found[:], qstart[:], qstop[:], errors[:],
+                     score[:], sub[:]) = fut
+                else:
+                    (_, found[:], qstart[:], qstop[:], errors[:],
+                     score[:]) = fut
                 continue
             off, count, dev = fut
             arr = np.asarray(dev)
@@ -639,12 +766,12 @@ class BatchPipelineEngine:
             qstop[off : off + count] = qe
             errors[off : off + count] = er
             score[off : off + count] = sc
-        return found, qstart, qstop, errors, score
+        return found, qstart, qstop, errors, score, sub
 
     def _adapter_round(self, stage, chunk, subset, win_start, win_stop,
-                       width, dispatched=None):
+                       width, dispatched=None, last_gid=None):
         """One matching round over `subset`. Returns (matched_mask_over_
-        subset, events) and updates windows in place."""
+        subset, events) and updates windows (and last_gid) in place."""
         B = chunk.n_records
         if dispatched is None:
             dispatched = [
@@ -659,8 +786,10 @@ class BatchPipelineEngine:
         best_qstart = np.zeros(B, np.int32)
         best_qstop = np.zeros(B, np.int32)
         best_task = np.full(B, -1, np.int32)
+        best_sub = np.zeros(B, np.int32)
         linked_results = {}
         for t_i, (task, disp) in enumerate(zip(stage.tasks, dispatched)):
+            sub = None
             if disp[0] == "linked":
                 _, starts, lens, front_disp = disp
                 res = self._resolve_linked(
@@ -676,7 +805,7 @@ class BatchPipelineEngine:
                     continue
                 cand = subset[sel]
                 lens = (win_stop[cand] - win_start[cand]).astype(np.int32)
-                f, qs, qe, er, sc = self._fetch_task(len(sel), futures)
+                f, qs, qe, er, sc, sub = self._fetch_task(len(sel), futures)
                 if task.reverse and not task.comparer:
                     # mirror reversed coordinates to forward orientation
                     qs, qe = lens - qe, lens - qs
@@ -692,8 +821,16 @@ class BatchPipelineEngine:
             best_qstart[upd] = qs[better]
             best_qstop[upd] = qe[better]
             best_task[upd] = t_i
+            best_sub[upd] = sub[better] if sub is not None else 0
 
         matched = best_found[subset]
+        # routing ids for demultiplexing: the LAST match decides
+        if last_gid is not None:
+            idx = np.flatnonzero(best_found)
+            last_gid[idx] = (
+                np.asarray(stage.gid_base, np.int32)[best_task[idx]]
+                + best_sub[idx]
+            )
         events = []
         for t_i, task in enumerate(stage.tasks):
             hit = np.flatnonzero(best_found & (best_task == t_i))
@@ -711,7 +848,8 @@ class BatchPipelineEngine:
                         dict(task=t_i, removed=f_qe,
                              errors=res["front_errors"][pos][ffm],
                              as_front=np.ones(len(fh), bool),
-                             adjacent=np.zeros(len(fh), np.uint8))
+                             adjacent=np.zeros(len(fh), np.uint8),
+                             sub=np.zeros(len(fh), np.int32))
                     )
                     win_start[fh] = win_start[fh] + f_qe
                 # 3' phase (coordinates relative to post-front window)
@@ -728,7 +866,8 @@ class BatchPipelineEngine:
                         dict(task=t_i, removed=cur_len - b_qs,
                              errors=res["back_errors"][pos][bfm],
                              as_front=np.zeros(len(bh), bool),
-                             adjacent=adjacent)
+                             adjacent=adjacent,
+                             sub=np.zeros(len(bh), np.int32))
                     )
                     win_stop[bh] = win_start[bh] + b_qs
                 continue
@@ -752,7 +891,8 @@ class BatchPipelineEngine:
             )
             events.append(
                 dict(task=t_i, removed=removed, errors=er,
-                     as_front=as_front, adjacent=adjacent)
+                     as_front=as_front, adjacent=adjacent,
+                     sub=best_sub[hit])
             )
             # apply trims
             fr = hit[as_front]
@@ -802,13 +942,19 @@ class BatchPipelineEngine:
         win_start, win_stop = pending.win_start, pending.win_stop
         stats = pending.stats
         matched_any = np.zeros(B, bool)
+        last_gid = np.full(B, -1, np.int32)
         if pending.adapter_stage is not None and B > 0:
             stage = pending.adapter_stage
+            if stage.action is None:
+                # match-only mode (--no-trim): rounds still trim their
+                # working windows (later rounds search the remainder),
+                # but the output keeps the original bytes
+                saved = (win_start.copy(), win_stop.copy())
             events_all = []
             subset = np.arange(B)
             matched, events = self._adapter_round(
                 stage, chunk, subset, win_start, win_stop, pending.width,
-                dispatched=pending.dp_futures,
+                dispatched=pending.dp_futures, last_gid=last_gid,
             )
             events_all.extend(events)
             matched_any = self._scatter_mask(subset, matched, B)
@@ -817,13 +963,18 @@ class BatchPipelineEngine:
                 if len(active) == 0:
                     break
                 matched, events = self._adapter_round(
-                    stage, chunk, active, win_start, win_stop, pending.width
+                    stage, chunk, active, win_start, win_stop,
+                    pending.width, last_gid=last_gid,
                 )
                 events_all.extend(events)
                 active = active[matched]
             stats["adapter_events"] = events_all
             stats["with_adapters"] = int(matched_any.sum())
+            if stage.action is None:
+                win_start, win_stop = saved
+                pending.win_start, pending.win_stop = saved
         stats["matched_mask"] = matched_any
+        stats["last_adapter_gid"] = last_gid
         base_si = (self._adapter_pos + 1) if self._adapter_pos is not None else 0
         for j, stage in enumerate(pending.post_stages):
             win_start, win_stop = self._apply_host_stage(

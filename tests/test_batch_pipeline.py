@@ -344,6 +344,74 @@ def test_linked_adapter_stats_match_host():
     }
 
 
+@pytest.mark.parametrize("indels", [False, True])
+@pytest.mark.parametrize("prefix", [True, False])
+def test_indexed_adapters(prefix, indels):
+    from cutadapt_tpu.adapters import (
+        IndexedPrefixAdapters,
+        IndexedSuffixAdapters,
+        PrefixAdapter,
+        SuffixAdapter,
+    )
+
+    rng = random.Random(900 + prefix * 2 + indels)
+    barcodes = ["ACGTACGTAC", "TTGACCGGAA", "GGATCCATGC", "ACGTACGAAC"]
+    cls = PrefixAdapter if prefix else SuffixAdapter
+    recs = []
+    for i in range(400):
+        L = rng.randint(1, 60)
+        s = "".join(rng.choice("ACGTN") for _ in range(L))
+        if rng.random() < 0.7:
+            bc = list(barcodes[rng.randrange(len(barcodes))])
+            if rng.random() < 0.3:  # add an error
+                bc[rng.randrange(len(bc))] = rng.choice("ACGT")
+            bc = "".join(bc)
+            s = bc + s if prefix else s + bc
+        q = "J" * len(s)
+        recs.append(f"@r{i}\n{s}\n+\n{q}\n")
+    data = "".join(recs).encode()
+
+    def make_adapters():
+        return [
+            cls(b, max_errors=1, indels=indels, name=f"bc{i}")
+            for i, b in enumerate(barcodes)
+        ]
+
+    host_adapters = make_adapters()
+    cutter = AdapterCutter(host_adapters, index=True)
+    expected = host_expected(data, [cutter], lambda r, info: True)
+
+    eng_adapters = make_adapters()
+    indexed = (
+        IndexedPrefixAdapters(eng_adapters)
+        if prefix
+        else IndexedSuffixAdapters(eng_adapters)
+    )
+    kind = "indexed_prefix" if prefix else "indexed_suffix"
+    got, stats = run_engine(
+        data, [AdapterStage([AdapterTask(indexed, kind, 0)])]
+    )
+    assert got == expected
+    assert stats["with_adapters"] == cutter.with_adapters
+    # per-sub-adapter routing ids must identify the same winners
+    gids = stats["last_adapter_gid"]
+    import io as _io
+
+    from cutadapt_tpu.info import ModificationInfo
+    from cutadapt_tpu.io.fastq import parse_fastq
+
+    for rec, gid in zip(parse_fastq(_io.BytesIO(data)), gids):
+        info = ModificationInfo(rec)
+        cutter2 = AdapterCutter(host_adapters, index=True)
+        # reuse the already-built host cutter result instead
+        m = cutter.adapters.match_to(rec.sequence)
+        if m is None:
+            assert gid == -1
+        else:
+            assert gid >= 0
+            assert eng_adapters[gid].name == m.adapter.name
+
+
 def test_discard_trimmed_untrimmed_and_maxlen():
     rng = random.Random(16)
     data = make_reads(rng, 500, [ADAPTER])
