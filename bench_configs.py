@@ -140,8 +140,56 @@ def main():
     for name, args_fn, paired in configs:
         _, parity = bench_config(name, args_fn, paired)
         ok &= parity
+    ok &= bench_demux()
     if not ok:
         sys.exit(1)
+
+
+def bench_demux():
+    import glob
+    import tempfile
+
+    rng = np.random.RandomState(9)
+    bases = list("ACGT")
+    d = tempfile.mkdtemp()
+    barcodes = ["".join(rng.choice(bases, 10)) for _ in range(8)]
+    with open(f"{d}/bc.fasta", "w") as fh:
+        fh.write("".join(f">bc{i}\n{b}\n" for i, b in enumerate(barcodes)))
+    recs = []
+    for i in range(N_READS):
+        L = int(rng.randint(40, 90))
+        s = "".join(rng.choice(bases, L))
+        if rng.rand() < 0.8:
+            s = barcodes[rng.randint(8)] + s
+        recs.append(f"@d{i}\n{s}\n+\n{'I' * len(s)}\n")
+    inp = f"{d}/in.fastq"
+    open(inp, "w").write("".join(recs))
+    results = {}
+    for label, env in (("tpu", "1"), ("host", "0")):
+        os.makedirs(f"{d}/{label}")
+        args = [
+            "--quiet", "-g", f"^file:{d}/bc.fasta", "-e", "1", "--no-indels",
+            "-o", f"{d}/{label}/out-{{name}}.fastq", inp,
+        ]
+        if label == "tpu":
+            run_cli(args, env)  # warm compile
+            for f in glob.glob(f"{d}/tpu/*.fastq"):
+                os.unlink(f)
+        dt = run_cli(args, env)
+        results[label] = N_READS / dt
+    parity = all(
+        open(f, "rb").read()
+        == open(f.replace("/host/", "/tpu/"), "rb").read()
+        for f in glob.glob(f"{d}/host/*.fastq")
+    )
+    print(
+        f"{'demux 8 barcodes (-g ^file:, e=1, no-indels)':45s} "
+        f"host {results['host']:>10,.0f} r/s   "
+        f"tpu {results['tpu']:>10,.0f} r/s   "
+        f"speedup {results['tpu']/results['host']:6.1f}x   "
+        f"parity {'OK' if parity else 'FAIL'}"
+    )
+    return parity
 
 
 if __name__ == "__main__":
