@@ -93,7 +93,17 @@ def _translate_modifier(mod, has_cutter):
 
 
 def _translate_predicate(pred):
-    from .predicates import IsTrimmed, IsUntrimmed, TooLong, TooShort
+    from . import native
+    from .predicates import (
+        CasavaFiltered,
+        IsTrimmed,
+        IsUntrimmed,
+        TooHighAverageErrorRate,
+        TooLong,
+        TooManyExpectedErrors,
+        TooManyN,
+        TooShort,
+    )
 
     if isinstance(pred, TooShort):
         return ("too_short", pred.minimum_length)
@@ -103,6 +113,16 @@ def _translate_predicate(pred):
         return ("discard_trimmed", None)
     if isinstance(pred, IsUntrimmed):
         return ("discard_untrimmed", None)
+    if not native.AVAILABLE:
+        return None  # the scans below are native-only
+    if isinstance(pred, TooManyN):
+        return ("too_many_n", pred.cutoff)
+    if isinstance(pred, TooManyExpectedErrors):
+        return ("too_many_expected_errors", pred.max_errors)
+    if isinstance(pred, TooHighAverageErrorRate):
+        return ("too_high_average_error_rate", pred.max_error_rate)
+    if isinstance(pred, CasavaFiltered):
+        return ("casava", None)
     return None
 
 
@@ -432,17 +452,11 @@ def _translate_paired(pipeline):
     return stages1, stages2, cutters, pair_filters, sink
 
 
-def _pair_condition(t, lengths, matched):
+def _pair_condition(t, chunk, ws, we, lengths, matched):
+    from .batch_pipeline import filter_condition
+
     kind, thr = t
-    if kind == "too_short":
-        return lengths < thr
-    if kind == "too_long":
-        return lengths > thr
-    if kind == "discard_trimmed":
-        return matched
-    if kind == "discard_untrimmed":
-        return ~matched
-    raise ValueError(kind)
+    return filter_condition(kind, thr, chunk, ws, we, lengths, matched)
 
 
 def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
@@ -521,12 +535,12 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         keep = np.ones(c1.n_records, bool)
         for step, t1, t2, mode in pair_filters:
             if t2 is None:
-                drop = _pair_condition(t1, len1, m1)
+                drop = _pair_condition(t1, c1, ws1, we1, len1, m1)
             elif t1 is None:
-                drop = _pair_condition(t2, len2, m2)
+                drop = _pair_condition(t2, c2, ws2, we2, len2, m2)
             else:
-                d1 = _pair_condition(t1, len1, m1)
-                d2 = _pair_condition(t2, len2, m2)
+                d1 = _pair_condition(t1, c1, ws1, we1, len1, m1)
+                d2 = _pair_condition(t2, c2, ws2, we2, len2, m2)
                 if mode == "any":
                     drop = d1 | d2
                 elif mode == "both":

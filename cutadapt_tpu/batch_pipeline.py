@@ -446,12 +446,65 @@ class AdapterStage(Stage):
 
 class FilterSpec:
     """One filtering step: 'too_short', 'too_long', 'discard_trimmed',
-    'discard_untrimmed' with its threshold; counts how many it drops."""
+    'discard_untrimmed', 'too_many_n', 'too_many_expected_errors',
+    'too_high_average_error_rate' or 'casava', with its threshold;
+    counts how many reads it drops."""
 
-    def __init__(self, kind: str, threshold: Optional[int] = None, step=None):
+    def __init__(self, kind: str, threshold=None, step=None):
         self.kind = kind
         self.threshold = threshold
         self.step = step
+
+
+def filter_condition(kind, threshold, chunk, win_start, win_stop,
+                     lengths, matched):
+    """Per-read boolean 'predicate holds' vector for one filter kind,
+    with exact host-predicate semantics (predicates.py)."""
+    if kind == "too_short":
+        return lengths < threshold
+    if kind == "too_long":
+        return lengths > threshold
+    if kind == "discard_trimmed":
+        return matched
+    if kind == "discard_untrimmed":
+        return ~matched
+    if kind == "too_many_n":
+        nc = native.count_n(
+            chunk.buf, chunk.seq_start, win_start, win_stop
+        )
+        if threshold < 1.0:  # proportion of the read length
+            out = np.zeros(len(lengths), bool)
+            nz = lengths > 0
+            out[nz] = nc[nz] / lengths[nz] > threshold
+            return out
+        return nc > threshold
+    if kind in ("too_many_expected_errors", "too_high_average_error_rate"):
+        from .qualtrim import _SCORE_TO_ERROR_RATE, expected_errors
+
+        ee = native.expected_errors_win(
+            chunk.buf, chunk.qual_start, win_start, win_stop,
+            np.asarray(_SCORE_TO_ERROR_RATE, np.float64),
+        )
+        for i in np.flatnonzero(ee < 0):
+            # invalid phred: raise the host path's exact error
+            q = bytes(
+                chunk.buf[
+                    chunk.qual_start[i] + win_start[i] :
+                    chunk.qual_start[i] + win_stop[i]
+                ]
+            ).decode("latin-1")
+            expected_errors(q)
+        if kind == "too_many_expected_errors":
+            return ee > threshold
+        out = np.zeros(len(lengths), bool)
+        nz = lengths > 0
+        out[nz] = ee[nz] / lengths[nz] > threshold
+        return out
+    if kind == "casava":
+        return native.casava_filtered(
+            chunk.buf, chunk.head_start, chunk.head_end
+        ).astype(bool)
+    raise ValueError(kind)
 
 
 class PendingBatch:
@@ -987,16 +1040,10 @@ class BatchPipelineEngine:
         filter_dropped = []
         lengths = win_stop - win_start
         for f in self.filters:
-            if f.kind == "too_short":
-                drop = lengths < f.threshold
-            elif f.kind == "too_long":
-                drop = lengths > f.threshold
-            elif f.kind == "discard_trimmed":
-                drop = matched_any
-            elif f.kind == "discard_untrimmed":
-                drop = ~matched_any
-            else:
-                raise ValueError(f.kind)
+            drop = filter_condition(
+                f.kind, f.threshold, chunk, win_start, win_stop,
+                lengths, matched_any,
+            )
             newly = drop & keep
             filter_counts.append(int(newly.sum()))
             filter_dropped.append(newly)

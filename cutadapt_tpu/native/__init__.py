@@ -108,6 +108,15 @@ def _load():
     ]
     lib.check_pair_names.restype = i64
     lib.check_pair_names.argtypes = [p_u8, p_i64, p_i64, p_u8, p_i64, p_i64, i64]
+    p_f64 = ctypes.POINTER(ctypes.c_double)
+    lib.expected_errors_win.restype = None
+    lib.expected_errors_win.argtypes = [
+        p_u8, p_i64, p_i32, p_i32, i64, _i32, p_f64, p_f64,
+    ]
+    lib.count_n.restype = None
+    lib.count_n.argtypes = [p_u8, p_i64, p_i32, p_i32, i64, p_i32]
+    lib.casava_filtered.restype = None
+    lib.casava_filtered.argtypes = [p_u8, p_i64, p_i64, i64, p_u8]
     _lib = lib
     AVAILABLE = True
 
@@ -273,6 +282,42 @@ def poly_a_trim(buf, seq_start, win_start, win_stop, revcomp: bool = False):
         _ptr(buf, ctypes.c_uint8), _ptr(seq_start, ctypes.c_int64),
         _ptr(win_start, ctypes.c_int32), _ptr(win_stop, ctypes.c_int32),
         n, int(revcomp), _ptr(out, ctypes.c_int32),
+    )
+    return out
+
+
+def expected_errors_win(
+    buf, qual_start, win_start, win_stop, table, base: int = 33
+) -> np.ndarray:
+    """Expected errors per window (-1.0 marks invalid phred values)."""
+    n = len(qual_start)
+    out = np.empty(n, np.float64)
+    table = np.ascontiguousarray(table, np.float64)
+    _lib.expected_errors_win(
+        _ptr(buf, ctypes.c_uint8), _ptr(qual_start, ctypes.c_int64),
+        _ptr(win_start, ctypes.c_int32), _ptr(win_stop, ctypes.c_int32),
+        n, base, _ptr(table, ctypes.c_double), _ptr(out, ctypes.c_double),
+    )
+    return out
+
+
+def count_n(buf, seq_start, win_start, win_stop) -> np.ndarray:
+    n = len(seq_start)
+    out = np.empty(n, np.int32)
+    _lib.count_n(
+        _ptr(buf, ctypes.c_uint8), _ptr(seq_start, ctypes.c_int64),
+        _ptr(win_start, ctypes.c_int32), _ptr(win_stop, ctypes.c_int32),
+        n, _ptr(out, ctypes.c_int32),
+    )
+    return out
+
+
+def casava_filtered(buf, head_start, head_end) -> np.ndarray:
+    n = len(head_start)
+    out = np.empty(n, np.uint8)
+    _lib.casava_filtered(
+        _ptr(buf, ctypes.c_uint8), _ptr(head_start, ctypes.c_int64),
+        _ptr(head_end, ctypes.c_int64), n, _ptr(out, ctypes.c_uint8),
     )
     return out
 

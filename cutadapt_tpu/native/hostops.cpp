@@ -372,6 +372,87 @@ void poly_a_trim(const uint8_t* buf, const int64_t* seq_start,
     }
 }
 
+// --- filter predicate scans ----------------------------------------------------
+
+// Expected errors per window: 4-lane summation over a caller-provided
+// 94-entry phred->error-probability table (float64, exactly the host
+// engine's accumulation order — qualtrim.py expected_errors /
+// reference expected_errors.h:103-140). Writes -1.0 for any window
+// containing an invalid phred; the caller re-runs those through the
+// host path so the error message is identical.
+void expected_errors_win(const uint8_t* buf, const int64_t* qual_start,
+                         const int32_t* win_start, const int32_t* win_stop,
+                         int64_t n_records, int32_t base,
+                         const double* table, double* out) {
+    const int32_t max_phred = 126 - base;
+    for (int64_t r = 0; r < n_records; ++r) {
+        const uint8_t* q = buf + qual_start[r] + win_start[r];
+        const int64_t n = win_stop[r] - win_start[r];
+        double e0 = 0.0, e1 = 0.0, e2 = 0.0, e3 = 0.0;
+        int64_t i = 0;
+        int bad = 0;
+        for (; i + 4 <= n; i += 4) {
+            const int32_t p0 = (int32_t)q[i] - base;
+            const int32_t p1 = (int32_t)q[i + 1] - base;
+            const int32_t p2 = (int32_t)q[i + 2] - base;
+            const int32_t p3 = (int32_t)q[i + 3] - base;
+            if (p0 < 0 || p0 > max_phred || p1 < 0 || p1 > max_phred ||
+                p2 < 0 || p2 > max_phred || p3 < 0 || p3 > max_phred) {
+                bad = 1;
+                break;
+            }
+            e0 += table[p0];
+            e1 += table[p1];
+            e2 += table[p2];
+            e3 += table[p3];
+        }
+        if (!bad) {
+            for (; i < n; ++i) {
+                const int32_t p = (int32_t)q[i] - base;
+                if (p < 0 || p > max_phred) {
+                    bad = 1;
+                    break;
+                }
+                e0 += table[p];
+            }
+        }
+        out[r] = bad ? -1.0 : (e0 + e1 + e2 + e3);
+    }
+}
+
+// Number of 'N'/'n' bases per window.
+void count_n(const uint8_t* buf, const int64_t* seq_start,
+             const int32_t* win_start, const int32_t* win_stop,
+             int64_t n_records, int32_t* out) {
+    for (int64_t r = 0; r < n_records; ++r) {
+        const uint8_t* s = buf + seq_start[r] + win_start[r];
+        const int64_t n = win_stop[r] - win_start[r];
+        int32_t c = 0;
+        for (int64_t i = 0; i < n; ++i)
+            c += (s[i] == 'N' || s[i] == 'n');
+        out[r] = c;
+    }
+}
+
+// CASAVA filter flag: header 'xxxx x:Y:x:x' — the three bytes after
+// the first character following the first space must be ':Y:'.
+void casava_filtered(const uint8_t* buf, const int64_t* head_start,
+                     const int64_t* head_end, int64_t n_records,
+                     uint8_t* out) {
+    for (int64_t r = 0; r < n_records; ++r) {
+        const uint8_t* h = buf + head_start[r];
+        const int64_t n = head_end[r] - head_start[r];
+        const uint8_t* sp = (const uint8_t*)memchr(h, ' ', n);
+        uint8_t flag = 0;
+        if (sp != nullptr) {
+            const int64_t rest = n - (sp - h) - 1;  // after the space
+            if (rest >= 4)
+                flag = sp[2] == ':' && sp[3] == 'Y' && sp[4] == ':';
+        }
+        out[r] = flag;
+    }
+}
+
 // --- windowed trimmed-FASTQ assembly with keep mask --------------------------
 //
 // Emits '@head\nseq[start:stop]\n+\nqual[start:stop]\n' for records
