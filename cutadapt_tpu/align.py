@@ -120,6 +120,24 @@ class Aligner:
         self._insertion_cost = int(indel_cost)
         self._deletion_cost = int(indel_cost)
         self._set_reference(reference)
+        # C++ fast path for the per-read hot loop (exact same results;
+        # the Python implementation below remains the debug-mode path
+        # and the porting oracle)
+        self._native = None
+        from . import native as _native_mod
+
+        if _native_mod.AVAILABLE:
+            self._native = _native_mod.ScalarAligner(
+                self._reference,
+                self.n_counts,
+                self.effective_length,
+                self.max_error_rate,
+                self._compute_flags(),
+                not (self.wildcard_ref or self.wildcard_query),
+                self.wildcard_ref,
+                self._insertion_cost,
+                self._min_overlap,
+            )
 
     def _compute_flags(self) -> int:
         flags = 0
@@ -193,19 +211,25 @@ class Aligner:
     def locate(
         self, query: str
     ) -> Optional[Tuple[int, int, int, int, int, int]]:
-        s1 = self._reference
-        m = self.m
-        n = len(query)
-        max_error_rate = self.max_error_rate
-        stop_in_query = self.stop_in_query
-        compare_ascii = False
         if self.wildcard_query:
             s2 = translate(query, IUPAC_TABLE)
         elif self.wildcard_ref:
             s2 = translate(query, ACGT_TABLE)
         else:
             s2 = translate(query, UPPER_TABLE)
-            compare_ascii = True
+        if self._native is not None and not self.debug:
+            return self._native.locate(s2)
+        return self._locate_py(query, s2)
+
+    def _locate_py(
+        self, query: str, s2: bytes
+    ) -> Optional[Tuple[int, int, int, int, int, int]]:
+        s1 = self._reference
+        m = self.m
+        n = len(query)
+        max_error_rate = self.max_error_rate
+        stop_in_query = self.stop_in_query
+        compare_ascii = not (self.wildcard_ref or self.wildcard_query)
 
         # maximum number of errors (note: truncating conversion)
         k = int(max_error_rate * m)

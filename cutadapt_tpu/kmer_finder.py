@@ -94,6 +94,14 @@ class KmerFinder:
                 self._entries.append(
                     _SearchEntry(start, entry_stop, init_mask, found_mask, masks)
                 )
+        # C++ fast path for the per-read scan (same predicate)
+        self._native = None
+        from . import native as _native_mod
+
+        if _native_mod.AVAILABLE:
+            self._native = _native_mod.ScalarKmerMatcher(
+                _native_mod.PrefilterTables(self)
+            )
 
     def __reduce__(self):
         return (
@@ -103,6 +111,8 @@ class KmerFinder:
 
     def kmers_present(self, sequence: str) -> bool:
         seq = sequence.encode("ascii")
+        if self._native is not None:
+            return self._native.kmers_present(seq)
         seq_length = len(seq)
         for entry in self._entries:
             start = entry.start

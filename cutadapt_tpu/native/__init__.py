@@ -109,6 +109,16 @@ def _load():
     lib.check_pair_names.restype = i64
     lib.check_pair_names.argtypes = [p_u8, p_i64, p_i64, p_u8, p_i64, p_i64, i64]
     p_f64 = ctypes.POINTER(ctypes.c_double)
+    c_char_p = ctypes.c_char_p
+    lib.aligner_locate.restype = ctypes.c_int32
+    lib.aligner_locate.argtypes = [
+        c_char_p, i64, p_i32, i64, ctypes.c_double, _i32, _i32, _i32,
+        _i32, _i32, c_char_p, i64, p_i64, p_i32,
+    ]
+    lib.kmers_present_one.restype = ctypes.c_int32
+    lib.kmers_present_one.argtypes = [
+        c_char_p, i64, i64, p_i64, p_i64, p_u64, p_u64, p_u64,
+    ]
     lib.expected_errors_win.restype = None
     lib.expected_errors_win.argtypes = [
         p_u8, p_i64, p_i32, p_i32, i64, _i32, p_f64, p_f64,
@@ -156,6 +166,55 @@ def fastq_parse(buf: np.ndarray):
     if rc < 0:
         raise ValueError("FASTQ chunk does not contain whole records")
     return head_start, head_end, seq_start, seq_len, qual_start, bool(flags[0])
+
+
+class ScalarAligner:
+    """Per-read C++ aligner bound to one reference (the host path's
+    hot loop). Same results as align.py Aligner.locate."""
+
+    __slots__ = ("_args", "_out", "_work")
+
+    def __init__(self, reference: bytes, n_counts, effective_length: int,
+                 max_error_rate: float, flags: int, compare_ascii: bool,
+                 wildcard_ref: bool, indel_cost: int, min_overlap: int):
+        m = len(reference)
+        nc = (ctypes.c_int32 * (m + 1))(*n_counts)
+        self._out = (ctypes.c_int64 * 6)()
+        self._work = (ctypes.c_int32 * (3 * (m + 1)))()
+        self._args = (
+            reference, m, nc, effective_length,
+            float(max_error_rate), int(flags), int(compare_ascii),
+            int(wildcard_ref), int(indel_cost), int(min_overlap),
+        )
+
+    def locate(self, query: bytes):
+        found = _lib.aligner_locate(
+            *self._args, query, len(query), self._out, self._work
+        )
+        if not found:
+            return None
+        o = self._out
+        return (o[0], o[1], o[2], o[3], o[4], o[5])
+
+
+class ScalarKmerMatcher:
+    """Per-read C++ shift-and scan bound to one KmerFinder's tables."""
+
+    __slots__ = ("_tables", "_args")
+
+    def __init__(self, tables: "PrefilterTables"):
+        self._tables = tables  # keep the arrays alive
+        self._args = (
+            tables.n_entries,
+            _ptr(tables.starts, ctypes.c_int64),
+            _ptr(tables.stops, ctypes.c_int64),
+            _ptr(tables.init_masks, ctypes.c_uint64),
+            _ptr(tables.found_masks, ctypes.c_uint64),
+            _ptr(tables.masks, ctypes.c_uint64),
+        )
+
+    def kmers_present(self, seq: bytes) -> bool:
+        return bool(_lib.kmers_present_one(seq, len(seq), *self._args))
 
 
 class PrefilterTables:

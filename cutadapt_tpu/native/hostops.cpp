@@ -215,6 +215,246 @@ int64_t assemble_fastq(const uint8_t* buf, int64_t n_records,
     return (int64_t)(dst - out);
 }
 
+// --- scalar semi-global aligner -----------------------------------------------
+//
+// The per-read hot loop of the host (fallback/oracle) path: a direct
+// port of cutadapt_tpu/align.py Aligner.locate (itself the exact
+// semantics of the reference's _align.pyx:298-587): hybrid cost/score
+// DP with origin tracking, Ukkonen band, last-row candidates with the
+// overlap/longer preference rules, bottom-up final-column scan with
+// the reference's stale-origin comparison, early exit on exact match.
+//
+// `ref` and `query` arrive already translated (IUPAC/ACGT/UPPER).
+// `work` is caller scratch of 3*(m+1) int32 (cost, score, origin).
+// Returns 1 and fills out[6] = {ref_start, ref_stop, query_start,
+// query_stop, score, errors}, or 0 for no acceptable match.
+
+static const int32_t A_MATCH = 1, A_MISMATCH = -1, A_INS = -2, A_DEL = -2;
+
+int32_t aligner_locate(const uint8_t* ref, int64_t m,
+                       const int32_t* n_counts, int64_t effective_length,
+                       double max_error_rate, int32_t flags,
+                       int32_t compare_ascii, int32_t wildcard_ref,
+                       int32_t indel_cost, int32_t min_overlap,
+                       const uint8_t* query, int64_t n, int64_t* out,
+                       int32_t* work) {
+    const int start_in_reference = flags & 1;
+    const int start_in_query = flags & 2;
+    const int stop_in_reference = flags & 4;
+    const int stop_in_query = flags & 8;
+    const int64_t k = (int64_t)(max_error_rate * (double)m);
+
+    int64_t max_n = n;
+    int64_t min_n = 0;
+    if (!start_in_query && n > m + k) max_n = m + k;
+    if (!stop_in_query && n - m - k > 0) min_n = n - m - k;
+
+    const int32_t del_cost = indel_cost, ins_cost = indel_cost;
+    int32_t* cost = work;
+    int32_t* score = work + (m + 1);
+    int32_t* origin = work + 2 * (m + 1);
+
+    if (!start_in_reference && !start_in_query) {
+        for (int64_t i = 0; i <= m; ++i) {
+            score[i] = (int32_t)(i * A_DEL);
+            cost[i] = (int32_t)((i > min_n ? i : min_n) * del_cost);
+            origin[i] = 0;
+        }
+    } else if (start_in_reference && !start_in_query) {
+        for (int64_t i = 0; i <= m; ++i) {
+            score[i] = 0;
+            cost[i] = (int32_t)(min_n * del_cost);
+            origin[i] = (int32_t)(min_n - i < 0 ? min_n - i : 0);
+        }
+    } else if (!start_in_reference && start_in_query) {
+        for (int64_t i = 0; i <= m; ++i) {
+            score[i] = (int32_t)(i * A_DEL);
+            cost[i] = (int32_t)(i * del_cost);
+            origin[i] = (int32_t)(min_n - i > 0 ? min_n - i : 0);
+        }
+    } else {
+        for (int64_t i = 0; i <= m; ++i) {
+            score[i] = 0;
+            cost[i] = (int32_t)((i < min_n ? i : min_n) * del_cost);
+            origin[i] = (int32_t)(min_n - i);
+        }
+    }
+
+    int64_t best_ref_stop = m;
+    int64_t best_query_stop = n;
+    int64_t best_cost = m + n + 1;
+    int32_t best_origin = 0;
+    int32_t best_score = 0;
+
+    int64_t last = k + 1 < m ? k + 1 : m;
+    if (start_in_reference) last = m;
+    int64_t last_filled_i = 0;
+    const int32_t origin_inc = start_in_query ? 1 : 0;
+    const int32_t ins_cost_inc = start_in_query ? 0 : ins_cost;
+    const int32_t ins_score_inc = start_in_query ? 0 : A_INS;
+    int32_t cur_origin = 0;
+
+    for (int64_t j = min_n + 1; j <= max_n; ++j) {
+        int32_t diag_cost = cost[0];
+        int32_t diag_score = score[0];
+        int32_t diag_origin = origin[0];
+        origin[0] += origin_inc;
+        cost[0] += ins_cost_inc;
+        score[0] += ins_score_inc;
+        const uint8_t qc = query[j - 1];
+        for (int64_t i = 1; i <= last; ++i) {
+            const int eq = compare_ascii ? (ref[i - 1] == qc)
+                                         : ((ref[i - 1] & qc) != 0);
+            int32_t cur_cost, cur_score;
+            if (eq) {
+                cur_cost = diag_cost;
+                cur_origin = diag_origin;
+                cur_score = diag_score + A_MATCH;
+            } else {
+                const int32_t c_diag = diag_cost + 1;
+                const int32_t c_ins = cost[i] + ins_cost;
+                const int32_t c_del = cost[i - 1] + del_cost;
+                if (c_diag <= c_del && c_diag <= c_ins) {
+                    cur_cost = c_diag;
+                    cur_origin = diag_origin;
+                    cur_score = diag_score + A_MISMATCH;
+                } else if (c_del <= c_ins) {
+                    cur_cost = c_del;
+                    cur_origin = origin[i - 1];
+                    cur_score = score[i - 1] + A_DEL;
+                } else {
+                    cur_cost = c_ins;
+                    cur_origin = origin[i];
+                    cur_score = score[i] + A_INS;
+                }
+            }
+            diag_cost = cost[i];
+            diag_score = score[i];
+            diag_origin = origin[i];
+            cost[i] = cur_cost;
+            origin[i] = cur_origin;
+            score[i] = cur_score;
+        }
+        last_filled_i = last;
+        while (last >= 0 && cost[last] > k) --last;
+        if (last < m) {
+            ++last;
+        } else if (stop_in_query) {
+            const int32_t cand_cost = cost[m];
+            const int32_t cand_score = score[m];
+            const int32_t cand_origin = origin[m];
+            cur_origin = cand_origin;
+            const int64_t length =
+                m + (cand_origin < 0 ? cand_origin : 0);
+            int64_t cur_eff = length;
+            if (wildcard_ref) {
+                if (length < m)
+                    cur_eff = length - (n_counts[m] - n_counts[m - length]);
+                else
+                    cur_eff = effective_length;
+            }
+            const int acceptable =
+                length >= min_overlap &&
+                (double)cand_cost <= (double)cur_eff * max_error_rate;
+            const int64_t best_length =
+                m + (best_origin < 0 ? best_origin : 0);
+            if (acceptable &&
+                (best_cost == m + n + 1 ||
+                 (cand_origin <= best_origin + m / 2 &&
+                  cand_score > best_score) ||
+                 (length > best_length && cand_score > best_score))) {
+                best_score = cand_score;
+                best_cost = cand_cost;
+                best_origin = cand_origin;
+                best_ref_stop = m;
+                best_query_stop = j;
+                if (cand_cost == 0 && cand_origin >= 0) break;
+            }
+        }
+    }
+
+    if (max_n == n) {
+        const int64_t first_i = stop_in_reference ? 0 : m;
+        for (int64_t i = last_filled_i; i >= first_i; --i) {
+            const int64_t length = i + (origin[i] < 0 ? origin[i] : 0);
+            const int32_t cand_cost = cost[i];
+            const int32_t cand_score = score[i];
+            int64_t cur_eff = length;
+            if (wildcard_ref) {
+                if (length < m) {
+                    const int64_t ref_start =
+                        origin[i] < 0 ? -(int64_t)origin[i] : 0;
+                    cur_eff = length - (n_counts[i] - n_counts[ref_start]);
+                } else {
+                    cur_eff = effective_length;
+                }
+            }
+            const int acceptable =
+                length >= min_overlap &&
+                (double)cand_cost <= (double)cur_eff * max_error_rate;
+            const int64_t best_length =
+                best_ref_stop + (best_origin < 0 ? best_origin : 0);
+            if (acceptable &&
+                (best_cost == m + n + 1 ||
+                 (cur_origin <= best_origin + m / 2 &&
+                  cand_score > best_score) ||
+                 (length > best_length && cand_score > best_score))) {
+                best_score = cand_score;
+                best_cost = cand_cost;
+                best_origin = origin[i];
+                best_ref_stop = i;
+                best_query_stop = n;
+            }
+        }
+    }
+
+    if (best_cost == m + n + 1) return 0;
+    out[0] = best_origin >= 0 ? 0 : -(int64_t)best_origin;  // ref_start
+    out[1] = best_ref_stop;
+    out[2] = best_origin >= 0 ? best_origin : 0;  // query_start
+    out[3] = best_query_stop;
+    out[4] = best_score;
+    out[5] = best_cost;
+    return 1;
+}
+
+// Single-sequence k-mer presence scan (host per-read path); same
+// masks/entries as kmer_prefilter above.
+int32_t kmers_present_one(const uint8_t* seq, int64_t len, int64_t n_entries,
+                          const int64_t* starts, const int64_t* stops,
+                          const uint64_t* init_masks,
+                          const uint64_t* found_masks,
+                          const uint64_t* masks) {
+    for (int64_t e = 0; e < n_entries; ++e) {
+        int64_t start = starts[e];
+        int64_t stop = stops[e];
+        if (start < 0) {
+            start += len;
+            if (start < 0) start = 0;
+        } else if (start > len) {
+            continue;
+        }
+        if (stop < 0) {
+            stop += len;
+            if (stop <= 0) continue;
+        } else if (stop == 0) {
+            stop = len;
+        }
+        if (stop > len) stop = len;
+        if (stop - start <= 0) continue;
+        const uint64_t init = init_masks[e];
+        const uint64_t found = found_masks[e];
+        const uint64_t* mask = masks + e * 128;
+        uint64_t rreg = 0;
+        for (int64_t i = start; i < stop; ++i) {
+            const uint8_t c = seq[i];
+            rreg = ((rreg << 1) | init) & (c < 128 ? mask[c] : 0);
+            if (rreg & found) return 1;
+        }
+    }
+    return 0;
+}
+
 // --- paired-read name check ---------------------------------------------------
 //
 // Read IDs (header up to the first ASCII whitespace) must match,
