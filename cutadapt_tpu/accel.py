@@ -70,7 +70,7 @@ def _translate_modifier(mod, has_cutter):
             return None
         return PolyAStage(mod), False
     if isinstance(mod, AdapterCutter):
-        if has_cutter or mod.action not in ("trim", None):
+        if has_cutter or mod.action not in ("trim", None, "retain", "crop"):
             return None
         from .batch_pipeline import adapter_kind
 
@@ -78,6 +78,8 @@ def _translate_modifier(mod, has_cutter):
         for i, adapter in enumerate(mod.adapters):
             kind = adapter_kind(adapter)
             if kind is None:
+                return None
+            if kind == "linked" and mod.action == "crop":
                 return None
             try:
                 tasks.append(AdapterTask(adapter, kind, i))

@@ -430,7 +430,9 @@ class ShortenStage(Stage):
 class AdapterStage(Stage):
     def __init__(self, tasks: Sequence[AdapterTask], times: int = 1,
                  modifier=None, action: Optional[str] = "trim"):
-        assert action in ("trim", None)
+        assert action in ("trim", None, "retain", "crop")
+        if action in ("retain", "crop"):
+            assert times == 1  # enforced by AdapterCutter as well
         self.tasks = list(tasks)
         self.times = times
         self.modifier = modifier
@@ -745,11 +747,13 @@ class BatchPipelineEngine:
         coordinates are relative to the post-front-trim window)."""
         n = len(starts)
         sel_f, fut_f = front_disp
-        ff, _, fqe, fer, fsc = self._fetch_windows(
+        ff, fqs, fqe, fer, fsc = self._fetch_windows(
             task.front_task, sel_f, fut_f, lens
         )
         front_found = np.zeros(n, bool)
         front_found[sel_f] = ff
+        front_qs = np.zeros(n, np.int32)
+        front_qs[sel_f] = np.where(ff, fqs, 0)
         front_qe = np.zeros(n, np.int32)
         front_qe[sel_f] = np.where(ff, fqe, 0)
         front_er = np.zeros(n, np.int32)
@@ -763,6 +767,7 @@ class BatchPipelineEngine:
             el = np.arange(n)
         back_found = np.zeros(n, bool)
         back_qs = np.zeros(n, np.int32)
+        back_qe = np.zeros(n, np.int32)
         back_er = np.zeros(n, np.int32)
         back_sc = np.zeros(n, np.int32)
         if len(el):
@@ -771,12 +776,13 @@ class BatchPipelineEngine:
             sel_b, fut_b = self._dispatch_windows(
                 task.back_task, chunk, starts_b, lens_b, width
             )
-            bf, bqs, _, ber, bsc = self._fetch_windows(
+            bf, bqs, bqe, ber, bsc = self._fetch_windows(
                 task.back_task, sel_b, fut_b, lens_b
             )
             hit = el[sel_b]
             back_found[hit] = bf
             back_qs[hit] = np.where(bf, bqs, 0)
+            back_qe[hit] = np.where(bf, bqe, 0)
             back_er[hit] = np.where(bf, ber, 0)
             back_sc[hit] = np.where(bf, bsc, 0)
 
@@ -788,10 +794,12 @@ class BatchPipelineEngine:
             score=front_sc + back_sc,
             errors=front_er + back_er,
             front_found=front_found,
+            front_qs=front_qs,
             front_qe=front_qe,
             front_errors=front_er,
             back_found=back_found,
             back_qs=back_qs,
+            back_qe=back_qe,
             back_errors=back_er,
         )
 
@@ -892,26 +900,29 @@ class BatchPipelineEngine:
             if task.trim == "linked":
                 res = linked_results[t_i]
                 pos = np.searchsorted(subset, hit)
-                # 5' phase
+                ws0 = win_start[hit].copy()
+                we0 = win_stop[hit].copy()
                 ffm = res["front_found"][pos]
+                bfm = res["back_found"][pos]
+                f_qe_all = res["front_qe"][pos]
+                # 5' phase event (removed = front.rstop)
                 fh = hit[ffm]
-                f_qe = res["front_qe"][pos][ffm]
                 if len(fh):
                     events.append(
-                        dict(task=t_i, removed=f_qe,
+                        dict(task=t_i, removed=f_qe_all[ffm],
                              errors=res["front_errors"][pos][ffm],
                              as_front=np.ones(len(fh), bool),
                              adjacent=np.zeros(len(fh), np.uint8),
                              sub=np.zeros(len(fh), np.int32))
                     )
-                    win_start[fh] = win_start[fh] + f_qe
-                # 3' phase (coordinates relative to post-front window)
-                bfm = res["back_found"][pos]
+                # 3' phase event (coordinates relative to the
+                # post-front window; adjacent base from that window)
                 bh = hit[bfm]
                 if len(bh):
                     b_qs = res["back_qs"][pos][bfm]
-                    cur_len = (win_stop[bh] - win_start[bh]).astype(np.int32)
-                    adj_pos = chunk.seq_start[bh] + win_start[bh] + b_qs - 1
+                    post_ws = ws0[bfm] + f_qe_all[bfm]
+                    cur_len = (we0[bfm] - post_ws).astype(np.int32)
+                    adj_pos = chunk.seq_start[bh] + post_ws + b_qs - 1
                     adjacent = np.where(
                         b_qs > 0, chunk.buf[np.clip(adj_pos, 0, None)], 0
                     )
@@ -922,7 +933,23 @@ class BatchPipelineEngine:
                              adjacent=adjacent,
                              sub=np.zeros(len(bh), np.int32))
                     )
-                    win_stop[bh] = win_start[bh] + b_qs
+                if stage.action == "retain":
+                    # retained interval on the original read:
+                    # [front.rstart, front.rstop + back.rstop)
+                    # (reference adapters.py:1027-1037)
+                    win_start[hit] = np.where(
+                        ffm, ws0 + res["front_qs"][pos], ws0
+                    )
+                    win_stop[hit] = np.where(
+                        bfm, ws0 + f_qe_all + res["back_qe"][pos], we0
+                    )
+                else:  # trim (or None, restored later)
+                    win_start[hit] = np.where(ffm, ws0 + f_qe_all, ws0)
+                    win_stop[hit] = np.where(
+                        bfm,
+                        win_start[hit] + res["back_qs"][pos],
+                        we0,
+                    )
                 continue
             qs = best_qstart[hit]
             qe = best_qstop[hit]
@@ -947,11 +974,25 @@ class BatchPipelineEngine:
                      as_front=as_front, adjacent=adjacent,
                      sub=best_sub[hit])
             )
-            # apply trims
-            fr = hit[as_front]
-            win_start[fr] = win_start[fr] + qe[as_front]
-            bk = hit[~as_front]
-            win_stop[bk] = win_start[bk] + qs[~as_front]
+            # apply the action's window update
+            if stage.action == "retain":
+                # keep the matched adapter: RemoveBefore -> [rstart, n),
+                # RemoveAfter -> [0, rstop) (reference adapters.py:
+                # 409-435)
+                fr = hit[as_front]
+                win_start[fr] = win_start[fr] + qs[as_front]
+                bk = hit[~as_front]
+                win_stop[bk] = win_start[bk] + qe[~as_front]
+            elif stage.action == "crop":
+                ns = win_start[hit] + qs
+                ne = win_start[hit] + qe
+                win_start[hit] = ns
+                win_stop[hit] = ne
+            else:  # trim (or None, restored later)
+                fr = hit[as_front]
+                win_start[fr] = win_start[fr] + qe[as_front]
+                bk = hit[~as_front]
+                win_stop[bk] = win_start[bk] + qs[~as_front]
         return matched, events
 
     # --- public API --------------------------------------------------------
