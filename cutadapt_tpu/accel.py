@@ -70,7 +70,12 @@ def _translate_modifier(mod, has_cutter):
             return None
         return PolyAStage(mod), False
     if isinstance(mod, AdapterCutter):
-        if has_cutter or mod.action not in ("trim", None, "retain", "crop"):
+        from . import native
+
+        supported = ("trim", None, "retain", "crop")
+        if native.AVAILABLE:  # transform assembly is native-only
+            supported += ("mask", "lowercase")
+        if has_cutter or mod.action not in supported:
             return None
         from .batch_pipeline import adapter_kind
 
@@ -146,6 +151,12 @@ def _translate_single(pipeline):
         if is_cutter:
             cutter = mod
         stages.append(stage)
+    if _transform_action(stages) is not None:
+        from .batch_pipeline import AdapterStage
+
+        # later stages would see un-transformed bytes
+        if not isinstance(stages[-1], AdapterStage):
+            return None
 
     filters = []
     sink = None
@@ -158,6 +169,8 @@ def _translate_single(pipeline):
         if isinstance(step, Demultiplexer):
             if sink is not None or cutter is None:
                 return None
+            if _transform_action(stages) is not None:
+                return None  # demux + mask/lowercase: host path
             writers = list(step._writers.values())
             if step._untrimmed_writer is not None:
                 writers.append(step._untrimmed_writer)
@@ -178,6 +191,40 @@ def _translate_single(pipeline):
     if sink is None:
         return None
     return stages, filters, cutter, sink
+
+
+def _transform_action(stages):
+    """The mask/lowercase action of the stage list's adapter stage, if
+    any (these need the transform assembler and must be last)."""
+    from .batch_pipeline import AdapterStage
+
+    for s in stages:
+        if isinstance(s, AdapterStage) and s.action in ("mask", "lowercase"):
+            return s.action
+    return None
+
+
+def _stages_assembler(stages):
+    """Per-chunk assembler honoring a mask/lowercase adapter action."""
+    from .batch_pipeline import assemble_window
+
+    action = _transform_action(stages)
+    if action is None:
+        return lambda chunk, ws, we, mask, stats: assemble_window(
+            chunk, ws, we, mask
+        )
+    from . import native
+
+    mode = 1 if action == "mask" else 2
+
+    def fn(chunk, ws, we, mask, stats):
+        rs, re_ = stats["remainder"]
+        return native.assemble_fastq_transform(
+            chunk.buf, chunk.head_start, chunk.head_end, chunk.seq_start,
+            chunk.qual_start, ws, we, rs, re_, mask, mode,
+        )
+
+    return fn
 
 
 def _apply_side_stats(stats, stages, cutter, written_lengths):
@@ -316,13 +363,15 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
     n = 0
     total_bp = 0
 
+    assemble = _stages_assembler(stages)
+
     def emit(pending):
         nonlocal n, total_bp
         ws, we, keep, stats = engine.collect(pending)
         chunk = pending.parsed
         written_lengths = None
         if demux is None:
-            out_file.write(assemble_window(chunk, ws, we, keep))
+            out_file.write(assemble(chunk, ws, we, keep, stats))
             written_lengths = sink._statistics._written_lengths1
         else:
             gids = stats["last_adapter_gid"]
@@ -359,7 +408,7 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
         # filter dropped, in input order, with their state at drop time
         for ff, newly in zip(filter_files, stats["filter_dropped_masks"]):
             if ff is not None and newly.any():
-                ff.write(assemble_window(chunk, ws, we, newly))
+                ff.write(assemble(chunk, ws, we, newly, stats))
         for f, count in zip(filters, stats.get("filter_counts", ())):
             f.step._filtered += count
         total_bp += _apply_side_stats(stats, stages, cutter, written_lengths)
@@ -408,6 +457,13 @@ def _translate_paired(pipeline):
             if is_cutter:
                 cutters[side] = m
             (stages1 if side == 0 else stages2).append(stage)
+    from .batch_pipeline import AdapterStage
+
+    for st in (stages1, stages2):
+        if _transform_action(st) is not None and not isinstance(
+            st[-1], AdapterStage
+        ):
+            return None
 
     pair_filters = []  # (step, kind1/None, thr1, kind2/None, thr2, mode)
     sink = None
@@ -486,6 +542,8 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
 
     engine1 = BatchPipelineEngine(stages1)
     engine2 = BatchPipelineEngine(stages2)
+    assemble1 = _stages_assembler(stages1)
+    assemble2 = _stages_assembler(stages2)
     out1 = sink.writer._writer1._file
     out2 = sink.writer._writer2._file
     n = 0
@@ -554,14 +612,14 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
             step._filtered += count
             if step.writer is not None and count:
                 step.writer._writer1._file.write(
-                    assemble_window(c1, ws1, we1, newly)
+                    assemble1(c1, ws1, we1, newly, stats1)
                 )
                 step.writer._writer2._file.write(
-                    assemble_window(c2, ws2, we2, newly)
+                    assemble2(c2, ws2, we2, newly, stats2)
                 )
             keep &= ~drop
-        out1.write(assemble_window(c1, ws1, we1, keep))
-        out2.write(assemble_window(c2, ws2, we2, keep))
+        out1.write(assemble1(c1, ws1, we1, keep, stats1))
+        out2.write(assemble2(c2, ws2, we2, keep, stats2))
         for length, count in zip(*np.unique(len1[keep], return_counts=True)):
             wl._written_lengths1[int(length)] += int(count)
         for length, count in zip(*np.unique(len2[keep], return_counts=True)):

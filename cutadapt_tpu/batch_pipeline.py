@@ -430,7 +430,7 @@ class ShortenStage(Stage):
 class AdapterStage(Stage):
     def __init__(self, tasks: Sequence[AdapterTask], times: int = 1,
                  modifier=None, action: Optional[str] = "trim"):
-        assert action in ("trim", None, "retain", "crop")
+        assert action in ("trim", None, "retain", "crop", "mask", "lowercase")
         if action in ("retain", "crop"):
             assert times == 1  # enforced by AdapterCutter as well
         self.tasks = list(tasks)
@@ -1039,10 +1039,13 @@ class BatchPipelineEngine:
         last_gid = np.full(B, -1, np.int32)
         if pending.adapter_stage is not None and B > 0:
             stage = pending.adapter_stage
-            if stage.action is None:
-                # match-only mode (--no-trim): rounds still trim their
-                # working windows (later rounds search the remainder),
-                # but the output keeps the original bytes
+            keep_windows = stage.action in (None, "mask", "lowercase")
+            if keep_windows:
+                # match-only / byte-rewriting modes: rounds still trim
+                # their working windows (later rounds search the
+                # remainder), but the output keeps the input extent;
+                # for mask/lowercase the final windows become the
+                # remainder interval the transform assembler uses
                 saved = (win_start.copy(), win_stop.copy())
             events_all = []
             subset = np.arange(B)
@@ -1064,7 +1067,9 @@ class BatchPipelineEngine:
                 active = active[matched]
             stats["adapter_events"] = events_all
             stats["with_adapters"] = int(matched_any.sum())
-            if stage.action is None:
+            if keep_windows:
+                if stage.action in ("mask", "lowercase"):
+                    stats["remainder"] = (win_start.copy(), win_stop.copy())
                 win_start, win_stop = saved
                 pending.win_start, pending.win_stop = saved
         stats["matched_mask"] = matched_any

@@ -127,6 +127,11 @@ def _load():
     lib.count_n.argtypes = [p_u8, p_i64, p_i32, p_i32, i64, p_i32]
     lib.casava_filtered.restype = None
     lib.casava_filtered.argtypes = [p_u8, p_i64, p_i64, i64, p_u8]
+    lib.assemble_fastq_transform.restype = i64
+    lib.assemble_fastq_transform.argtypes = [
+        p_u8, i64, p_i64, p_i64, p_i64, p_i64, p_i32, p_i32, p_i32,
+        p_i32, p_u8, _i32, p_u8,
+    ]
     _lib = lib
     AVAILABLE = True
 
@@ -399,6 +404,35 @@ def assemble_fastq_window(
         _ptr(seq_start, ctypes.c_int64), _ptr(qual_start, ctypes.c_int64),
         _ptr(win_start, ctypes.c_int32), _ptr(win_stop, ctypes.c_int32),
         _ptr(keep, ctypes.c_uint8), _ptr(out, ctypes.c_uint8),
+    )
+    assert written == total
+    return out.tobytes()
+
+
+def assemble_fastq_transform(
+    buf, head_start, head_end, seq_start, qual_start,
+    win_start, win_stop, rem_start, rem_stop, keep, mode: int,
+) -> bytes:
+    """Windowed records with the mask (1) / lowercase (2) transform
+    applied outside the remainder interval [rem_start, rem_stop)
+    (all coordinates absolute within each read)."""
+    win_start = np.ascontiguousarray(win_start, np.int32)
+    win_stop = np.ascontiguousarray(win_stop, np.int32)
+    rem_start = np.ascontiguousarray(rem_start, np.int32)
+    rem_stop = np.ascontiguousarray(rem_stop, np.int32)
+    keep = np.ascontiguousarray(keep, np.uint8)
+    n_records = len(win_start)
+    head_len = (head_end - head_start) * keep.astype(np.int64)
+    lens = (win_stop - win_start).astype(np.int64) * keep
+    total = int(6 * int(keep.sum()) + head_len.sum() + 2 * lens.sum())
+    out = np.empty(total, np.uint8)
+    written = _lib.assemble_fastq_transform(
+        _ptr(buf, ctypes.c_uint8), n_records,
+        _ptr(head_start, ctypes.c_int64), _ptr(head_end, ctypes.c_int64),
+        _ptr(seq_start, ctypes.c_int64), _ptr(qual_start, ctypes.c_int64),
+        _ptr(win_start, ctypes.c_int32), _ptr(win_stop, ctypes.c_int32),
+        _ptr(rem_start, ctypes.c_int32), _ptr(rem_stop, ctypes.c_int32),
+        _ptr(keep, ctypes.c_uint8), mode, _ptr(out, ctypes.c_uint8),
     )
     assert written == total
     return out.tobytes()

@@ -727,4 +727,54 @@ int64_t assemble_fastq_window(const uint8_t* buf, int64_t n_records,
     return (int64_t)(dst - out);
 }
 
+// Full-length assembly with a remainder-interval transform, for the
+// 'mask' (mode 1: N outside [rem_start, rem_stop)) and 'lowercase'
+// (mode 2: upper inside, lower outside) adapter actions
+// (reference modifiers.py:163-189). Reads keep their full length.
+int64_t assemble_fastq_transform(const uint8_t* buf, int64_t n_records,
+                                 const int64_t* head_start,
+                                 const int64_t* head_end,
+                                 const int64_t* seq_start,
+                                 const int64_t* qual_start,
+                                 const int32_t* win_start,
+                                 const int32_t* win_stop,
+                                 const int32_t* rem_start,
+                                 const int32_t* rem_stop,
+                                 const uint8_t* keep, int32_t mode,
+                                 uint8_t* out) {
+    uint8_t* dst = out;
+    for (int64_t r = 0; r < n_records; ++r) {
+        if (!keep[r]) continue;
+        *dst++ = '@';
+        const int64_t hl = head_end[r] - head_start[r];
+        memcpy(dst, buf + head_start[r], hl);
+        dst += hl;
+        *dst++ = '\n';
+        const int64_t ws = win_start[r], we = win_stop[r];
+        const uint8_t* s = buf + seq_start[r];
+        const int64_t a = rem_start[r], b = rem_stop[r];
+        if (mode == 1) {  // mask
+            for (int64_t i = ws; i < we; ++i)
+                *dst++ = (i >= a && i < b) ? s[i] : 'N';
+        } else {  // lowercase
+            for (int64_t i = ws; i < we; ++i) {
+                uint8_t c = s[i];
+                if (i >= a && i < b) {
+                    if (c >= 'a' && c <= 'z') c -= 32;
+                } else {
+                    if (c >= 'A' && c <= 'Z') c += 32;
+                }
+                *dst++ = c;
+            }
+        }
+        *dst++ = '\n';
+        *dst++ = '+';
+        *dst++ = '\n';
+        memcpy(dst, buf + qual_start[r] + ws, we - ws);
+        dst += we - ws;
+        *dst++ = '\n';
+    }
+    return (int64_t)(dst - out);
+}
+
 }  // extern "C"
