@@ -33,16 +33,34 @@ AUTO_SIZE_THRESHOLD = 64 * 1024 * 1024  # bytes
 CHUNK_RECORDS_BYTES = 64 * 1024 * 1024
 
 
+def _translate_tasks(cutter):
+    """AdapterTask list for an AdapterCutter, or None."""
+    from .batch_pipeline import AdapterTask, adapter_kind
+
+    tasks = []
+    for i, adapter in enumerate(cutter.adapters):
+        kind = adapter_kind(adapter)
+        if kind is None:
+            return None
+        if kind == "linked" and cutter.action == "crop":
+            return None
+        try:
+            tasks.append(AdapterTask(adapter, kind, i))
+        except ValueError:  # e.g. non-batchable linked sub-adapter
+            return None
+    return tasks
+
+
 def _translate_modifier(mod, has_cutter):
-    """Return (stage, is_cutter) for an eligible single-end modifier,
-    or None."""
+    """Return (stage, cutter_or_None) for an eligible single-end
+    modifier, or None if the modifier is not batchable."""
     from .batch_pipeline import (
         AdapterStage,
-        AdapterTask,
         CutStage,
         NextseqStage,
         PolyAStage,
         QualityStage,
+        RevcompStage,
         ShortenStage,
     )
     from .modifiers import (
@@ -50,25 +68,42 @@ def _translate_modifier(mod, has_cutter):
         NextseqQualityTrimmer,
         PolyATrimmer,
         QualityTrimmer,
+        ReverseComplementer,
         Shortener,
         UnconditionalCutter,
     )
 
     if isinstance(mod, UnconditionalCutter):
-        return CutStage(mod.length, mod), False
+        return CutStage(mod.length, mod), None
     if isinstance(mod, QualityTrimmer):
         return (
             QualityStage(mod.cutoff_front, mod.cutoff_back, mod.base, mod),
-            False,
+            None,
         )
     if isinstance(mod, NextseqQualityTrimmer):
-        return NextseqStage(mod.cutoff, mod.base, mod), False
+        return NextseqStage(mod.cutoff, mod.base, mod), None
     if isinstance(mod, Shortener):
-        return ShortenStage(mod.length, mod), False
+        return ShortenStage(mod.length, mod), None
     if isinstance(mod, PolyATrimmer):
         if mod.revcomp:
             return None
-        return PolyAStage(mod), False
+        return PolyAStage(mod), None
+    if isinstance(mod, ReverseComplementer):
+        from . import native
+
+        inner = mod.adapter_cutter
+        if has_cutter or inner.action != "trim" or not native.AVAILABLE:
+            return None
+        tasks = _translate_tasks(inner)
+        if tasks is None:
+            return None
+        return (
+            RevcompStage(
+                tasks, times=inner.times, modifier=mod,
+                suffix=mod._suffix,
+            ),
+            inner,
+        )
     if isinstance(mod, AdapterCutter):
         from . import native
 
@@ -77,24 +112,14 @@ def _translate_modifier(mod, has_cutter):
             supported += ("mask", "lowercase")
         if has_cutter or mod.action not in supported:
             return None
-        from .batch_pipeline import adapter_kind
-
-        tasks = []
-        for i, adapter in enumerate(mod.adapters):
-            kind = adapter_kind(adapter)
-            if kind is None:
-                return None
-            if kind == "linked" and mod.action == "crop":
-                return None
-            try:
-                tasks.append(AdapterTask(adapter, kind, i))
-            except ValueError:  # e.g. non-batchable linked sub-adapter
-                return None
+        tasks = _translate_tasks(mod)
+        if tasks is None:
+            return None
         return (
             AdapterStage(
                 tasks, times=mod.times, modifier=mod, action=mod.action
             ),
-            True,
+            mod,
         )
     return None
 
@@ -147,14 +172,15 @@ def _translate_single(pipeline):
         t = _translate_modifier(mod, cutter is not None)
         if t is None:
             return None
-        stage, is_cutter = t
-        if is_cutter:
-            cutter = mod
+        stage, stage_cutter = t
+        if stage_cutter is not None:
+            cutter = stage_cutter
         stages.append(stage)
-    if _transform_action(stages) is not None:
+    rc_stage = _revcomp_stage(stages)
+    if _transform_action(stages) is not None or rc_stage is not None:
         from .batch_pipeline import AdapterStage
 
-        # later stages would see un-transformed bytes
+        # later stages would see un-transformed / forward bytes
         if not isinstance(stages[-1], AdapterStage):
             return None
 
@@ -169,8 +195,8 @@ def _translate_single(pipeline):
         if isinstance(step, Demultiplexer):
             if sink is not None or cutter is None:
                 return None
-            if _transform_action(stages) is not None:
-                return None  # demux + mask/lowercase: host path
+            if _transform_action(stages) is not None or rc_stage is not None:
+                return None  # demux + mask/lowercase/revcomp: host path
             writers = list(step._writers.values())
             if step._untrimmed_writer is not None:
                 writers.append(step._untrimmed_writer)
@@ -186,6 +212,13 @@ def _translate_single(pipeline):
             return None
         t = _translate_predicate(step._predicate)
         if t is None:
+            return None
+        if rc_stage is not None and t[0] in (
+            "too_many_expected_errors", "too_high_average_error_rate",
+            "too_many_n",
+        ):
+            # content predicates would read forward bytes for reads
+            # whose reverse complement was chosen
             return None
         filters.append(FilterSpec(t[0], t[1], step))
     if sink is None:
@@ -204,10 +237,34 @@ def _transform_action(stages):
     return None
 
 
+def _revcomp_stage(stages):
+    from .batch_pipeline import RevcompStage
+
+    for s in stages:
+        if isinstance(s, RevcompStage):
+            return s
+    return None
+
+
 def _stages_assembler(stages):
-    """Per-chunk assembler honoring a mask/lowercase adapter action."""
+    """Per-chunk assembler honoring a mask/lowercase adapter action or
+    a --revcomp stage."""
     from .batch_pipeline import assemble_window
 
+    rc_stage = _revcomp_stage(stages)
+    if rc_stage is not None:
+        from . import native
+
+        suffix = (rc_stage.suffix or "").encode("ascii")
+
+        def fn(chunk, ws, we, mask, stats):
+            return native.assemble_fastq_window_rc(
+                chunk.buf, stats["rc_chunk"].buf, chunk.head_start,
+                chunk.head_end, chunk.seq_start, chunk.qual_start,
+                ws, we, mask, stats["is_rc"], suffix,
+            )
+
+        return fn
     action = _transform_action(stages)
     if action is None:
         return lambda chunk, ws, we, mask, stats: assemble_window(
@@ -237,16 +294,22 @@ def _apply_side_stats(stats, stages, cutter, written_lengths):
         for length, count in enumerate(np.bincount(removed)):
             if count:
                 mod.trimmed_bases[int(length)] += int(count)
+    rc_stage = _revcomp_stage(stages)
+    if rc_stage is not None and "revcomped" in stats:
+        rc_stage.modifier.reverse_complemented += stats["revcomped"]
     if cutter is not None:
         cutter.with_adapters += stats.get("with_adapters", 0)
         stage = next(s for s in stages if hasattr(s, "tasks"))
         for ev in stats.get("adapter_events", ()):
             task = stage.tasks[ev["task"]]
+            ev_rc = bool(ev.get("rc"))
             for rem, err, asf, adj, sub in zip(
                 ev["removed"], ev["errors"], ev["as_front"],
                 ev["adjacent"], ev["sub"],
             ):
                 astats = cutter.adapter_statistics[task.adapters[sub]]
+                if ev_rc:
+                    astats.reverse_complemented += 1
                 if task.trim in ("auto", "linked"):  # both ends exist
                     front_end, back_end = astats.front, astats.back
                 elif task.trim == "before":
@@ -453,9 +516,9 @@ def _translate_paired(pipeline):
             t = _translate_modifier(m, cutters[side] is not None)
             if t is None:
                 return None
-            stage, is_cutter = t
-            if is_cutter:
-                cutters[side] = m
+            stage, stage_cutter = t
+            if stage_cutter is not None:
+                cutters[side] = stage_cutter
             (stages1 if side == 0 else stages2).append(stage)
     from .batch_pipeline import AdapterStage
 

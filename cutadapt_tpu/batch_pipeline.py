@@ -446,6 +446,25 @@ class AdapterStage(Stage):
         self.flat_adapters = [a for t in self.tasks for a in t.adapters]
 
 
+class RevcompStage(AdapterStage):
+    """--revcomp: try forward and reverse-complement, keep the better
+    (reference ReverseComplementer, modifiers.py:237-279)."""
+
+    def __init__(self, tasks, times=1, modifier=None, suffix=" rc"):
+        super().__init__(tasks, times=times, modifier=modifier,
+                         action="trim")
+        self.suffix = suffix
+
+
+def _complement_table() -> np.ndarray:
+    from .io.records import _COMPLEMENT_TABLE
+
+    tbl = np.arange(256, dtype=np.uint8)
+    for k, v in _COMPLEMENT_TABLE.items():
+        tbl[k] = ord(v)
+    return tbl
+
+
 class FilterSpec:
     """One filtering step: 'too_short', 'too_long', 'discard_trimmed',
     'discard_untrimmed', 'too_many_n', 'too_many_expected_errors',
@@ -830,9 +849,11 @@ class BatchPipelineEngine:
         return found, qstart, qstop, errors, score, sub
 
     def _adapter_round(self, stage, chunk, subset, win_start, win_stop,
-                       width, dispatched=None, last_gid=None):
+                       width, dispatched=None, last_gid=None,
+                       score_acc=None):
         """One matching round over `subset`. Returns (matched_mask_over_
-        subset, events) and updates windows (and last_gid) in place."""
+        subset, events) and updates windows (and last_gid/score_acc)
+        in place."""
         B = chunk.n_records
         if dispatched is None:
             dispatched = [
@@ -892,6 +913,9 @@ class BatchPipelineEngine:
                 np.asarray(stage.gid_base, np.int32)[best_task[idx]]
                 + best_sub[idx]
             )
+        if score_acc is not None:
+            idx = np.flatnonzero(best_found)
+            score_acc[idx] += best_score[idx]
         events = []
         for t_i, task in enumerate(stage.tasks):
             hit = np.flatnonzero(best_found & (best_task == t_i))
@@ -909,7 +933,7 @@ class BatchPipelineEngine:
                 fh = hit[ffm]
                 if len(fh):
                     events.append(
-                        dict(task=t_i, removed=f_qe_all[ffm],
+                        dict(task=t_i, reads=fh, removed=f_qe_all[ffm],
                              errors=res["front_errors"][pos][ffm],
                              as_front=np.ones(len(fh), bool),
                              adjacent=np.zeros(len(fh), np.uint8),
@@ -927,7 +951,7 @@ class BatchPipelineEngine:
                         b_qs > 0, chunk.buf[np.clip(adj_pos, 0, None)], 0
                     )
                     events.append(
-                        dict(task=t_i, removed=cur_len - b_qs,
+                        dict(task=t_i, reads=bh, removed=cur_len - b_qs,
                              errors=res["back_errors"][pos][bfm],
                              as_front=np.zeros(len(bh), bool),
                              adjacent=adjacent,
@@ -970,7 +994,7 @@ class BatchPipelineEngine:
                 0,
             )
             events.append(
-                dict(task=t_i, removed=removed, errors=er,
+                dict(task=t_i, reads=hit, removed=removed, errors=er,
                      as_front=as_front, adjacent=adjacent,
                      sub=best_sub[hit])
             )
@@ -1015,11 +1039,41 @@ class BatchPipelineEngine:
             stage = self.stages[self._adapter_pos]
             width = self._bucket_length(int((win_stop - win_start).max()))
             subset = np.arange(B)
-            dp_futures = [
-                self._dispatch_task(t, parsed, subset, win_start, win_stop,
-                                    width)
-                for t in stage.tasks
-            ]
+            if isinstance(stage, RevcompStage):
+                # a reverse-complemented copy of the chunk shares all
+                # offsets, so the same tasks match the rc reads
+                rc_buf = parsed.buf.copy()
+                native.reverse_complement_records(
+                    rc_buf, parsed.seq_start, parsed.seq_len,
+                    parsed.qual_start, _complement_table(),
+                )
+                from .batch import ParsedChunk
+
+                rc_chunk = ParsedChunk(
+                    rc_buf, parsed.head_start, parsed.head_end,
+                    parsed.seq_start, parsed.seq_len, parsed.qual_start,
+                    has_cr=parsed.has_cr,
+                )
+                full = parsed.seq_len.astype(np.int32)
+                rc_ws = full - win_stop
+                rc_we = full - win_start
+                fwd_disp = [
+                    self._dispatch_task(t, parsed, subset, win_start,
+                                        win_stop, width)
+                    for t in stage.tasks
+                ]
+                rc_disp = [
+                    self._dispatch_task(t, rc_chunk, subset, rc_ws, rc_we,
+                                        width)
+                    for t in stage.tasks
+                ]
+                dp_futures = (rc_chunk, rc_ws, rc_we, fwd_disp, rc_disp)
+            else:
+                dp_futures = [
+                    self._dispatch_task(t, parsed, subset, win_start,
+                                        win_stop, width)
+                    for t in stage.tasks
+                ]
         post = (
             self.stages[pos + 1 :] if self._adapter_pos is not None else []
         )
@@ -1030,6 +1084,81 @@ class BatchPipelineEngine:
             post, dp_futures, width,
         )
 
+    def _run_rounds(self, stage, chunk, win_start, win_stop, width,
+                    dispatched, last_gid, score_acc):
+        """Run all `times` matching rounds; mutates windows/last_gid/
+        score_acc in place; returns (matched_any mask, events)."""
+        B = chunk.n_records
+        events_all = []
+        subset = np.arange(B)
+        matched, events = self._adapter_round(
+            stage, chunk, subset, win_start, win_stop, width,
+            dispatched=dispatched, last_gid=last_gid, score_acc=score_acc,
+        )
+        events_all.extend(events)
+        matched_any = self._scatter_mask(subset, matched, B)
+        active = subset[matched]
+        for _ in range(1, stage.times):
+            if len(active) == 0:
+                break
+            matched, events = self._adapter_round(
+                stage, chunk, active, win_start, win_stop, width,
+                last_gid=last_gid, score_acc=score_acc,
+            )
+            events_all.extend(events)
+            active = active[matched]
+        return matched_any, events_all
+
+    def _run_revcomp(self, stage, pending, win_start, win_stop, last_gid,
+                     stats):
+        """--revcomp: match the forward read and its reverse complement
+        with full rounds each, keep whichever direction scored higher
+        (strictly, like ReverseComplementer — modifiers.py:237-279).
+        Events carry ev['rc']; stats gain is_rc/rc_chunk for assembly."""
+        chunk = pending.parsed
+        B = chunk.n_records
+        rc_chunk, rc_ws, rc_we, fwd_disp, rc_disp = pending.dp_futures
+        ws_f, we_f = win_start.copy(), win_stop.copy()
+        score_f = np.zeros(B, np.int32)
+        gid_f = np.full(B, -1, np.int32)
+        matched_f, events_f = self._run_rounds(
+            stage, chunk, ws_f, we_f, pending.width, fwd_disp,
+            gid_f, score_f,
+        )
+        score_r = np.zeros(B, np.int32)
+        gid_r = np.full(B, -1, np.int32)
+        matched_r, events_r = self._run_rounds(
+            stage, rc_chunk, rc_ws, rc_we, pending.width, rc_disp,
+            gid_r, score_r,
+        )
+        use_rc = score_r > score_f
+        matched_any = np.where(use_rc, matched_r, matched_f)
+        pending.win_start[:] = np.where(use_rc, rc_ws, ws_f)
+        pending.win_stop[:] = np.where(use_rc, rc_we, we_f)
+        last_gid[:] = np.where(use_rc, gid_r, gid_f)
+        events = []
+        for evs, mask, rc in ((events_f, ~use_rc, False),
+                              (events_r, use_rc, True)):
+            for ev in evs:
+                sel = mask[ev["reads"]]
+                if not sel.any():
+                    continue
+                events.append(
+                    dict(
+                        task=ev["task"], rc=rc,
+                        reads=ev["reads"][sel],
+                        removed=ev["removed"][sel],
+                        errors=ev["errors"][sel],
+                        as_front=ev["as_front"][sel],
+                        adjacent=ev["adjacent"][sel],
+                        sub=ev["sub"][sel],
+                    )
+                )
+        stats["is_rc"] = use_rc
+        stats["rc_chunk"] = rc_chunk
+        stats["revcomped"] = int((use_rc & matched_any).sum())
+        return matched_any, events
+
     def collect(self, pending: PendingBatch):
         chunk = pending.parsed
         B = chunk.n_records
@@ -1039,39 +1168,34 @@ class BatchPipelineEngine:
         last_gid = np.full(B, -1, np.int32)
         if pending.adapter_stage is not None and B > 0:
             stage = pending.adapter_stage
-            keep_windows = stage.action in (None, "mask", "lowercase")
-            if keep_windows:
-                # match-only / byte-rewriting modes: rounds still trim
-                # their working windows (later rounds search the
-                # remainder), but the output keeps the input extent;
-                # for mask/lowercase the final windows become the
-                # remainder interval the transform assembler uses
-                saved = (win_start.copy(), win_stop.copy())
-            events_all = []
-            subset = np.arange(B)
-            matched, events = self._adapter_round(
-                stage, chunk, subset, win_start, win_stop, pending.width,
-                dispatched=pending.dp_futures, last_gid=last_gid,
-            )
-            events_all.extend(events)
-            matched_any = self._scatter_mask(subset, matched, B)
-            active = subset[matched]
-            for _ in range(1, stage.times):
-                if len(active) == 0:
-                    break
-                matched, events = self._adapter_round(
-                    stage, chunk, active, win_start, win_stop,
-                    pending.width, last_gid=last_gid,
+            if isinstance(stage, RevcompStage):
+                matched_any, events_all = self._run_revcomp(
+                    stage, pending, win_start, win_stop, last_gid, stats
                 )
-                events_all.extend(events)
-                active = active[matched]
+                win_start, win_stop = pending.win_start, pending.win_stop
+            else:
+                keep_windows = stage.action in (None, "mask", "lowercase")
+                if keep_windows:
+                    # match-only / byte-rewriting modes: rounds still
+                    # trim their working windows (later rounds search
+                    # the remainder), but the output keeps the input
+                    # extent; for mask/lowercase the final windows
+                    # become the remainder interval the transform
+                    # assembler uses
+                    saved = (win_start.copy(), win_stop.copy())
+                matched_any, events_all = self._run_rounds(
+                    stage, chunk, win_start, win_stop, pending.width,
+                    pending.dp_futures, last_gid, None,
+                )
+                if keep_windows:
+                    if stage.action in ("mask", "lowercase"):
+                        stats["remainder"] = (
+                            win_start.copy(), win_stop.copy()
+                        )
+                    win_start, win_stop = saved
+                    pending.win_start, pending.win_stop = saved
             stats["adapter_events"] = events_all
             stats["with_adapters"] = int(matched_any.sum())
-            if keep_windows:
-                if stage.action in ("mask", "lowercase"):
-                    stats["remainder"] = (win_start.copy(), win_stop.copy())
-                win_start, win_stop = saved
-                pending.win_start, pending.win_stop = saved
         stats["matched_mask"] = matched_any
         stats["last_adapter_gid"] = last_gid
         base_si = (self._adapter_pos + 1) if self._adapter_pos is not None else 0

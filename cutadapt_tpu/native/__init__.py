@@ -132,6 +132,15 @@ def _load():
         p_u8, i64, p_i64, p_i64, p_i64, p_i64, p_i32, p_i32, p_i32,
         p_i32, p_u8, _i32, p_u8,
     ]
+    lib.reverse_complement_records.restype = None
+    lib.reverse_complement_records.argtypes = [
+        p_u8, i64, p_i64, p_i32, p_i64, p_u8,
+    ]
+    lib.assemble_fastq_window_rc.restype = i64
+    lib.assemble_fastq_window_rc.argtypes = [
+        p_u8, p_u8, i64, p_i64, p_i64, p_i64, p_i64, p_i32, p_i32,
+        p_u8, p_u8, p_u8, i64, p_u8,
+    ]
     _lib = lib
     AVAILABLE = True
 
@@ -433,6 +442,50 @@ def assemble_fastq_transform(
         _ptr(win_start, ctypes.c_int32), _ptr(win_stop, ctypes.c_int32),
         _ptr(rem_start, ctypes.c_int32), _ptr(rem_stop, ctypes.c_int32),
         _ptr(keep, ctypes.c_uint8), mode, _ptr(out, ctypes.c_uint8),
+    )
+    assert written == total
+    return out.tobytes()
+
+
+def reverse_complement_records(buf_copy, seq_start, seq_len, qual_start,
+                               comp_table) -> None:
+    """In-place per-record reverse-complement of seqs + reversal of
+    quals (call on a copy of the chunk buffer)."""
+    comp_table = np.ascontiguousarray(comp_table, np.uint8)
+    _lib.reverse_complement_records(
+        _ptr(buf_copy, ctypes.c_uint8), len(seq_start),
+        _ptr(seq_start, ctypes.c_int64),
+        _ptr(np.ascontiguousarray(seq_len, np.int32), ctypes.c_int32),
+        _ptr(qual_start, ctypes.c_int64),
+        _ptr(comp_table, ctypes.c_uint8),
+    )
+
+
+def assemble_fastq_window_rc(
+    buf, rc_buf, head_start, head_end, seq_start, qual_start,
+    win_start, win_stop, keep, is_rc, suffix: bytes,
+) -> bytes:
+    win_start = np.ascontiguousarray(win_start, np.int32)
+    win_stop = np.ascontiguousarray(win_stop, np.int32)
+    keep = np.ascontiguousarray(keep, np.uint8)
+    is_rc = np.ascontiguousarray(is_rc, np.uint8)
+    n_records = len(win_start)
+    head_len = (head_end - head_start) * keep.astype(np.int64)
+    lens = (win_stop - win_start).astype(np.int64) * keep
+    n_suffixed = int((keep & is_rc).sum())
+    total = int(
+        6 * int(keep.sum()) + head_len.sum() + 2 * lens.sum()
+        + n_suffixed * len(suffix)
+    )
+    out = np.empty(total, np.uint8)
+    sfx = np.frombuffer(suffix, np.uint8) if suffix else np.zeros(0, np.uint8)
+    written = _lib.assemble_fastq_window_rc(
+        _ptr(buf, ctypes.c_uint8), _ptr(rc_buf, ctypes.c_uint8), n_records,
+        _ptr(head_start, ctypes.c_int64), _ptr(head_end, ctypes.c_int64),
+        _ptr(seq_start, ctypes.c_int64), _ptr(qual_start, ctypes.c_int64),
+        _ptr(win_start, ctypes.c_int32), _ptr(win_stop, ctypes.c_int32),
+        _ptr(keep, ctypes.c_uint8), _ptr(is_rc, ctypes.c_uint8),
+        _ptr(sfx, ctypes.c_uint8), len(sfx), _ptr(out, ctypes.c_uint8),
     )
     assert written == total
     return out.tobytes()

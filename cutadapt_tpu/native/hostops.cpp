@@ -727,6 +727,69 @@ int64_t assemble_fastq_window(const uint8_t* buf, int64_t n_records,
     return (int64_t)(dst - out);
 }
 
+// Reverse-complement every record's sequence bytes and reverse its
+// quality bytes, in place (callers operate on a copy of the chunk).
+// `comp` is the 256-byte complement table (IUPAC-aware, case kept).
+void reverse_complement_records(uint8_t* buf, int64_t n_records,
+                                const int64_t* seq_start,
+                                const int32_t* seq_len,
+                                const int64_t* qual_start,
+                                const uint8_t* comp) {
+    for (int64_t r = 0; r < n_records; ++r) {
+        const int64_t n = seq_len[r];
+        uint8_t* s = buf + seq_start[r];
+        for (int64_t i = 0, j = n - 1; i < j; ++i, --j) {
+            const uint8_t a = comp[s[i]], b = comp[s[j]];
+            s[i] = b;
+            s[j] = a;
+        }
+        if (n & 1) s[n / 2] = comp[s[n / 2]];
+        uint8_t* q = buf + qual_start[r];
+        for (int64_t i = 0, j = n - 1; i < j; ++i, --j) {
+            const uint8_t t = q[i];
+            q[i] = q[j];
+            q[j] = t;
+        }
+    }
+}
+
+// Windowed assembly choosing per record between the forward chunk and
+// its reverse-complemented copy (same offsets); rc records get
+// `suffix` appended to their header (--revcomp's " rc").
+int64_t assemble_fastq_window_rc(
+    const uint8_t* buf, const uint8_t* rc_buf, int64_t n_records,
+    const int64_t* head_start, const int64_t* head_end,
+    const int64_t* seq_start, const int64_t* qual_start,
+    const int32_t* win_start, const int32_t* win_stop,
+    const uint8_t* keep, const uint8_t* is_rc, const uint8_t* suffix,
+    int64_t suffix_len, uint8_t* out) {
+    uint8_t* dst = out;
+    for (int64_t r = 0; r < n_records; ++r) {
+        if (!keep[r]) continue;
+        const uint8_t* src = is_rc[r] ? rc_buf : buf;
+        *dst++ = '@';
+        const int64_t hl = head_end[r] - head_start[r];
+        memcpy(dst, buf + head_start[r], hl);
+        dst += hl;
+        if (is_rc[r] && suffix_len) {
+            memcpy(dst, suffix, suffix_len);
+            dst += suffix_len;
+        }
+        *dst++ = '\n';
+        const int64_t ws = win_start[r];
+        const int64_t len = win_stop[r] - ws;
+        memcpy(dst, src + seq_start[r] + ws, len);
+        dst += len;
+        *dst++ = '\n';
+        *dst++ = '+';
+        *dst++ = '\n';
+        memcpy(dst, src + qual_start[r] + ws, len);
+        dst += len;
+        *dst++ = '\n';
+    }
+    return (int64_t)(dst - out);
+}
+
 // Full-length assembly with a remainder-interval transform, for the
 // 'mask' (mode 1: N outside [rem_start, rem_stop)) and 'lowercase'
 // (mode 2: upper inside, lower outside) adapter actions
