@@ -505,9 +505,33 @@ def _translate_paired(pipeline):
     from .steps import PairedEndFilter, PairedEndSink
     from .io.fastq import FastqWriter, PairedSequenceWriter
 
+    from .batch_pipeline import adapter_kind, AdapterTask
+    from .modifiers import PairedAdapterCutter
+
     stages1, stages2 = [], []
     cutters = [None, None]
+    pair_stage = None
     for mod in pipeline._modifiers:
+        if pair_stage is not None:
+            return None  # --pair-adapters must be the last modifier
+        if isinstance(mod, PairedAdapterCutter):
+            if cutters != [None, None]:
+                return None
+            if mod.action not in ("trim", None, "retain"):
+                return None
+            tasks = [[], []]
+            for side, adapters in enumerate(
+                zip(*mod._adapter_pairs)
+            ):
+                for i, a in enumerate(adapters):
+                    kind = adapter_kind(a)
+                    if kind is None or kind in (
+                        "linked", "indexed_prefix", "indexed_suffix"
+                    ):
+                        return None
+                    tasks[side].append(AdapterTask(a, kind, i))
+            pair_stage = (tasks[0], tasks[1], mod)
+            continue
         if not isinstance(mod, PairedEndModifierWrapper):
             return None
         for side, m in enumerate((mod._modifier1, mod._modifier2)):
@@ -523,9 +547,10 @@ def _translate_paired(pipeline):
     from .batch_pipeline import AdapterStage
 
     for st in (stages1, stages2):
-        if _transform_action(st) is not None and not isinstance(
-            st[-1], AdapterStage
-        ):
+        if (
+            _transform_action(st) is not None
+            or _revcomp_stage(st) is not None
+        ) and not isinstance(st[-1], AdapterStage):
             return None
 
     pair_filters = []  # (step, kind1/None, thr1, kind2/None, thr2, mode)
@@ -570,7 +595,143 @@ def _translate_paired(pipeline):
         pair_filters.append((step, t1, t2, step._pair_filter_mode))
     if sink is None:
         return None
-    return stages1, stages2, cutters, pair_filters, sink
+    # content predicates on a transformed/revcomped side would read
+    # pre-transform bytes
+    content_kinds = ("too_many_n", "too_many_expected_errors",
+                     "too_high_average_error_rate")
+    for st in (stages1, stages2):
+        if _transform_action(st) is None and _revcomp_stage(st) is None:
+            continue
+        for _, t1, t2, _mode in pair_filters:
+            for t in (t1, t2):
+                if t is not None and t[0] in content_kinds:
+                    return None
+    return stages1, stages2, cutters, pair_filters, sink, pair_stage
+
+
+def _apply_match_windows(task, action, ws, we, hit, qs, qe):
+    """Window update for one task's matches (same math as the engine's
+    _adapter_round apply phase). Returns per-hit event fields."""
+    cur_len = (we[hit] - ws[hit]).astype(np.int32)
+    if task.trim == "before":
+        as_front = np.ones(len(hit), bool)
+    elif task.trim == "after":
+        as_front = np.zeros(len(hit), bool)
+    else:  # anywhere
+        as_front = qs == 0
+    removed = np.where(as_front, qe, cur_len - qs)
+    adj_rel = ws[hit] + qs - 1
+    if action == "retain":
+        fr = hit[as_front]
+        ws[fr] = ws[fr] + qs[as_front]
+        bk = hit[~as_front]
+        we[bk] = ws[bk] + qe[~as_front]
+    elif action == "trim":
+        fr = hit[as_front]
+        ws[fr] = ws[fr] + qe[as_front]
+        bk = hit[~as_front]
+        we[bk] = ws[bk] + qs[~as_front]
+    # action None: windows untouched
+    return as_front, removed, adj_rel
+
+
+def _pair_match(engines, chunks, windows, pair_stage):
+    """--pair-adapters: adapter pair i matches iff it matches both
+    reads; the pair with the highest total score wins (ties: fewer
+    total errors, then earlier pair) — PairedAdapterCutter semantics
+    (reference modifiers.py:412-503). Mutates both sides' windows;
+    returns the matched mask."""
+    tasks_by_side, mod = pair_stage[:2], pair_stage[2]
+    n = chunks[0].n_records
+    n_pairs = len(tasks_by_side[0])
+    results = [[None] * n_pairs, [None] * n_pairs]
+    disp = [[None] * n_pairs, [None] * n_pairs]
+    for side in (0, 1):
+        eng, chunk = engines[side], chunks[side]
+        ws, we = windows[side]
+        lens = (we - ws).astype(np.int32)
+        width = eng._bucket_length(int(lens.max()) if n else 0)
+        starts = (chunk.seq_start + ws).astype(np.int64)
+        for t in range(n_pairs):
+            disp[side][t] = (
+                eng._dispatch_windows(
+                    tasks_by_side[side][t], chunk, starts, lens, width
+                ),
+                lens,
+            )
+    for side in (0, 1):
+        eng = engines[side]
+        for t in range(n_pairs):
+            (sel, futures), lens = disp[side][t]
+            task = tasks_by_side[side][t]
+            f = np.zeros(n, bool)
+            qs = np.zeros(n, np.int32)
+            qe = np.zeros(n, np.int32)
+            er = np.zeros(n, np.int32)
+            sc = np.zeros(n, np.int32)
+            if len(sel):
+                ff, fqs, fqe, fer, fsc = eng._fetch_windows(
+                    task, sel, futures, lens
+                )
+                f[sel] = ff
+                qs[sel] = fqs
+                qe[sel] = fqe
+                er[sel] = fer
+                sc[sel] = fsc
+            results[side][t] = (f, qs, qe, er, sc)
+
+    best = np.full(n, -1, np.int32)
+    best_sc = np.zeros(n, np.int32)
+    best_er = np.zeros(n, np.int32)
+    for t in range(n_pairs):
+        f1, _, _, er1, sc1 = results[0][t]
+        f2, _, _, er2, sc2 = results[1][t]
+        ok = f1 & f2
+        sc = sc1 + sc2
+        er = er1 + er2
+        better = ok & (
+            (best == -1) | (sc > best_sc) | ((sc == best_sc) & (er < best_er))
+        )
+        best[better] = t
+        best_sc[better] = sc[better]
+        best_er[better] = er[better]
+
+    matched = best >= 0
+    mod.with_adapters += int(matched.sum())
+    for side in (0, 1):
+        chunk = chunks[side]
+        ws, we = windows[side]
+        for t in range(n_pairs):
+            hit = np.flatnonzero(matched & (best == t))
+            if len(hit) == 0:
+                continue
+            task = tasks_by_side[side][t]
+            _, qs, qe, er, _ = results[side][t]
+            as_front, removed, adj_rel = _apply_match_windows(
+                task, mod.action, ws, we, hit, qs[hit], qe[hit]
+            )
+            astats = mod.adapter_statistics[side][task.adapter]
+            adj_pos = chunk.seq_start[hit] + adj_rel
+            adjacent = np.where(
+                ~as_front & (qs[hit] > 0),
+                chunk.buf[np.clip(adj_pos, 0, None)], 0,
+            )
+            for rem, e_, asf, adj in zip(removed, er[hit], as_front,
+                                         adjacent):
+                if task.trim == "auto":
+                    end = astats.front if asf else astats.back
+                elif task.trim == "before":
+                    end = astats.end
+                else:
+                    end = astats.end
+                end.errors[int(rem)][int(e_)] += 1
+                if not asf:
+                    ch = chr(adj) if adj else ""
+                    if ch in end.adjacent_bases and ch:
+                        end.adjacent_bases[ch] += 1
+                    else:
+                        end.adjacent_bases[""] += 1
+    return matched
 
 
 def _pair_condition(t, chunk, ws, we, lengths, matched):
@@ -591,7 +752,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
     translated = _translate_paired(pipeline)
     if translated is None:
         return None
-    stages1, stages2, cutters, pair_filters, sink = translated
+    stages1, stages2, cutters, pair_filters, sink, pair_stage = translated
     _setup_jax()
 
     from . import native
@@ -651,10 +812,15 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         ws1, we1, _, stats1 = engine1.collect(pend1)
         ws2, we2, _, stats2 = engine2.collect(pend2)
         c1, c2 = pend1.parsed, pend2.parsed
-        len1 = we1 - ws1
-        len2 = we2 - ws2
         m1 = stats1["matched_mask"]
         m2 = stats2["matched_mask"]
+        if pair_stage is not None:
+            m1 = m2 = _pair_match(
+                (engine1, engine2), (c1, c2),
+                ((ws1, we1), (ws2, we2)), pair_stage,
+            )
+        len1 = we1 - ws1
+        len2 = we2 - ws2
         keep = np.ones(c1.n_records, bool)
         for step, t1, t2, mode in pair_filters:
             if t2 is None:
