@@ -498,12 +498,25 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
 # --- paired-end --------------------------------------------------------------
 
 
-def _translate_paired(pipeline):
+def _translate_paired(pipeline, interleaved=False):
     """Map an eligible paired-end pipeline to per-side stage lists plus
     pair filters, or None."""
     from .modifiers import PairedEndModifierWrapper
     from .steps import PairedEndFilter, PairedEndSink
-    from .io.fastq import FastqWriter, PairedSequenceWriter
+    from .io.fastq import (
+        FastqWriter,
+        InterleavedSequenceWriter,
+        PairedSequenceWriter,
+    )
+
+    def writer_ok(w):
+        if isinstance(w, PairedSequenceWriter):
+            return isinstance(w._writer1, FastqWriter) and isinstance(
+                w._writer2, FastqWriter
+            )
+        if isinstance(w, InterleavedSequenceWriter) and interleaved:
+            return isinstance(w._writer, FastqWriter)
+        return False
 
     from .batch_pipeline import adapter_kind, AdapterTask
     from .modifiers import PairedAdapterCutter
@@ -547,35 +560,25 @@ def _translate_paired(pipeline):
     from .batch_pipeline import AdapterStage
 
     for st in (stages1, stages2):
-        if (
+        has_special = (
             _transform_action(st) is not None
             or _revcomp_stage(st) is not None
-        ) and not isinstance(st[-1], AdapterStage):
+        )
+        if has_special and (interleaved or not isinstance(st[-1], AdapterStage)):
             return None
 
     pair_filters = []  # (step, kind1/None, thr1, kind2/None, thr2, mode)
     sink = None
     for step in pipeline._steps:
         if isinstance(step, PairedEndSink):
-            if sink is not None:
-                return None
-            w = step.writer
-            if not isinstance(w, PairedSequenceWriter) or not isinstance(
-                w._writer1, FastqWriter
-            ) or not isinstance(w._writer2, FastqWriter):
+            if sink is not None or not writer_ok(step.writer):
                 return None
             sink = step
             continue
         if sink is not None or not isinstance(step, PairedEndFilter):
             return None
-        if step.writer is not None:
-            w = step.writer
-            from .io.fastq import PairedSequenceWriter as PSW
-
-            if not isinstance(w, PSW) or not isinstance(
-                w._writer1, FastqWriter
-            ) or not isinstance(w._writer2, FastqWriter):
-                return None
+        if step.writer is not None and not writer_ok(step.writer):
+            return None
         t1 = (
             _translate_predicate(step.predicate1)
             if step.predicate1 is not None
@@ -741,15 +744,70 @@ def _pair_condition(t, chunk, ws, we, lengths, matched):
     return filter_condition(kind, thr, chunk, ws, we, lengths, matched)
 
 
+def _slice_parsed(parsed, sl):
+    """A ParsedChunk over a subset of records (shared buffer). The
+    offset arrays are copied contiguous — the native ops take raw
+    pointers and cannot handle strided views."""
+    from .batch import ParsedChunk
+
+    return ParsedChunk(
+        parsed.buf,
+        np.ascontiguousarray(parsed.head_start[sl]),
+        np.ascontiguousarray(parsed.head_end[sl]),
+        np.ascontiguousarray(parsed.seq_start[sl]),
+        np.ascontiguousarray(parsed.seq_len[sl]),
+        np.ascontiguousarray(parsed.qual_start[sl]),
+        has_cr=parsed.has_cr,
+    )
+
+
+def _interleaved_parsed_chunks(file, size):
+    """Yield pair-aligned ParsedChunks from an interleaved file; an
+    odd trailing record raises the host reader's exact error."""
+    from .batch import parse_fastq_chunk
+    from .io.fastq import read_chunks
+    from .io.records import FileFormatError
+
+    leftover = b""
+    for data in read_chunks(file, size):
+        if leftover:
+            data = leftover + bytes(data)
+            leftover = b""
+        parsed = parse_fastq_chunk(data)
+        nrec = parsed.n_records
+        if nrec % 2:
+            cut = int(parsed.head_start[nrec - 1]) - 1
+            leftover = bytes(parsed.buf[cut:])
+            parsed = _slice_parsed(parsed, slice(0, nrec - 1))
+        if parsed.n_records:
+            yield parsed
+    if leftover:
+        last = parse_fastq_chunk(leftover)
+        name = bytes(
+            last.buf[last.head_start[0] : last.head_end[0]]
+        ).decode("latin-1")
+        raise FileFormatError(
+            "Interleaved input file incomplete: last record "
+            f"'{name}' has no partner.",
+            line=None,
+        )
+
+
 def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
-    if infiles.interleaved or len(infiles._files) != 2:
-        return None
-    f1, f2 = infiles._files
+    interleaved_in = infiles.interleaved
+    if interleaved_in:
+        if len(infiles._files) != 1:
+            return None
+        f1, f2 = infiles._files[0], None
+    else:
+        if len(infiles._files) != 2:
+            return None
+        f1, f2 = infiles._files
     if not _activation_allowed(f1):
         return None
-    if not (_is_fastq(f1) and _is_fastq(f2)):
+    if not _is_fastq(f1) or (f2 is not None and not _is_fastq(f2)):
         return None
-    translated = _translate_paired(pipeline)
+    translated = _translate_paired(pipeline, interleaved_in)
     if translated is None:
         return None
     stages1, stages2, cutters, pair_filters, sink, pair_stage = translated
@@ -758,7 +816,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
     from . import native
     from .batch import parse_fastq_chunk
     from .batch_pipeline import BatchPipelineEngine, assemble_window
-    from .io.fastq import read_paired_chunks
+    from .io.fastq import InterleavedSequenceWriter, read_paired_chunks
     from .io.records import FileFormatError
 
     if not native.AVAILABLE:
@@ -768,8 +826,13 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
     engine2 = BatchPipelineEngine(stages2)
     assemble1 = _stages_assembler(stages1)
     assemble2 = _stages_assembler(stages2)
-    out1 = sink.writer._writer1._file
-    out2 = sink.writer._writer2._file
+    if isinstance(sink.writer, InterleavedSequenceWriter):
+        inter_out = sink.writer._writer._file
+        out1 = out2 = None
+    else:
+        inter_out = None
+        out1 = sink.writer._writer1._file
+        out2 = sink.writer._writer2._file
     n = 0
     bp1 = 0
     bp2 = 0
@@ -779,6 +842,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         from .io.records import record_names_match
 
         if p1.n_records != p2.n_records:
+            assert not interleaved_in
             more = 1 if p1.n_records > p2.n_records else 2
             raise FileFormatError(
                 "Reads are improperly paired. There are more reads in "
@@ -800,6 +864,12 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
             # split() skips leading whitespace — reconfirm before
             # raising so edge cases stay identical
             if not record_names_match(name1, name2):
+                if interleaved_in:
+                    raise FileFormatError(
+                        "Reads are improperly paired. Read name "
+                        f"'{name1}' does not match '{name2}'.",
+                        line=None,
+                    )
                 raise FileFormatError(
                     "Reads are improperly paired. Read name "
                     f"'{name1}' in file 1 does not match "
@@ -807,7 +877,19 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
                     line=None,
                 )
 
-    def emit(pend1, pend2):
+    def interleave_write(dest, full, ws1, we1, ws2, we2, mask):
+        from .batch_pipeline import assemble_window
+
+        N2 = full.n_records
+        wsa = np.empty(N2, np.int32)
+        wea = np.empty(N2, np.int32)
+        kp = np.empty(N2, bool)
+        wsa[0::2], wsa[1::2] = ws1, ws2
+        wea[0::2], wea[1::2] = we1, we2
+        kp[0::2] = kp[1::2] = mask
+        dest.write(assemble_window(full, wsa, wea, kp))
+
+    def emit(pend1, pend2, full):
         nonlocal n, bp1, bp2
         ws1, we1, _, stats1 = engine1.collect(pend1)
         ws2, we2, _, stats2 = engine2.collect(pend2)
@@ -840,15 +922,24 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
             count = int(newly.sum())
             step._filtered += count
             if step.writer is not None and count:
-                step.writer._writer1._file.write(
-                    assemble1(c1, ws1, we1, newly, stats1)
-                )
-                step.writer._writer2._file.write(
-                    assemble2(c2, ws2, we2, newly, stats2)
-                )
+                if isinstance(step.writer, InterleavedSequenceWriter):
+                    interleave_write(
+                        step.writer._writer._file, full,
+                        ws1, we1, ws2, we2, newly,
+                    )
+                else:
+                    step.writer._writer1._file.write(
+                        assemble1(c1, ws1, we1, newly, stats1)
+                    )
+                    step.writer._writer2._file.write(
+                        assemble2(c2, ws2, we2, newly, stats2)
+                    )
             keep &= ~drop
-        out1.write(assemble1(c1, ws1, we1, keep, stats1))
-        out2.write(assemble2(c2, ws2, we2, keep, stats2))
+        if inter_out is not None:
+            interleave_write(inter_out, full, ws1, we1, ws2, we2, keep)
+        else:
+            out1.write(assemble1(c1, ws1, we1, keep, stats1))
+            out2.write(assemble2(c2, ws2, we2, keep, stats2))
         for length, count in zip(*np.unique(len1[keep], return_counts=True)):
             wl._written_lengths1[int(length)] += int(count)
         for length, count in zip(*np.unique(len2[keep], return_counts=True)):
@@ -859,12 +950,22 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         if progress is not None:
             progress.update(stats1["n"])
 
+    def chunk_pairs():
+        if interleaved_in:
+            for full in _interleaved_parsed_chunks(f1, CHUNK_RECORDS_BYTES):
+                yield (
+                    _slice_parsed(full, slice(0, None, 2)),
+                    _slice_parsed(full, slice(1, None, 2)),
+                    full,
+                )
+        else:
+            for d1, d2 in read_paired_chunks(f1, f2, CHUNK_RECORDS_BYTES):
+                yield parse_fastq_chunk(d1), parse_fastq_chunk(d2), None
+
     pending = None
-    for d1, d2 in read_paired_chunks(f1, f2, CHUNK_RECORDS_BYTES):
-        p1 = parse_fastq_chunk(d1)
-        p2 = parse_fastq_chunk(d2)
+    for p1, p2, full in chunk_pairs():
         check_names(p1, p2)
-        nxt = (engine1.submit(p1), engine2.submit(p2))
+        nxt = (engine1.submit(p1), engine2.submit(p2), full)
         if pending is not None:
             emit(*pending)
         pending = nxt
