@@ -3,19 +3,26 @@ Accelerated execution path: route eligible pipelines through the
 batched TPU engine while producing byte-identical output and identical
 statistics to the per-read host pipeline.
 
-Eligible today (FASTQ input, FASTQ output; single-end and paired-end):
+Eligible today (FASTQ in/out, plain or gzip; single-end, paired-end,
+and interleaved):
 
 - modifiers, in any order: -u cuts, -q quality trimming,
-  --nextseq-trim, one AdapterCutter per side with any mix of regular
-  3'/5'/anywhere adapters (IUPAC wildcards on either side, --no-indels,
-  --times N, action=trim), --poly-a, --length shortening
-- steps: length filters (-m/-M) with optional --too-short/long-output,
-  --discard-trimmed / --discard-untrimmed (all pair-filter modes),
-  final sink
+  --nextseq-trim, one AdapterCutter per side with any mix of adapter
+  types (regular/anywhere/non-internal/anchored/rightmost/linked,
+  IUPAC wildcards on either side, --no-indels, --times N, indexed
+  anchored multi-adapter sets), every action (trim/retain/crop/mask/
+  lowercase/--no-trim), --revcomp, --pair-adapters, --poly-a,
+  --length shortening
+- steps: length filters (-m/-M) with routed outputs, --discard-
+  trimmed/untrimmed (all pair-filter modes), --max-n/--max-ee/
+  --max-aer/--discard-casava, {name}-template demultiplexing, sinks
 
-Anything else falls back to the per-read host pipeline. The engine
-updates the very same modifier/step statistics objects the host path
-would, so reports are identical.
+Anything else (renaming, info/rest/wildcard files, BAM/FASTA I/O,
+paired revcomp, some transform+filter combinations) falls back to the
+per-read host pipeline. The engine updates the very same modifier/
+step statistics objects the host path would, so reports are
+identical; tests/test_accel.py asserts this per configuration, and
+the whole golden suite passes with CUTADAPT_TPU_BATCH=1 forced.
 
 Activation policy: CUTADAPT_TPU_BATCH=1 forces it on, =0 off; auto
 mode activates for inputs large enough that device compile time

@@ -1,0 +1,138 @@
+"""
+CLI fast-path parity: run representative configurations through
+cli.main twice — CUTADAPT_TPU_BATCH=1 (batch engine) and =0 (host
+path) — and require byte-identical outputs and JSON reports.
+
+This covers the accel translation layer itself; engine-level parity
+is covered by test_batch_pipeline.py. (The whole golden suite also
+passes with CUTADAPT_TPU_BATCH=1 forced, but that doubles compile
+work, so CI keeps it to this representative set.)
+"""
+
+import json
+import os
+import random
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import pytest
+
+from cutadapt_tpu.cli import main
+
+A3 = "AGATCGGAAGAGCACACGTC"
+A5 = "CTGTCTCTTATACACATCT"
+
+
+def make_reads(path, n=800, seed=1, paired=False, interleaved=False):
+    rng = random.Random(seed)
+
+    def rec(i, tag, adapter):
+        L = rng.randint(20, 90)
+        s = "".join(rng.choice("ACGT") for _ in range(L))
+        if rng.random() < 0.5 and L > 25:
+            p = rng.randint(5, L - 10)
+            s = (s[:p] + adapter + s[p:])[:L]
+        q = "".join(chr(rng.randint(35, 72)) for _ in s)
+        return f"@x{i}{tag}\n{s}\n+\n{q}\n"
+
+    if interleaved:
+        with open(path, "w") as f:
+            for i in range(n):
+                f.write(rec(i, "/1", A3) + rec(i, "/2", A5))
+        return [path]
+    if paired:
+        p2 = str(path) + ".2"
+        with open(path, "w") as f1, open(p2, "w") as f2:
+            for i in range(n):
+                f1.write(rec(i, "/1", A3))
+                f2.write(rec(i, "/2", A5))
+        return [path, p2]
+    with open(path, "w") as f:
+        for i in range(n):
+            f.write(rec(i, "", A3))
+    return [path]
+
+
+CONFIGS = [
+    ("se_basic", ["-a", "a1=" + A3], False),
+    ("se_mixed", ["-u", "2", "-q", "15", "-g", "g1=" + A5,
+                  "-b", "b1=ACGTACGTAC",
+                  "--times", "2", "-m", "10", "--max-n", "4"], False),
+    ("se_anchored", ["-g", "g1=^" + A5[:10], "-a", "a1=" + A3[:12] + "$",
+                     "--no-indels"], False),
+    ("se_linked", ["-g", "l1=" + A5[:10] + "..." + A3[:12], "--poly-a"],
+     False),
+    ("se_mask", ["-a", "a1=" + A3, "--action=mask"], False),
+    ("se_revcomp", ["-a", "a1=" + A3, "--revcomp", "-m", "12"], False),
+    ("pe_basic", ["-a", "a1=" + A3, "-A", "a2=" + A5, "-q", "12",
+                  "-m", "15", "--pair-filter=both"], True),
+    ("pe_pair_adapters", ["--pair-adapters", "-a", "a1=" + A3,
+                          "-A", "a2=" + A5], True),
+]
+
+
+@pytest.mark.parametrize("name,args,paired", CONFIGS,
+                         ids=[c[0] for c in CONFIGS])
+def test_fastpath_matches_host(tmp_path, monkeypatch, name, args, paired):
+    inputs = make_reads(tmp_path / "in.fastq", paired=paired)
+    outs = {}
+    reports = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out1 = tmp_path / f"o1-{env}.fastq"
+        out2 = tmp_path / f"o2-{env}.fastq"
+        rep = tmp_path / f"rep-{env}.json"
+        argv = ["--quiet", "--json", str(rep)] + list(args) + ["-o", str(out1)]
+        if paired:
+            argv += ["-p", str(out2)]
+        main(argv + [str(p) for p in inputs])
+        data = out1.read_bytes()
+        if paired:
+            data += b"\x00" + out2.read_bytes()
+        outs[env] = data
+        r = json.load(open(rep))
+        r["command_line_arguments"] = None
+        reports[env] = r
+    assert outs["1"] == outs["0"], name
+    assert reports["1"] == reports["0"], name
+
+
+def test_fastpath_interleaved(tmp_path, monkeypatch):
+    inputs = make_reads(tmp_path / "il.fastq", interleaved=True)
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"o-{env}.fastq"
+        main(["--quiet", "--interleaved", "-a", "a1=" + A3,
+              "-A", "a2=" + A5, "-q", "10",
+              "-o", str(out)] + [str(p) for p in inputs])
+        outs[env] = out.read_bytes()
+    assert outs["1"] == outs["0"]
+
+
+def test_fastpath_demux(tmp_path, monkeypatch):
+    rng = random.Random(3)
+    barcodes = ["ACGTACGTAC", "TTGACCGGAA", "GGATCCATGC"]
+    bc = tmp_path / "bc.fasta"
+    bc.write_text(
+        "".join(f">b{i}\n{b}\n" for i, b in enumerate(barcodes))
+    )
+    inp = tmp_path / "in.fastq"
+    with open(inp, "w") as f:
+        for i in range(600):
+            L = rng.randint(20, 70)
+            s = "".join(rng.choice("ACGT") for _ in range(L))
+            if rng.random() < 0.7:
+                s = barcodes[rng.randrange(3)] + s
+            f.write(f"@d{i}\n{s}\n+\n{'I' * len(s)}\n")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        d = tmp_path / f"out-{env}"
+        d.mkdir()
+        main(["--quiet", "-g", f"^file:{bc}", "-e", "1", "--no-indels",
+              "-o", str(d / "{name}.fastq"), str(inp)])
+        outs[env] = {
+            p.name: p.read_bytes() for p in sorted(d.iterdir())
+        }
+    assert outs["1"] == outs["0"]
