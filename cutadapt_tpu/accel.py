@@ -64,6 +64,7 @@ def _translate_modifier(mod, has_cutter):
     from .batch_pipeline import (
         AdapterStage,
         CutStage,
+        NEndStage,
         NextseqStage,
         PolyAStage,
         QualityStage,
@@ -72,6 +73,7 @@ def _translate_modifier(mod, has_cutter):
     )
     from .modifiers import (
         AdapterCutter,
+        NEndTrimmer,
         NextseqQualityTrimmer,
         PolyATrimmer,
         QualityTrimmer,
@@ -79,6 +81,13 @@ def _translate_modifier(mod, has_cutter):
         Shortener,
         UnconditionalCutter,
     )
+
+    from . import native as _nat
+
+    if isinstance(mod, NEndTrimmer):
+        if not _nat.AVAILABLE:
+            return None
+        return NEndStage(mod), None
 
     if isinstance(mod, UnconditionalCutter):
         return CutStage(mod.length, mod), None

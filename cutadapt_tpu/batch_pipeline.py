@@ -421,6 +421,13 @@ class PolyAStage(Stage):
         self.modifier = modifier
 
 
+class NEndStage(Stage):
+    """NEndTrimmer (--trim-n): strip N runs from both read ends."""
+
+    def __init__(self, modifier=None):
+        self.modifier = modifier
+
+
 class ShortenStage(Stage):
     def __init__(self, length: int, modifier=None):
         self.length = length
@@ -609,6 +616,13 @@ class BatchPipelineEngine:
             removed = (win_stop - win_start) - idx
             stats.setdefault("poly_a_removed", {})[si] = removed
             win_stop = win_start + idx
+        elif isinstance(stage, NEndStage):
+            rs, re_ = native.trim_n_ends(
+                chunk.buf, chunk.seq_start, win_start, win_stop
+            )
+            new_start = win_start + rs
+            win_stop = win_start + re_
+            win_start = new_start
         elif isinstance(stage, ShortenStage):
             n = stage.length
             if n >= 0:

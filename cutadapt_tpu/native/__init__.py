@@ -127,6 +127,8 @@ def _load():
     lib.count_n.argtypes = [p_u8, p_i64, p_i32, p_i32, i64, p_i32]
     lib.casava_filtered.restype = None
     lib.casava_filtered.argtypes = [p_u8, p_i64, p_i64, i64, p_u8]
+    lib.trim_n_ends.restype = None
+    lib.trim_n_ends.argtypes = [p_u8, p_i64, p_i32, p_i32, i64, p_i32, p_i32]
     lib.assemble_fastq_transform.restype = i64
     lib.assemble_fastq_transform.argtypes = [
         p_u8, i64, p_i64, p_i64, p_i64, p_i64, p_i32, p_i32, p_i32,
@@ -416,6 +418,20 @@ def assemble_fastq_window(
     )
     assert written == total
     return out.tobytes()
+
+
+def trim_n_ends(buf, seq_start, win_start, win_stop):
+    """Window-relative (start, stop) after stripping 'N' runs from
+    both ends."""
+    n = len(seq_start)
+    out_start = np.empty(n, np.int32)
+    out_stop = np.empty(n, np.int32)
+    _lib.trim_n_ends(
+        _ptr(buf, ctypes.c_uint8), _ptr(seq_start, ctypes.c_int64),
+        _ptr(win_start, ctypes.c_int32), _ptr(win_stop, ctypes.c_int32),
+        n, _ptr(out_start, ctypes.c_int32), _ptr(out_stop, ctypes.c_int32),
+    )
+    return out_start, out_stop
 
 
 def assemble_fastq_transform(

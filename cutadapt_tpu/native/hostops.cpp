@@ -693,6 +693,24 @@ void casava_filtered(const uint8_t* buf, const int64_t* head_start,
     }
 }
 
+// Trim uppercase 'N' runs from both window ends (NEndTrimmer,
+// reference modifiers.py:902-918). Outputs window-relative start/stop.
+void trim_n_ends(const uint8_t* buf, const int64_t* seq_start,
+                 const int32_t* win_start, const int32_t* win_stop,
+                 int64_t n_records, int32_t* out_start, int32_t* out_stop) {
+    for (int64_t r = 0; r < n_records; ++r) {
+        const uint8_t* s = buf + seq_start[r] + win_start[r];
+        const int64_t n = win_stop[r] - win_start[r];
+        int64_t a = 0;
+        while (a < n && s[a] == 'N') ++a;
+        int64_t b = n;
+        while (b > 0 && s[b - 1] == 'N') --b;
+        if (b < a) b = a;  // all-N read -> empty window
+        out_start[r] = (int32_t)a;
+        out_stop[r] = (int32_t)b;
+    }
+}
+
 // --- windowed trimmed-FASTQ assembly with keep mask --------------------------
 //
 // Emits '@head\nseq[start:stop]\n+\nqual[start:stop]\n' for records
