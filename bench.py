@@ -139,8 +139,8 @@ def main():
     )
 
     def process_chunk(data):
-        from cutadapt_tpu.batch import parse_fastq_chunk
-        from cutadapt_tpu.batch_pipeline import assemble_window
+        from cutadapt_tpu.io.chunks import parse_fastq_chunk
+        from cutadapt_tpu.io.chunks import assemble_window
 
         parsed = parse_fastq_chunk(data)
         ws, we, keep, stats = engine.process_parsed(parsed)

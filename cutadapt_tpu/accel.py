@@ -265,7 +265,7 @@ def _revcomp_stage(stages):
 def _stages_assembler(stages):
     """Per-chunk assembler honoring a mask/lowercase adapter action or
     a --revcomp stage."""
-    from .batch_pipeline import assemble_window
+    from .io.chunks import assemble_window
 
     rc_stage = _revcomp_stage(stages)
     if rc_stage is not None:
@@ -415,8 +415,9 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
     stages, filters, cutter, sink = translated
     _setup_jax()
 
-    from .batch import parse_fastq_chunk
-    from .batch_pipeline import BatchPipelineEngine, assemble_window
+    from .io.chunks import parse_fastq_chunk
+    from .batch_pipeline import BatchPipelineEngine
+    from .io.chunks import assemble_window
     from .io.fastq import read_chunks
 
     engine = BatchPipelineEngine(stages, filters)
@@ -764,7 +765,7 @@ def _slice_parsed(parsed, sl):
     """A ParsedChunk over a subset of records (shared buffer). The
     offset arrays are copied contiguous — the native ops take raw
     pointers and cannot handle strided views."""
-    from .batch import ParsedChunk
+    from .io.chunks import ParsedChunk
 
     return ParsedChunk(
         parsed.buf,
@@ -780,7 +781,7 @@ def _slice_parsed(parsed, sl):
 def _interleaved_parsed_chunks(file, size):
     """Yield pair-aligned ParsedChunks from an interleaved file; an
     odd trailing record raises the host reader's exact error."""
-    from .batch import parse_fastq_chunk
+    from .io.chunks import parse_fastq_chunk
     from .io.fastq import read_chunks
     from .io.records import FileFormatError
 
@@ -830,8 +831,9 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
     _setup_jax()
 
     from . import native
-    from .batch import parse_fastq_chunk
-    from .batch_pipeline import BatchPipelineEngine, assemble_window
+    from .io.chunks import parse_fastq_chunk
+    from .batch_pipeline import BatchPipelineEngine
+    from .io.chunks import assemble_window
     from .io.fastq import InterleavedSequenceWriter, read_paired_chunks
     from .io.records import FileFormatError
 
@@ -894,7 +896,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
                 )
 
     def interleave_write(dest, full, ws1, we1, ws2, we2, mask):
-        from .batch_pipeline import assemble_window
+        from .io.chunks import assemble_window
 
         N2 = full.n_records
         wsa = np.empty(N2, np.int32)

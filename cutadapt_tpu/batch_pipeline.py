@@ -35,6 +35,7 @@ import numpy as np
 
 from . import native
 from .adapters import Where
+from .io.chunks import assemble_window  # re-export for engine callers
 from .ops.align_batch import (
     AlignerSpec,
     make_batch_locate,
@@ -49,17 +50,26 @@ _SCORE_BIAS = 32768
 
 
 @lru_cache(maxsize=128)
-def _make_locate_step(spec: AlignerSpec, packed: bool, backend: str = "xla"):
+def _make_locate_step(
+    spec: AlignerSpec, packed: bool, backend: str = "xla", wide: bool = False
+):
     """Jitted locate returning a (2, B) int32: row0 = query_start |
     query_stop<<14 | found<<28; row1 = errors | (score+bias)<<16.
 
     backend 'pallas' uses the VMEM-resident Pallas kernel (packed mode
     only; same bit-exact results, ~16x faster to compile); 'xla' the
-    lax.scan formulation."""
+    lax.scan formulation.
+
+    wide=True (XLA only) returns an unpacked (5, B) int32 of
+    [found, query_start, query_stop, errors, score] — used for long
+    reads whose coordinates would overflow the 14-bit packed fields
+    (window length >= 2**14)."""
     import jax
     import jax.numpy as jnp
 
     if backend == "pallas":
+        if wide:
+            raise ValueError("pallas backend is packed-format only")
         if not packed:
             raise ValueError("pallas backend requires packed inputs")
         from .ops.align_pallas import make_pallas_locate
@@ -68,15 +78,31 @@ def _make_locate_step(spec: AlignerSpec, packed: bool, backend: str = "xla"):
 
     locate = make_batch_locate(spec, packed=packed)
 
-    def step(enc, lengths):
-        out = locate(enc, lengths)
-        r0 = (
-            out["query_start"]
-            | (out["query_stop"] << _QSTOP_SHIFT)
-            | (out["found"].astype(jnp.int32) << _FOUND_SHIFT)
-        )
-        r1 = out["errors"] | ((out["score"] + _SCORE_BIAS) << 16)
-        return jnp.stack([r0, r1])
+    if wide:
+
+        def step(enc, lengths):
+            out = locate(enc, lengths)
+            return jnp.stack(
+                [
+                    out["found"].astype(jnp.int32),
+                    out["query_start"],
+                    out["query_stop"],
+                    out["errors"],
+                    out["score"],
+                ]
+            )
+
+    else:
+
+        def step(enc, lengths):
+            out = locate(enc, lengths)
+            r0 = (
+                out["query_start"]
+                | (out["query_stop"] << _QSTOP_SHIFT)
+                | (out["found"].astype(jnp.int32) << _FOUND_SHIFT)
+            )
+            r1 = out["errors"] | ((out["score"] + _SCORE_BIAS) << 16)
+            return jnp.stack([r0, r1])
 
     return jax.jit(step)
 
@@ -376,9 +402,15 @@ class AdapterTask:
             qstop = lens.astype(np.int32)
         return found, qstart, qstop, errors, score
 
-    def step(self, enc, lengths):
+    def step(self, enc, lengths, wide: bool = False):
         """Dispatch the DP; drops to the XLA kernel if the Pallas
-        backend fails to build/compile for this spec or shape."""
+        backend fails to build/compile for this spec or shape. With
+        wide=True, uses the unpacked XLA formulation whose result
+        fields are full int32 (long reads)."""
+        if wide:
+            return _make_locate_step(self.spec, self.packed, "xla", True)(
+                enc, lengths
+            )
         if self._backend == "pallas":
             try:
                 return self._step(enc, lengths)
@@ -685,7 +717,7 @@ class BatchPipelineEngine:
                 pack4=task.packed, out=enc, reverse=task.reverse,
             )
         else:
-            from .batch import pad_rows
+            from .io.chunks import pad_rows
 
             raw = pad_rows(chunk.buf, starts[sel], lens[sel], width)
             if task.reverse:
@@ -745,6 +777,9 @@ class BatchPipelineEngine:
             )
             futures.append(("host",) + task.run_comparer(enc, c_lens))
             return sel, futures
+        # windows >= 2**14 bp would overflow the packed 14-bit
+        # coordinate fields: use the unpacked wide result format
+        wide = int(c_lens.max()) >= (1 << _QS_BITS)
         off = 0
         for size in self._dp_sizes(len(sel)):
             take = min(size, len(sel) - off)
@@ -756,12 +791,12 @@ class BatchPipelineEngine:
             )
             sub_len = np.zeros(size, np.int32)
             sub_len[:take] = c_lens[off : off + take]
-            fut = task.step(enc, sub_len)
+            fut = task.step(enc, sub_len, wide=wide)
             try:
                 fut.copy_to_host_async()
             except Exception:
                 pass
-            futures.append((off, take, fut))
+            futures.append((off, take, fut, wide))
             off += size
         return sel, futures
 
@@ -852,9 +887,16 @@ class BatchPipelineEngine:
                     (_, found[:], qstart[:], qstop[:], errors[:],
                      score[:]) = fut
                 continue
-            off, count, dev = fut
+            off, count, dev, wide = fut
             arr = np.asarray(dev)
-            f, qs, qe, er, sc = _unpack_result(arr[:, :count])
+            if wide:
+                f = arr[0, :count].astype(bool)
+                qs, qe, er, sc = (
+                    arr[1, :count], arr[2, :count],
+                    arr[3, :count], arr[4, :count],
+                )
+            else:
+                f, qs, qe, er, sc = _unpack_result(arr[:, :count])
             found[off : off + count] = f
             qstart[off : off + count] = qs
             qstop[off : off + count] = qe
@@ -1061,7 +1103,7 @@ class BatchPipelineEngine:
                     rc_buf, parsed.seq_start, parsed.seq_len,
                     parsed.qual_start, _complement_table(),
                 )
-                from .batch import ParsedChunk
+                from .io.chunks import ParsedChunk
 
                 rc_chunk = ParsedChunk(
                     rc_buf, parsed.head_start, parsed.head_end,
@@ -1249,33 +1291,10 @@ class BatchPipelineEngine:
         return self.collect(self.submit(parsed))
 
 
-def assemble_window(chunk, win_start, win_stop, keep) -> bytes:
-    if native.AVAILABLE:
-        return native.assemble_fastq_window(
-            chunk.buf, chunk.head_start, chunk.head_end, chunk.seq_start,
-            chunk.qual_start, win_start, win_stop, keep,
-        )
-    # NumPy fallback: compress to kept records and reuse the flat
-    # scatter assembler with shifted sequence starts
-    from .batch import ParsedChunk, _assemble_fastq_np
-
-    idx = np.flatnonzero(keep)
-    sub = ParsedChunk(
-        chunk.buf,
-        chunk.head_start[idx],
-        chunk.head_end[idx],
-        chunk.seq_start[idx] + win_start[idx],
-        (win_stop[idx] - win_start[idx]).astype(np.int32),
-        chunk.qual_start[idx] + win_start[idx],
-        has_cr=chunk.has_cr,
-    )
-    return _assemble_fastq_np(sub, (win_stop[idx] - win_start[idx]))
-
-
 def process_chunks_pipelined(engine: BatchPipelineEngine, chunks):
     """Yield (trimmed_bytes, stats) per chunk in order, overlapping
     device work with neighboring chunks' host work."""
-    from .batch import parse_fastq_chunk
+    from .io.chunks import assemble_window, parse_fastq_chunk
 
     pending = None
     for data in chunks:

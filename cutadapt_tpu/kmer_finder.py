@@ -7,8 +7,9 @@ mask checks the bit at every pattern end. One pass over the sequence
 then detects whether *any* pattern occurs in its search window.
 
 Host implementation of the reference's prefilter
-(/root/reference/src/cutadapt/_kmer_finder.pyx:66-257); the batched
-device version is in :mod:`cutadapt_tpu.ops.kmer_batch`.
+(/root/reference/src/cutadapt/_kmer_finder.pyx:66-257); the batch
+path runs the same scan in C++ (native/hostops.cpp kmer_prefilter)
+so rejected reads never cross the host-device link.
 """
 
 from typing import List, Optional, Tuple

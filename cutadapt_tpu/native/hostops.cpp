@@ -462,20 +462,25 @@ int32_t kmers_present_one(const uint8_t* seq, int64_t len, int64_t n_entries,
 // predicate as record_names_match (cutadapt_tpu/io/records.py).
 // Returns -1 when every pair matches, else the first offending index.
 
-static inline int64_t id_len(const uint8_t* h, int64_t n) {
+static inline bool is_space(uint8_t c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\v' ||
+           c == '\f';
+}
+
+// Returns the [start, end) of the read ID within the header: the first
+// whitespace-delimited token (leading whitespace skipped, mirroring
+// str.split() in record_names_match), minus a trailing mate number.
+static inline void id_span(const uint8_t* h, int64_t n, int64_t* start,
+                           int64_t* end) {
     int64_t i = 0;
-    while (i < n) {
-        const uint8_t c = h[i];
-        if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\v' ||
-            c == '\f')
-            break;
-        ++i;
-    }
-    if (i > 0) {
+    while (i < n && is_space(h[i])) ++i;
+    *start = i;
+    while (i < n && !is_space(h[i])) ++i;
+    if (i > *start) {
         const uint8_t last = h[i - 1];
         if (last == '1' || last == '2' || last == '3') --i;
     }
-    return i;
+    *end = i;
 }
 
 int64_t check_pair_names(const uint8_t* buf1, const int64_t* hs1,
@@ -485,9 +490,12 @@ int64_t check_pair_names(const uint8_t* buf1, const int64_t* hs1,
     for (int64_t r = 0; r < n_records; ++r) {
         const uint8_t* h1 = buf1 + hs1[r];
         const uint8_t* h2 = buf2 + hs2[r];
-        const int64_t l1 = id_len(h1, he1[r] - hs1[r]);
-        const int64_t l2 = id_len(h2, he2[r] - hs2[r]);
-        if (l1 != l2 || memcmp(h1, h2, l1) != 0) return r;
+        int64_t s1, e1, s2, e2;
+        id_span(h1, he1[r] - hs1[r], &s1, &e1);
+        id_span(h2, he2[r] - hs2[r], &s2, &e2);
+        if (e1 - s1 != e2 - s2 ||
+            memcmp(h1 + s1, h2 + s2, e1 - s1) != 0)
+            return r;
     }
     return -1;
 }

@@ -24,7 +24,7 @@ from cutadapt_tpu.adapters import (
     RightmostFrontAdapter,
     SuffixAdapter,
 )
-from cutadapt_tpu.batch import parse_fastq_chunk
+from cutadapt_tpu.io.chunks import parse_fastq_chunk
 from cutadapt_tpu.batch_pipeline import (
     AdapterStage,
     AdapterTask,
@@ -466,3 +466,32 @@ def test_adapter_event_stats_match_host():
         k: dict(v) for k, v in host_end.errors.items()
     }
     assert adjacent == host_end.adjacent_bases
+
+
+def test_long_reads_use_wide_result_format():
+    """Reads >= 2**14 bp overflow the packed 14-bit trim coordinates;
+    the engine must route them through the unpacked wide format and
+    still match the per-read host oracle (regression: a 20000 bp read
+    with the adapter at 17000 was trimmed to 616 bp)."""
+    rng = random.Random(99)
+    bases = "ACGT"
+    reads = []
+    # one read with the adapter deep past the 14-bit boundary, one
+    # unmatched long read, and a couple of short reads mixed in
+    long1 = "".join(rng.choice(bases) for _ in range(20000))
+    long1 = long1[:17000] + ADAPTER + long1[17000 + len(ADAPTER):]
+    long2 = "".join(rng.choice(bases) for _ in range(20000))
+    short = "".join(rng.choice(bases) for _ in range(60)) + ADAPTER
+    for i, s in enumerate([long1, long2, short]):
+        reads.append(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+    data = "".join(reads).encode()
+
+    back_host = BackAdapter(ADAPTER, max_errors=0.1, min_overlap=3)
+    cutter = AdapterCutter([back_host])
+    expected = host_expected(data, [cutter], lambda r, info: True)
+
+    back_dev = BackAdapter(ADAPTER, max_errors=0.1, min_overlap=3)
+    got, _ = run_engine(
+        data, [AdapterStage([AdapterTask(back_dev, "back", 0)])]
+    )
+    assert got == expected

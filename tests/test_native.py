@@ -14,14 +14,18 @@ import pytest
 
 from cutadapt_tpu import native
 from cutadapt_tpu.adapters import Where
-from cutadapt_tpu.batch import (
-    Back3pBatchEngine,
+from cutadapt_tpu.batch_pipeline import (
+    AdapterStage,
+    AdapterTask,
+    BatchPipelineEngine,
+    process_chunks_pipelined,
+)
+from cutadapt_tpu.io.chunks import (
     ParsedChunk,
     _assemble_fastq_np,
     _parse_fastq_chunk_np,
-    parse_fastq_chunk,
     pad_rows,
-    process_chunks_pipelined,
+    parse_fastq_chunk,
 )
 from cutadapt_tpu.kmer_finder import KmerFinder
 from cutadapt_tpu.kmer_heuristic import create_positions_and_kmers
@@ -211,7 +215,11 @@ def test_engine_pipelined_byte_parity():
         expected.append((m.trimmed(rec) if m else rec).fastq_bytes())
     expected = b"".join(expected)
 
-    engine = Back3pBatchEngine(adapter, min_dp_batch=64, max_dp_batch=256)
+    engine = BatchPipelineEngine(
+        [AdapterStage([AdapterTask(back, "back", 0)])],
+        min_dp_batch=64,
+        max_dp_batch=256,
+    )
     # split into several chunks to exercise the pipeline
     quarters = len(recs) // 4
     chunks = []
@@ -225,3 +233,30 @@ def test_engine_pipelined_byte_parity():
         out for out, _ in process_chunks_pipelined(engine, chunks)
     )
     assert got == expected
+
+
+def test_check_pair_names_matches_python_predicate():
+    """The C fast path must agree with record_names_match, including
+    headers with leading whitespace (regression: IDs extracted from
+    byte 0 made whitespace-led headers compare as zero-length IDs)."""
+    from cutadapt_tpu.io.records import record_names_match
+
+    cases = [
+        ("a/1", "a/2", True),
+        ("a x", "a y", True),
+        ("a", "b", False),
+        (" abc r", " abd r", False),  # leading whitespace, differing IDs
+        (" abc r", " abc s", True),
+        ("\tq1 z", "\tq2 z", True),  # mate-number suffix after tab skip
+    ]
+    for h1, h2, expected in cases:
+        assert record_names_match(h1, h2) is expected, (h1, h2)
+        b1 = f"@{h1}\nAC\n+\nII\n".encode()
+        b2 = f"@{h2}\nAC\n+\nII\n".encode()
+        p1 = parse_fastq_chunk(b1)
+        p2 = parse_fastq_chunk(b2)
+        bad = native.check_pair_names(
+            p1.buf, p1.head_start, p1.head_end,
+            p2.buf, p2.head_start, p2.head_end,
+        )
+        assert (bad == -1) is expected, (h1, h2, bad)
