@@ -342,9 +342,7 @@ def _apply_side_stats(stats, stages, cutter, written_lengths):
                     else:
                         back_end.adjacent_bases[""] += 1
     if written_lengths is not None:
-        for length, count in enumerate(stats["written_lengths"]):
-            if count:
-                written_lengths[int(length)] += int(count)
+        written_lengths.add_histogram(stats["written_lengths"])
     return stats["total_bp"]
 
 
@@ -452,10 +450,10 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
         written_lengths = None
         if demux is None:
             out_file.write(assemble(chunk, ws, we, keep, stats))
-            written_lengths = sink._statistics._written_lengths1
+            written_lengths = sink._statistics
         else:
             gids = stats["last_adapter_gid"]
-            dl = demux._statistics._written_lengths1
+            dl = demux._statistics
             # merge gids sharing one output file (duplicate adapter
             # names) so records stay in input order within each file
             per_file = {}
@@ -468,20 +466,14 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
             for ff, mask in per_file.values():
                 if mask.any():
                     ff.write(assemble_window(chunk, ws, we, mask))
-                    for length, count in zip(
-                        *np.unique((we - ws)[mask], return_counts=True)
-                    ):
-                        dl[int(length)] += int(count)
+                    dl.add_histogram(np.bincount((we - ws)[mask]))
             untrimmed = keep & (gids == -1)
             if untrimmed_file is not None:
                 if untrimmed.any():
                     untrimmed_file.write(
                         assemble_window(chunk, ws, we, untrimmed)
                     )
-                    for length, count in zip(
-                        *np.unique((we - ws)[untrimmed], return_counts=True)
-                    ):
-                        dl[int(length)] += int(count)
+                    dl.add_histogram(np.bincount((we - ws)[untrimmed]))
             else:
                 demux._filtered += int(untrimmed.sum())
         # routed filter outputs (--too-short-output etc.): records a
@@ -958,10 +950,8 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         else:
             out1.write(assemble1(c1, ws1, we1, keep, stats1))
             out2.write(assemble2(c2, ws2, we2, keep, stats2))
-        for length, count in zip(*np.unique(len1[keep], return_counts=True)):
-            wl._written_lengths1[int(length)] += int(count)
-        for length, count in zip(*np.unique(len2[keep], return_counts=True)):
-            wl._written_lengths2[int(length)] += int(count)
+        wl.add_histogram(np.bincount(len1[keep]), side=1)
+        wl.add_histogram(np.bincount(len2[keep]), side=2)
         bp1 += _apply_side_stats(stats1, stages1, cutters[0], None)
         bp2 += _apply_side_stats(stats2, stages2, cutters[1], None)
         n += stats1["n"]

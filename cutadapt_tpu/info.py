@@ -1,28 +1,27 @@
-"""Per-read modification metadata passed between pipeline stages."""
+"""Per-read modification metadata passed between pipeline stages.
+
+Batch analog: the engine keeps this information as per-read arrays
+(match events, windows, rc mask) in batch_pipeline.py; this dataclass
+is the per-read fallback form of the same record.
+
+Reference parity: info.pyx:1-29 of /root/reference/src/cutadapt.
+"""
+
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
 
 
+@dataclass
 class ModificationInfo:
     """
-    Created for each read passing through the pipeline. Records any
-    information (except the read itself) that modifiers need to pass to
-    later modifiers or to the filters.
+    One instance accompanies each read through the pipeline, carrying
+    whatever modifiers need to communicate to later modifiers and to
+    the filters: adapter matches, the unmodified read, unconditionally
+    removed prefix/suffix, and whether the read was reverse-complemented.
     """
 
-    __slots__ = ("matches", "original_read", "cut_prefix", "cut_suffix", "is_rc")
-
-    def __init__(self, read):
-        self.matches = []
-        self.original_read = read
-        self.cut_prefix = None
-        self.cut_suffix = None
-        self.is_rc = None
-
-    def __repr__(self):
-        return (
-            "ModificationInfo("
-            f"matches={self.matches!r}, "
-            f"original_read={self.original_read}, "
-            f"cut_prefix={self.cut_prefix}, "
-            f"cut_suffix={self.cut_suffix}, "
-            f"is_rc={self.is_rc})"
-        )
+    original_read: Any
+    matches: List[Any] = field(default_factory=list)
+    cut_prefix: Optional[str] = None
+    cut_suffix: Optional[str] = None
+    is_rc: Optional[bool] = None

@@ -1,39 +1,57 @@
-"""Logging setup with a custom REPORT level for --report=minimal."""
+"""Logging: the standard levels plus a REPORT level for one-line reports.
+
+Level layout (why REPORT exists): ``--report=minimal`` must print
+exactly one TSV line and nothing else. INFO would drag along the whole
+run summary; ERROR would stamp an ``ERROR:`` prefix on it. REPORT sits
+between INFO and WARNING so the minimal report passes while everything
+chattier is suppressed.
+
+Routing: records below WARNING go to one stream (stderr normally,
+stdout when the report itself goes to stderr) with level-name prefixes
+for anything unusual; WARNING and above always go to stderr unprefixed.
+
+Reference parity: log.py:6-61 of /root/reference/src/cutadapt.
+"""
 
 import logging
 import sys
 
-# Custom log level between INFO and WARNING so that minimal-report mode
-# can emit exactly one line.
 REPORT = 25
 
+_PLAIN_LEVELS = frozenset({logging.INFO, REPORT})
 
-class CrashingHandler(logging.StreamHandler):
+
+class _LoudHandler(logging.StreamHandler):
+    """A StreamHandler whose emit() lets exceptions escape: a report
+    that cannot be written must crash the run, not vanish."""
+
     def emit(self, record):
-        """Unlike the base class, do not swallow exceptions."""
-        msg = self.format(record)
-        stream = self.stream
-        stream.write(msg)
-        stream.write(self.terminator)
+        text = self.format(record)
+        self.stream.write(text)
+        self.stream.write(self.terminator)
         self.flush()
 
 
-class NiceFormatter(logging.Formatter):
-    """Prefix all levels except INFO/REPORT with the level name."""
+class _PrefixingFormatter(logging.Formatter):
+    """Stamp 'LEVELNAME: ' on everything except INFO and REPORT."""
 
     def format(self, record):
-        if record.levelno not in (logging.INFO, REPORT):
-            record.msg = f"{record.levelname}: {record.msg}"
-        return super().format(record)
+        rendered = super().format(record)
+        if record.levelno in _PLAIN_LEVELS:
+            return rendered
+        return f"{record.levelname}: {rendered}"
+
+
+class _BelowWarning(logging.Filter):
+    def filter(self, record):
+        return record.levelno < logging.WARNING
 
 
 def setup_logging(logger, log_to_stderr=True, minimal=False, quiet=False, debug=0):
-    """Attach handlers to the given (root) logger."""
+    """Attach the two handlers described in the module docstring to
+    ``logger``. Verbosity: debug beats quiet beats minimal."""
     logging.addLevelName(REPORT, "REPORT")
 
-    stream_handler = CrashingHandler(sys.stderr if log_to_stderr else sys.stdout)
-    stream_handler.setFormatter(NiceFormatter())
-    # debug overrides quiet overrides minimal
     if debug > 0:
         level = logging.DEBUG
     elif quiet:
@@ -42,12 +60,15 @@ def setup_logging(logger, log_to_stderr=True, minimal=False, quiet=False, debug=
         level = REPORT
     else:
         level = logging.INFO
-    stream_handler.setLevel(level)
-    stderr_level = logging.WARNING
-    stream_handler.addFilter(lambda record: record.levelno < stderr_level)
-    logger.setLevel(level)
-    logger.addHandler(stream_handler)
 
-    stderr_handler = CrashingHandler(sys.stderr)
-    stderr_handler.setLevel(stderr_level)
-    logger.addHandler(stderr_handler)
+    chatter = _LoudHandler(sys.stderr if log_to_stderr else sys.stdout)
+    chatter.setFormatter(_PrefixingFormatter())
+    chatter.setLevel(level)
+    chatter.addFilter(_BelowWarning())
+
+    problems = _LoudHandler(sys.stderr)
+    problems.setLevel(logging.WARNING)
+
+    logger.setLevel(level)
+    logger.addHandler(chatter)
+    logger.addHandler(problems)
