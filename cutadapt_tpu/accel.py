@@ -142,36 +142,13 @@ def _translate_modifier(mod, has_cutter):
 
 def _translate_predicate(pred):
     from . import native
-    from .predicates import (
-        CasavaFiltered,
-        IsTrimmed,
-        IsUntrimmed,
-        TooHighAverageErrorRate,
-        TooLong,
-        TooManyExpectedErrors,
-        TooManyN,
-        TooShort,
-    )
+    from .predicates import Predicate
 
-    if isinstance(pred, TooShort):
-        return ("too_short", pred.minimum_length)
-    if isinstance(pred, TooLong):
-        return ("too_long", pred.maximum_length)
-    if isinstance(pred, IsTrimmed):
-        return ("discard_trimmed", None)
-    if isinstance(pred, IsUntrimmed):
-        return ("discard_untrimmed", None)
-    if not native.AVAILABLE:
-        return None  # the scans below are native-only
-    if isinstance(pred, TooManyN):
-        return ("too_many_n", pred.cutoff)
-    if isinstance(pred, TooManyExpectedErrors):
-        return ("too_many_expected_errors", pred.max_errors)
-    if isinstance(pred, TooHighAverageErrorRate):
-        return ("too_high_average_error_rate", pred.max_error_rate)
-    if isinstance(pred, CasavaFiltered):
-        return ("casava", None)
-    return None
+    if not isinstance(pred, Predicate) or not pred.kind:
+        return None
+    if pred.needs_native_scan and not native.AVAILABLE:
+        return None
+    return (pred.kind, pred.threshold)
 
 
 def _translate_single(pipeline):

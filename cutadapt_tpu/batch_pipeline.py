@@ -560,7 +560,7 @@ def filter_condition(kind, threshold, chunk, win_start, win_stop,
         nz = lengths > 0
         out[nz] = ee[nz] / lengths[nz] > threshold
         return out
-    if kind == "casava":
+    if kind == "casava_filtered":
         return native.casava_filtered(
             chunk.buf, chunk.head_start, chunk.head_end
         ).astype(bool)
