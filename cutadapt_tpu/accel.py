@@ -303,21 +303,11 @@ def _apply_side_stats(stats, stages, cutter, written_lengths):
                 astats = cutter.adapter_statistics[task.adapters[sub]]
                 if ev_rc:
                     astats.reverse_complemented += 1
-                if task.trim in ("auto", "linked"):  # both ends exist
-                    front_end, back_end = astats.front, astats.back
-                elif task.trim == "before":
-                    front_end, back_end = astats.end, None
-                else:
-                    front_end, back_end = None, astats.end
                 if asf:
-                    front_end.errors[int(rem)][int(err)] += 1
+                    astats.front.record_removal(int(rem), int(err))
                 else:
-                    back_end.errors[int(rem)][int(err)] += 1
-                    ch = chr(adj) if adj else ""
-                    if ch in back_end.adjacent_bases and ch:
-                        back_end.adjacent_bases[ch] += 1
-                    else:
-                        back_end.adjacent_bases[""] += 1
+                    astats.back.record_removal(int(rem), int(err))
+                    astats.back.record_adjacent(chr(adj) if adj else "")
     if written_lengths is not None:
         written_lengths.add_histogram(stats["written_lengths"])
     return stats["total_bp"]
@@ -707,19 +697,10 @@ def _pair_match(engines, chunks, windows, pair_stage):
             )
             for rem, e_, asf, adj in zip(removed, er[hit], as_front,
                                          adjacent):
-                if task.trim == "auto":
-                    end = astats.front if asf else astats.back
-                elif task.trim == "before":
-                    end = astats.end
-                else:
-                    end = astats.end
-                end.errors[int(rem)][int(e_)] += 1
+                end = astats.front if asf else astats.back
+                end.record_removal(int(rem), int(e_))
                 if not asf:
-                    ch = chr(adj) if adj else ""
-                    if ch in end.adjacent_bases and ch:
-                        end.adjacent_bases[ch] += 1
-                    else:
-                        end.adjacent_bases[""] += 1
+                    end.record_adjacent(chr(adj) if adj else "")
     return matched
 
 

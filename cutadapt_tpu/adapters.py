@@ -1,19 +1,29 @@
 """
-Adapter model: the ten adapter types, match objects, multi-adapter
-matching and the anchored-adapter index.
+Adapter model: types, matches, multi-adapter selection, anchored index.
 
-Adapter classes are thin *configurations* over the alignment kernel:
-each type picks a set of EndSkip flags, an optional coordinate
-transform (e.g. the rightmost variants align the reversed sequences and
-mirror the result), and the match class that determines what gets
-trimmed. Capability-equivalent to the reference's adapter layer
-(/root/reference/src/cutadapt/adapters.py).
+Design: an adapter *type* is pure configuration. One descriptor table
+(`_KINDS`) declares, per kind, the aligner flag set, whether matching
+runs over reversed sequences (the rightmost variants), which read end
+a match removes, the k-mer prefilter orientation, and presentation
+strings. Every type shares one generic ``match_to`` driven by its
+descriptor; the ten public classes exist only to carry the kind (and
+to keep spec-parser/type-identity semantics). The kind names are the
+same strings the batch engine dispatches on (batch_pipeline._KIND_INFO)
+— the per-read path here and the batched device path are two
+evaluators of the same declarative adapter program.
+
+Capability parity with the reference adapter layer
+(/root/reference/src/cutadapt/adapters.py:533-1602): ten types,
+score/errors best-match selection, linked adapters, the anchored
+multi-adapter index with ambiguity handling, per-adapter mergeable
+statistics.
 """
 
 import logging
 import time
 from abc import ABC, abstractmethod
 from collections import defaultdict
+from dataclasses import dataclass
 from enum import IntFlag
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
@@ -29,6 +39,8 @@ from .kmer_finder import KmerFinder, MockKmerFinder
 from .kmer_heuristic import create_positions_and_kmers, kmer_probability_analysis
 
 logger = logging.getLogger()
+
+IUPAC_CODES = frozenset("ABCDGHKMNRSTUVWXY")
 
 
 class InvalidCharacter(Exception):
@@ -50,9 +62,70 @@ class Where(IntFlag):
     ANYWHERE = EndSkip.SEMIGLOBAL
 
 
-def returns_defaultdict_int():
-    # module-level function so EndStatistics stays picklable
-    return defaultdict(int)
+@dataclass(frozen=True)
+class AdapterKind:
+    """Declarative description of one adapter type."""
+
+    name: str  # batch-engine dispatch key
+    ident: str  # identifier in JSON reports
+    description: str  # human-readable type label
+    flags: Where  # aligner configuration
+    removes: str  # which read part a match removes: 'front'|'back'|'auto'
+    reversed_match: bool = False  # align reversed seqs, mirror coords
+    kmer_back: bool = False  # prefilter: k-mers may sit before read end
+    kmer_front: bool = False  # prefilter: k-mers may sit at read start
+    kmer_internal: bool = True  # prefilter: k-mers may sit anywhere
+    anchored: bool = False  # full-length match required
+    spec_format: str = "{}"  # rendering in the spec mini-language
+
+
+_KINDS = {
+    k.name: k
+    for k in (
+        AdapterKind(
+            "front", "regular_five_prime", "regular 5'", Where.FRONT,
+            "front", kmer_front=True, spec_format="{}...",
+        ),
+        AdapterKind(
+            "rightmost_front", "rightmost_five_prime", "rightmost 5'",
+            Where.BACK, "front", reversed_match=True, kmer_back=True,
+            spec_format="{}...;rightmost",
+        ),
+        AdapterKind(
+            "back", "regular_three_prime", "regular 3'", Where.BACK,
+            "back", kmer_back=True, spec_format="{}",
+        ),
+        AdapterKind(
+            "rightmost_back", "rightmost_three_prime", "rightmost 3'",
+            Where.FRONT, "back", reversed_match=True, kmer_front=True,
+            spec_format="{};rightmost",
+        ),
+        AdapterKind(
+            "anywhere", "anywhere", "variable 5'/3'", Where.ANYWHERE,
+            "auto", kmer_back=True, kmer_front=True, spec_format="...{}...",
+        ),
+        AdapterKind(
+            "noninternal_front", "noninternal_five_prime", "non-internal 5'",
+            Where.FRONT_NOT_INTERNAL, "front", kmer_front=True,
+            kmer_internal=False, spec_format="X{}...",
+        ),
+        AdapterKind(
+            "noninternal_back", "noninternal_three_prime", "non-internal 3'",
+            Where.BACK_NOT_INTERNAL, "back", kmer_back=True,
+            kmer_internal=False, spec_format="{}X",
+        ),
+        AdapterKind(
+            "prefix", "anchored_five_prime", "anchored 5'", Where.PREFIX,
+            "front", kmer_front=True, kmer_internal=False, anchored=True,
+            spec_format="^{}...",
+        ),
+        AdapterKind(
+            "suffix", "anchored_three_prime", "anchored 3'", Where.SUFFIX,
+            "back", kmer_back=True, kmer_internal=False, anchored=True,
+            spec_format="{}$",
+        ),
+    )
+}
 
 
 def print_matrices(aligner):  # pragma: no cover - debugging aid
@@ -62,8 +135,24 @@ def print_matrices(aligner):  # pragma: no cover - debugging aid
     print(aligner.scorematrix)
 
 
+# --- statistics --------------------------------------------------------------
+
+
+def _int_dict():
+    # module-level so the defaultdicts stay picklable
+    return defaultdict(int)
+
+
 class EndStatistics:
-    """Statistics about the 5' or 3' end of an adapter."""
+    """Removal histogram for one adapter end.
+
+    ``errors[length][e]`` counts removals of ``length`` bases found
+    with ``e`` errors; ``adjacent_bases`` tallies the base immediately
+    5' of 3'-matches (used for the incomplete-adapter warning). The
+    histogram merges with ``+=`` (multi-worker / multi-chip reduction)
+    and the batch engine lands whole event arrays via
+    :meth:`record_removal`.
+    """
 
     def __init__(self, adapter: "SingleAdapter"):
         self.max_error_rate: float = adapter.max_error_rate
@@ -73,44 +162,50 @@ class EndStatistics:
         self.indels: bool = adapter.indels
         self.adapter_type: str = adapter.descriptive_identifier()
         self.allows_partial_matches: bool = adapter.allows_partial_matches
-        # errors[length][e] == number of removals of this length at e errors
-        self.errors: Dict[int, Dict[int, int]] = defaultdict(
-            returns_defaultdict_int
-        )
+        self.errors: Dict[int, Dict[int, int]] = defaultdict(_int_dict)
         self.adjacent_bases = {"A": 0, "C": 0, "G": 0, "T": 0, "": 0}
-        self._remove_prefix = isinstance(adapter, FrontAdapter)
+        # 5'-removing adapters report their histogram against the
+        # reversed sequence (the removal grows from the sequence end)
+        self._remove_prefix = adapter.removes_front
 
     def __repr__(self):
         errors = {k: dict(v) for k, v in self.errors.items()}
         return (
-            "EndStatistics(max_error_rate={}, errors={}, "
-            "adjacent_bases={})".format(
-                self.max_error_rate, errors, self.adjacent_bases
-            )
+            f"EndStatistics(max_error_rate={self.max_error_rate}, "
+            f"errors={errors}, adjacent_bases={self.adjacent_bases})"
         )
+
+    def record_removal(self, length: int, errors: int, count: int = 1):
+        self.errors[length][errors] += count
+
+    def record_adjacent(self, base: str, count: int = 1):
+        key = base if base in ("A", "C", "G", "T") else ""
+        self.adjacent_bases[key] += count
 
     def __iadd__(self, other: Any):
         if not isinstance(other, self.__class__):
             raise ValueError("Cannot compare")
-        if (
-            self.max_error_rate != other.max_error_rate
-            or self.sequence != other.sequence
-            or self.effective_length != other.effective_length
-            or self.indels != other.indels
-        ):
+        compatible = (
+            self.max_error_rate == other.max_error_rate
+            and self.sequence == other.sequence
+            and self.effective_length == other.effective_length
+            and self.indels == other.indels
+        )
+        if not compatible:
             raise RuntimeError("Incompatible EndStatistics, cannot be added")
-        for base in ("A", "C", "G", "T", ""):
-            self.adjacent_bases[base] += other.adjacent_bases[base]
-        for length, error_dict in other.errors.items():
-            for errors in error_dict:
-                self.errors[length][errors] += other.errors[length][errors]
+        for base, count in other.adjacent_bases.items():
+            self.adjacent_bases[base] += count
+        for length, by_errors in other.errors.items():
+            mine = self.errors[length]
+            for e, count in by_errors.items():
+                mine[e] += count
         return self
 
     @property
     def lengths(self):
         return {
-            length: sum(errors.values())
-            for length, errors in self.errors.items()
+            length: sum(by_errors.values())
+            for length, by_errors in self.errors.items()
         }
 
     def random_match_probabilities(self, gc_content: float) -> List[float]:
@@ -119,162 +214,83 @@ class EndStatistics:
         random sequence with the given GC content (indels ignored).
         """
         assert 0.0 <= gc_content <= 1.0
-        seq = self.sequence
-        if self._remove_prefix:
-            seq = seq[::-1]
-        allowed_bases = "CGRYSKMBDHVN" if self.has_wildcards else "GC"
+        seq = self.sequence[::-1] if self._remove_prefix else self.sequence
+        gc_like = "CGRYSKMBDHVN" if self.has_wildcards else "GC"
+        probabilities = [1.0]
         p = 1.0
-        probabilities = [p]
-        for c in seq:
-            if c in allowed_bases:
-                p *= gc_content / 2.0
-            else:
-                p *= (1.0 - gc_content) / 2.0
+        for base in seq:
+            p *= gc_content / 2.0 if base in gc_like else (1.0 - gc_content) / 2.0
             probabilities.append(p)
         return probabilities
 
 
-class AdapterStatistics(ABC):
-    reverse_complemented: int = 0
-    name: str
-    adapter: "Adapter"
+class AdapterStatistics:
+    """Mergeable per-adapter tallies.
 
-    @abstractmethod
-    def __iadd__(self, other):
-        pass
+    ``front``/``back`` are EndStatistics for whichever read ends this
+    adapter can remove from (None otherwise); ``kind`` labels the
+    report layout: 'front', 'back', 'both' (anywhere) or 'linked'.
+    """
 
-    @abstractmethod
-    def end_statistics(
-        self,
-    ) -> Tuple[Optional[EndStatistics], Optional[EndStatistics]]:
-        pass
-
-    @abstractmethod
-    def add_match(self, match) -> None:
-        pass
-
-
-class SingleAdapterStatistics(AdapterStatistics, ABC):
-    def __init__(self, adapter: "SingleAdapter"):
-        self.name = adapter.name
-        self.adapter = adapter
-        self.end = EndStatistics(adapter)
-
-    def __repr__(self):
-        return f"SingleAdapterStatistics(name={self.name}, end={self.end})"
-
-    def __iadd__(self, other: "SingleAdapterStatistics"):
-        if not isinstance(other, self.__class__):
-            raise ValueError("Cannot iadd")
-        self.end += other.end
-        self.reverse_complemented += other.reverse_complemented
-        return self
-
-
-class FrontAdapterStatistics(SingleAdapterStatistics):
-    def add_match(self, match: "RemoveBeforeMatch"):
-        self.end.errors[match.removed_sequence_length()][match.errors] += 1
-
-    def end_statistics(self):
-        return self.end, None
-
-
-class BackAdapterStatistics(SingleAdapterStatistics):
-    def add_match(self, match: "RemoveAfterMatch"):
-        adjacent_base = match.adjacent_base()
-        self.end.errors[match.removed_sequence_length()][match.errors] += 1
-        try:
-            self.end.adjacent_bases[adjacent_base] += 1
-        except KeyError:
-            self.end.adjacent_bases[""] += 1
-
-    def end_statistics(self):
-        return None, self.end
-
-
-class LinkedAdapterStatistics(AdapterStatistics):
     def __init__(
         self,
-        adapter: "LinkedAdapter",
-        front: "SingleAdapter",
-        back: "SingleAdapter",
+        adapter: "Adapter",
+        kind: str,
+        front: Optional[EndStatistics] = None,
+        back: Optional[EndStatistics] = None,
     ):
         self.name = adapter.name
         self.adapter = adapter
-        self.front = EndStatistics(front)
-        self.back = EndStatistics(back)
+        self.kind = kind
+        self.front = front
+        self.back = back
         self.reverse_complemented = 0
 
     def __repr__(self):
         return (
-            f"LinkedAdapterStatistics(name={self.name}, "
+            f"AdapterStatistics(name={self.name}, kind={self.kind}, "
             f"front={self.front}, back={self.back})"
         )
 
-    def __iadd__(self, other: "LinkedAdapterStatistics"):
-        if not isinstance(other, self.__class__):
+    @property
+    def end(self) -> EndStatistics:
+        """The single end of a one-ended adapter's statistics."""
+        if (self.front is None) == (self.back is None):
+            raise AttributeError("adapter has statistics for both ends")
+        return self.front if self.back is None else self.back
+
+    def __iadd__(self, other: "AdapterStatistics"):
+        if not isinstance(other, AdapterStatistics) or self.kind != other.kind:
             raise ValueError("Cannot iadd")
-        self.front += other.front
-        self.back += other.back
+        if self.front is not None:
+            self.front += other.front
+        if self.back is not None:
+            self.back += other.back
         self.reverse_complemented += other.reverse_complemented
         return self
 
-    def add_match(self, match: "LinkedMatch"):
-        if match.front_match:
-            self.front.errors[match.front_match.removed_sequence_length()][
-                match.front_match.errors
-            ] += 1
-        if match.back_match:
-            adjacent_base = match.back_match.adjacent_base()
-            self.back.errors[match.back_match.removed_sequence_length()][
-                match.back_match.errors
-            ] += 1
-            try:
-                self.back.adjacent_bases[adjacent_base] += 1
-            except KeyError:
-                self.back.adjacent_bases[""] += 1
-
-    def end_statistics(self):
+    def end_statistics(self) -> Tuple[Optional[EndStatistics], Optional[EndStatistics]]:
         return self.front, self.back
 
-
-class AnywhereAdapterStatistics(AdapterStatistics):
-    def __init__(self, adapter: "AnywhereAdapter"):
-        self.name = adapter.name
-        self.adapter = adapter
-        self.front = EndStatistics(adapter)
-        self.back = EndStatistics(adapter)
-        self.reverse_complemented = 0
-
-    def __repr__(self):
-        return (
-            f"AnywhereAdapterStatistics(name={self.name}, "
-            f"front={self.front}, back={self.back})"
-        )
-
-    def __iadd__(self, other: "AnywhereAdapterStatistics"):
-        if not isinstance(other, AnywhereAdapterStatistics):
-            raise ValueError("Cannot add")
-        self.front += other.front
-        self.back += other.back
-        self.reverse_complemented += other.reverse_complemented
-        return self
-
-    def add_match(
-        self, match: Union["RemoveBeforeMatch", "RemoveAfterMatch"]
-    ) -> None:
-        if isinstance(match, RemoveBeforeMatch):
-            self.front.errors[match.removed_sequence_length()][match.errors] += 1
+    def add_match(self, match) -> None:
+        if isinstance(match, LinkedMatch):
+            front_part, back_part = match.front_match, match.back_match
+        elif match.end == "front":
+            front_part, back_part = match, None
         else:
-            adjacent_base = match.adjacent_base()
-            self.back.errors[match.removed_sequence_length()][match.errors] += 1
-            try:
-                self.back.adjacent_bases[adjacent_base] += 1
-            except KeyError:
-                self.back.adjacent_bases[""] += 1
+            front_part, back_part = None, match
+        if front_part is not None:
+            self.front.record_removal(
+                front_part.removed_sequence_length(), front_part.errors
+            )
+        if back_part is not None:
+            self.back.record_removal(
+                back_part.removed_sequence_length(), back_part.errors
+            )
+            self.back.record_adjacent(back_part.adjacent_base())
 
-    def end_statistics(self):
-        return self.front, self.back
+
+# --- matches -----------------------------------------------------------------
 
 
 class Match(ABC):
@@ -301,10 +317,15 @@ class Match(ABC):
         pass
 
 
-class SingleMatch(Match, ABC):
-    """A single adapter matched to a single read sequence."""
+class AdapterMatch(Match):
+    """One adapter aligned to one read.
 
-    __slots__ = [
+    Coordinates: adapter[astart:astop] aligned to sequence[rstart:rstop].
+    ``end`` says which read part the match removes: a 'front' match
+    removes ``read[:rstop]``, a 'back' match removes ``read[rstart:]``.
+    """
+
+    __slots__ = (
         "astart",
         "astop",
         "rstart",
@@ -313,8 +334,8 @@ class SingleMatch(Match, ABC):
         "errors",
         "adapter",
         "sequence",
-        "length",
-    ]
+        "end",
+    )
 
     def __init__(
         self,
@@ -326,7 +347,9 @@ class SingleMatch(Match, ABC):
         errors: int,
         adapter: "SingleAdapter",
         sequence: str,
+        end: str,
     ):
+        assert end in ("front", "back")
         self.astart = astart
         self.astop = astop
         self.rstart = rstart
@@ -335,122 +358,130 @@ class SingleMatch(Match, ABC):
         self.errors = errors
         self.adapter = adapter
         self.sequence = sequence
-        # Number of aligned adapter characters (may differ from the
-        # number of read characters when there are indels).
-        self.length = astop - astart
+        self.end = end
+
+    @property
+    def length(self) -> int:
+        """Aligned adapter characters (differs from read characters
+        when there are indels)."""
+        return self.astop - self.astart
+
+    @property
+    def is_front(self) -> bool:
+        return self.end == "front"
 
     def __repr__(self):
         return (
             f"{self.__class__.__name__}(astart={self.astart}, "
             f"astop={self.astop}, rstart={self.rstart}, rstop={self.rstop}, "
-            f"score={self.score}, errors={self.errors})"
+            f"score={self.score}, errors={self.errors}, end={self.end!r})"
         )
 
     def __eq__(self, other) -> bool:
         return (
             other.__class__ is self.__class__
-            and self.astart == other.astart
-            and self.astop == other.astop
-            and self.rstart == other.rstart
-            and self.rstop == other.rstop
-            and self.score == other.score
-            and self.errors == other.errors
+            and (self.astart, self.astop, self.rstart, self.rstop)
+            == (other.astart, other.astop, other.rstart, other.rstop)
+            and (self.score, self.errors, self.end)
+            == (other.score, other.errors, other.end)
             and self.adapter is other.adapter
             and self.sequence == other.sequence
         )
 
     def wildcards(self, wildcard_char: str = "N") -> str:
         """The read characters that the adapter's wildcards matched."""
-        wildcards = [
+        positions = range(self.astop - self.astart)
+        return "".join(
             self.sequence[self.rstart + i]
-            for i in range(self.length)
+            for i in positions
             if self.adapter.sequence[self.astart + i] == wildcard_char
             and self.rstart + i < len(self.sequence)
-        ]
-        return "".join(wildcards)
+        )
 
     def get_info_records(self, read) -> List[List]:
         seq = read.sequence
         qualities = read.qualities
-        info = [
-            "",
-            self.errors,
-            self.rstart,
-            self.rstop,
-            seq[0 : self.rstart],
+        pieces = (
+            seq[: self.rstart],
             seq[self.rstart : self.rstop],
             seq[self.rstop :],
-            self.adapter.name,
-        ]
+        )
         if qualities:
-            info += [
-                qualities[0 : self.rstart],
+            quality_pieces = (
+                qualities[: self.rstart],
                 qualities[self.rstart : self.rstop],
                 qualities[self.rstop :],
-            ]
+            )
         else:
-            info += ["", "", ""]
-        return [info]
+            quality_pieces = ("", "", "")
+        return [
+            ["", self.errors, self.rstart, self.rstop, *pieces,
+             self.adapter.name, *quality_pieces]
+        ]
 
     def match_sequence(self):
         return self.sequence[self.rstart : self.rstop]
 
-    @abstractmethod
-    def removed_sequence_length(self) -> int:
-        pass
+    # trimming geometry ------------------------------------------------
 
-
-class RemoveBeforeMatch(SingleMatch):
-    """A match that removes the sequence before (5' of) the match."""
-
-    def rest(self) -> str:
-        return self.sequence[: self.rstart]
-
-    def remainder_interval(self) -> Tuple[int, int]:
-        return self.rstop, len(self.sequence)
-
-    def retained_adapter_interval(self) -> Tuple[int, int]:
-        return self.rstart, len(self.sequence)
-
-    def trim_slice(self):
-        return slice(self.rstop, None)
-
-    def trimmed(self, read):
-        return read[self.rstop :]
-
-    def removed_sequence_length(self) -> int:
-        return self.rstop
-
-
-class RemoveAfterMatch(SingleMatch):
-    """A match that removes the sequence after (3' of) the match."""
-
-    def rest(self) -> str:
-        return self.sequence[self.rstop :]
-
-    def remainder_interval(self) -> Tuple[int, int]:
-        return 0, self.rstart
-
-    def retained_adapter_interval(self) -> Tuple[int, int]:
-        return 0, self.rstop
-
-    def trim_slice(self):
+    def trim_slice(self) -> slice:
+        if self.is_front:
+            return slice(self.rstop, None)
         return slice(None, self.rstart)
 
     def trimmed(self, read):
-        return read[: self.rstart]
+        return read[self.trim_slice()]
 
-    def adjacent_base(self) -> str:
-        return self.sequence[self.rstart - 1 : self.rstart]
+    def rest(self) -> str:
+        """The read part on the far side of the match."""
+        if self.is_front:
+            return self.sequence[: self.rstart]
+        return self.sequence[self.rstop :]
+
+    def remainder_interval(self) -> Tuple[int, int]:
+        if self.is_front:
+            return self.rstop, len(self.sequence)
+        return 0, self.rstart
+
+    def retained_adapter_interval(self) -> Tuple[int, int]:
+        if self.is_front:
+            return self.rstart, len(self.sequence)
+        return 0, self.rstop
 
     def removed_sequence_length(self) -> int:
+        if self.is_front:
+            return self.rstop
         return len(self.sequence) - self.rstart
 
+    def adjacent_base(self) -> str:
+        """The base 5' of a 3' match ('' at the read start)."""
+        return self.sequence[self.rstart - 1 : self.rstart]
 
-def _generate_adapter_name(_start=[1]) -> str:
-    name = str(_start[0])
-    _start[0] += 1
-    return name
+
+def _front_match(adapter, length, score, errors, sequence) -> AdapterMatch:
+    return AdapterMatch(
+        0, len(adapter.sequence), 0, length, score, errors, adapter,
+        sequence, "front",
+    )
+
+
+def _back_match(adapter, length, score, errors, sequence) -> AdapterMatch:
+    n = len(sequence)
+    return AdapterMatch(
+        0, len(adapter.sequence), n - length, n, score, errors, adapter,
+        sequence, "back",
+    )
+
+
+# --- adapter types -----------------------------------------------------------
+
+
+_adapter_counter = [0]
+
+
+def _next_auto_name() -> str:
+    _adapter_counter[0] += 1
+    return str(_adapter_counter[0])
 
 
 class Matchable(ABC):
@@ -484,15 +515,18 @@ class Adapter(Matchable, ABC):
         pass
 
 
-class SingleAdapter(Adapter, ABC):
+class SingleAdapter(Adapter):
     """
-    A single adapter characterized by its sequence, error rate and type.
+    One adapter sequence matched according to its kind descriptor.
 
-    max_errors values >= 1 are interpreted as an absolute error count
-    and converted to a rate over the non-N length of the sequence.
+    The sequence is uppercased with U->T and I->N. ``max_errors``
+    values >= 1 mean an absolute error budget and are converted to a
+    rate over the sequence's non-N length. Wildcard-aware matching is
+    only enabled when the sequence actually contains IUPAC codes
+    beyond ACGT.
     """
 
-    allows_partial_matches: bool = True
+    kind: str = ""  # overridden by each concrete type
 
     def __init__(
         self,
@@ -503,64 +537,130 @@ class SingleAdapter(Adapter, ABC):
         adapter_wildcards: bool = True,
         name: Optional[str] = None,
         indels: bool = True,
+        force_anywhere: bool = False,
     ):
-        self.name: str = _generate_adapter_name() if name is None else name
+        self.name: str = name if name is not None else _next_auto_name()
         super().__init__(self.name)
         self._debug: bool = False
-        self.sequence: str = (
-            sequence.upper().replace("U", "T").replace("I", "N")
-        )
+        self._force_anywhere = force_anywhere
+        info = _KINDS[self.kind]
+        self._info = info
+        self.sequence = sequence.upper().replace("U", "T").replace("I", "N")
         if not self.sequence:
             raise ValueError("Adapter sequence is empty")
-        if max_errors >= 1 and self.sequence.count("N") != len(self.sequence):
-            max_errors /= len(self.sequence) - self.sequence.count("N")
+        plain_length = len(self.sequence) - self.sequence.count("N")
+        if max_errors >= 1 and plain_length > 0:
+            max_errors /= plain_length
         self.max_error_rate: float = max_errors
+        if info.anchored:
+            min_overlap = len(self.sequence)
         self.min_overlap: int = min(min_overlap, len(self.sequence))
-        iupac = frozenset("ABCDGHKMNRSTUVWXY")
-        if adapter_wildcards and not set(self.sequence) <= iupac:
-            for c in self.sequence:
-                if c not in iupac:
-                    raise InvalidCharacter(
-                        f"Character '{c}' in adapter sequence "
-                        f"'{self.sequence}' is not a valid IUPAC code. "
-                        "Use only characters 'ABCDGHIKMNRSTUVWXY'."
-                    )
-        # Use non-wildcard matching when only ACGT appears.
-        self.adapter_wildcards: bool = adapter_wildcards and not set(
-            self.sequence
-        ) <= set("ACGT")
+        if adapter_wildcards:
+            bad = set(self.sequence) - IUPAC_CODES
+            if bad:
+                char = next(c for c in self.sequence if c in bad)
+                raise InvalidCharacter(
+                    f"Character '{char}' in adapter sequence "
+                    f"'{self.sequence}' is not a valid IUPAC code. "
+                    "Use only characters 'ABCDGHIKMNRSTUVWXY'."
+                )
+        self.adapter_wildcards: bool = (
+            adapter_wildcards and not set(self.sequence) <= set("ACGT")
+        )
         self.read_wildcards: bool = read_wildcards
         self.indels: bool = indels
-        self.aligner = self._aligner()
-        self.kmer_finder = self._kmer_finder()
+        self.aligner = self._make_matcher()
+        self.kmer_finder = self._make_kmer_finder()
 
-    def _make_aligner(self, sequence: str, flags: int) -> Aligner:
-        # Indels are suppressed by giving them a very high cost.
-        indel_cost = 1 if self.indels else 100000
+    # type properties derived from the descriptor ----------------------
+
+    @property
+    def description(self) -> str:
+        return self._info.description
+
+    @property
+    def removes_front(self) -> bool:
+        return self._info.removes == "front"
+
+    @property
+    def allows_partial_matches(self) -> bool:
+        return not self._info.anchored
+
+    def descriptive_identifier(self) -> str:
+        return self._info.ident
+
+    def spec(self) -> str:
+        return self._info.spec_format.format(self.sequence)
+
+    def __repr__(self):
+        return (
+            f"<{self.__class__.__name__}(name={self.name!r}, "
+            f"sequence={self.sequence!r}, "
+            f"max_error_rate={self.max_error_rate}, "
+            f"min_overlap={self.min_overlap}, "
+            f"read_wildcards={self.read_wildcards}, "
+            f"adapter_wildcards={self.adapter_wildcards}, "
+            f"indels={self.indels})>"
+        )
+
+    def __len__(self) -> int:
+        return len(self.sequence)
+
+    # matcher construction ---------------------------------------------
+
+    @property
+    def _match_sequence(self) -> str:
+        """The sequence as handed to aligner/prefilter (reversed for
+        rightmost variants)."""
+        if self._info.reversed_match:
+            return self.sequence[::-1]
+        return self.sequence
+
+    def _use_comparer(self) -> bool:
+        return self._info.anchored and not self.indels
+
+    def _make_matcher(self):
+        if self._use_comparer():
+            comparer_class = (
+                PrefixComparer if self.removes_front else SuffixComparer
+            )
+            return comparer_class(
+                self.sequence,
+                self.max_error_rate,
+                wildcard_ref=self.adapter_wildcards,
+                wildcard_query=self.read_wildcards,
+                min_overlap=self.min_overlap,
+            )
+        flags = (
+            Where.ANYWHERE if self._force_anywhere else self._info.flags
+        )
         return Aligner(
-            sequence,
+            self._match_sequence,
             self.max_error_rate,
-            flags=flags,
+            flags=flags.value,
             wildcard_ref=self.adapter_wildcards,
             wildcard_query=self.read_wildcards,
-            indel_cost=indel_cost,
+            # indels are disabled by pricing them out
+            indel_cost=1 if self.indels else 100000,
             min_overlap=self.min_overlap,
         )
 
-    def _make_kmer_finder(
-        self,
-        sequence: str,
-        back_adapter: bool,
-        front_adapter: bool,
-        internal: bool = True,
-    ) -> Union[KmerFinder, MockKmerFinder]:
+    def _make_kmer_finder(self) -> Union[KmerFinder, MockKmerFinder]:
+        if self._use_comparer():
+            # the comparer is already a single plain scan; prefiltering
+            # would only add overhead
+            return MockKmerFinder()
+        info = self._info
+        back, front = info.kmer_back, info.kmer_front
+        if self._force_anywhere:
+            back = front = True
         positions_and_kmers = create_positions_and_kmers(
-            sequence,
+            self._match_sequence,
             self.min_overlap,
             self.max_error_rate,
-            back_adapter,
-            front_adapter,
-            internal,
+            back_adapter=back,
+            front_adapter=front,
+            internal=info.kmer_internal,
         )
         if self._debug:
             print(kmer_probability_analysis(positions_and_kmers))
@@ -569,26 +669,8 @@ class SingleAdapter(Adapter, ABC):
                 positions_and_kmers, self.adapter_wildcards, self.read_wildcards
             )
         except ValueError:
-            # Kmers too long for the shift-and word.
+            # k-mers too long for the shift-and machine word
             return MockKmerFinder()
-
-    def __repr__(self):
-        return (
-            "<{cls}(name={name!r}, sequence={sequence!r}, "
-            "max_error_rate={max_error_rate}, min_overlap={min_overlap}, "
-            "read_wildcards={read_wildcards}, "
-            "adapter_wildcards={adapter_wildcards}, "
-            "indels={indels})>".format(
-                cls=self.__class__.__name__,
-                name=self.name,
-                sequence=self.sequence,
-                max_error_rate=self.max_error_rate,
-                min_overlap=self.min_overlap,
-                read_wildcards=self.read_wildcards,
-                adapter_wildcards=self.adapter_wildcards,
-                indels=self.indels,
-            )
-        )
 
     @property
     def effective_length(self) -> int:
@@ -598,194 +680,70 @@ class SingleAdapter(Adapter, ABC):
         self._debug = True
         self.aligner.enable_debug()
 
-    @abstractmethod
-    def _aligner(self):
-        pass
+    # matching ---------------------------------------------------------
 
-    @abstractmethod
-    def _kmer_finder(self):
-        pass
+    def match_to(self, sequence: str) -> Optional[AdapterMatch]:
+        """Match this adapter against ``sequence``; return the best
+        acceptable AdapterMatch or None."""
+        info = self._info
+        probe = sequence[::-1] if info.reversed_match else sequence
+        if not self.kmer_finder.kmers_present(probe):
+            return None
+        hit = self.aligner.locate(probe)
+        if self._debug:
+            try:
+                print_matrices(self.aligner)
+            except AttributeError:
+                pass
+        if hit is None:
+            return None
+        astart, astop, rstart, rstop, score, errors = hit
+        if info.reversed_match:
+            m, n = len(self.sequence), len(sequence)
+            astart, astop = m - astop, m - astart
+            rstart, rstop = n - rstop, n - rstart
+        end = info.removes
+        if end == "auto":
+            # a match flush with the read start acts as a 5' adapter
+            end = "front" if rstart == 0 else "back"
+        return AdapterMatch(
+            astart, astop, rstart, rstop, score, errors, self, sequence, end
+        )
 
-    @abstractmethod
-    def match_to(self, sequence: str):
-        """Match this adapter against `sequence`; return Match or None."""
-
-    def __len__(self) -> int:
-        return len(self.sequence)
+    def create_statistics(self) -> AdapterStatistics:
+        if self._info.removes == "auto":
+            return AdapterStatistics(
+                self, "both",
+                front=EndStatistics(self), back=EndStatistics(self),
+            )
+        if self.removes_front:
+            return AdapterStatistics(self, "front", front=EndStatistics(self))
+        return AdapterStatistics(self, "back", back=EndStatistics(self))
 
 
 class FrontAdapter(SingleAdapter):
     """A 5' adapter."""
 
-    description = "regular 5'"
-
-    def __init__(self, *args, **kwargs):
-        self._force_anywhere = kwargs.pop("force_anywhere", False)
-        super().__init__(*args, **kwargs)
-
-    def descriptive_identifier(self) -> str:
-        return "regular_five_prime"
-
-    def _aligner(self) -> Aligner:
-        return self._make_aligner(
-            self.sequence,
-            Where.ANYWHERE.value if self._force_anywhere else Where.FRONT.value,
-        )
-
-    def _kmer_finder(self):
-        return self._make_kmer_finder(
-            self.sequence, back_adapter=self._force_anywhere, front_adapter=True
-        )
-
-    def match_to(self, sequence: str):
-        if not self.kmer_finder.kmers_present(sequence):
-            return None
-        alignment = self.aligner.locate(sequence)
-        if self._debug:
-            print_matrices(self.aligner)
-        if alignment is None:
-            return None
-        return RemoveBeforeMatch(*alignment, adapter=self, sequence=sequence)
-
-    def spec(self) -> str:
-        return f"{self.sequence}..."
-
-    def create_statistics(self) -> FrontAdapterStatistics:
-        return FrontAdapterStatistics(self)
+    kind = "front"
 
 
 class RightmostFrontAdapter(FrontAdapter):
-    """A 5' adapter that prefers rightmost matches.
+    """A 5' adapter that prefers rightmost matches (matching runs over
+    the reversed sequences; coordinates are mirrored back)."""
 
-    Implemented by aligning the reversed sequences with BACK-type flags
-    and mirroring the coordinates back.
-    """
-
-    description = "rightmost 5'"
-
-    def descriptive_identifier(self) -> str:
-        return "rightmost_five_prime"
-
-    def _aligner(self) -> Aligner:
-        return self._make_aligner(
-            self.sequence[::-1],
-            Where.ANYWHERE.value if self._force_anywhere else Where.BACK.value,
-        )
-
-    def _kmer_finder(self):
-        return self._make_kmer_finder(
-            self.sequence[::-1],
-            back_adapter=True,
-            front_adapter=self._force_anywhere,
-        )
-
-    def match_to(self, sequence: str):
-        reversed_sequence = sequence[::-1]
-        if not self.kmer_finder.kmers_present(reversed_sequence):
-            return None
-        alignment = self.aligner.locate(reversed_sequence)
-        if self._debug:
-            print_matrices(self.aligner)
-        if alignment is None:
-            return None
-        ref_start, ref_end, query_start, query_end, score, errors = alignment
-        mirrored = (
-            len(self.sequence) - ref_end,
-            len(self.sequence) - ref_start,
-            len(sequence) - query_end,
-            len(sequence) - query_start,
-            score,
-            errors,
-        )
-        return RemoveBeforeMatch(*mirrored, adapter=self, sequence=sequence)
-
-    def spec(self) -> str:
-        return f"{self.sequence}...;rightmost"
+    kind = "rightmost_front"
 
 
 class BackAdapter(SingleAdapter):
     """A 3' adapter."""
 
-    description = "regular 3'"
-
-    def __init__(self, *args, **kwargs):
-        self._force_anywhere = kwargs.pop("force_anywhere", False)
-        super().__init__(*args, **kwargs)
-
-    def descriptive_identifier(self) -> str:
-        return "regular_three_prime"
-
-    def _aligner(self):
-        return self._make_aligner(
-            self.sequence,
-            Where.ANYWHERE.value if self._force_anywhere else Where.BACK.value,
-        )
-
-    def _kmer_finder(self):
-        return self._make_kmer_finder(
-            self.sequence, back_adapter=True, front_adapter=self._force_anywhere
-        )
-
-    def match_to(self, sequence: str):
-        if not self.kmer_finder.kmers_present(sequence):
-            return None
-        alignment = self.aligner.locate(sequence)
-        if self._debug:
-            print_matrices(self.aligner)  # pragma: no cover
-        if alignment is None:
-            return None
-        return RemoveAfterMatch(*alignment, adapter=self, sequence=sequence)
-
-    def spec(self) -> str:
-        return f"{self.sequence}"
-
-    def create_statistics(self) -> BackAdapterStatistics:
-        return BackAdapterStatistics(self)
+    kind = "back"
 
 
 class RightmostBackAdapter(BackAdapter):
     """A 3' adapter that prefers rightmost matches."""
 
-    description = "rightmost 3'"
-
-    def descriptive_identifier(self) -> str:
-        return "rightmost_three_prime"
-
-    def _aligner(self) -> Aligner:
-        return self._make_aligner(
-            self.sequence[::-1],
-            Where.ANYWHERE.value if self._force_anywhere else Where.FRONT.value,
-        )
-
-    def _kmer_finder(self):
-        return self._make_kmer_finder(
-            self.sequence[::-1],
-            back_adapter=self._force_anywhere,
-            front_adapter=True,
-        )
-
-    def match_to(self, sequence: str):
-        reversed_sequence = sequence[::-1]
-        if not self.kmer_finder.kmers_present(reversed_sequence):
-            return None
-        alignment = self.aligner.locate(reversed_sequence)
-        if self._debug:
-            print_matrices(self.aligner)
-        if alignment is None:
-            return None
-        ref_start, ref_end, query_start, query_end, score, errors = alignment
-        mirrored = (
-            len(self.sequence) - ref_end,
-            len(self.sequence) - ref_start,
-            len(sequence) - query_end,
-            len(sequence) - query_start,
-            score,
-            errors,
-        )
-        return RemoveAfterMatch(*mirrored, adapter=self, sequence=sequence)
-
-    def spec(self) -> str:
-        return f"{self.sequence};rightmost"
+    kind = "rightmost_back"
 
 
 class AnywhereAdapter(SingleAdapter):
@@ -794,192 +752,43 @@ class AnywhereAdapter(SingleAdapter):
     base of the read, it is treated as 5', otherwise as 3'.
     """
 
-    description = "variable 5'/3'"
-
-    def descriptive_identifier(self) -> str:
-        return "anywhere"
-
-    def _aligner(self):
-        return self._make_aligner(self.sequence, Where.ANYWHERE.value)
-
-    def _kmer_finder(self):
-        return self._make_kmer_finder(
-            self.sequence, back_adapter=True, front_adapter=True
-        )
-
-    def match_to(self, sequence: str):
-        if not self.kmer_finder.kmers_present(sequence):
-            return None
-        alignment = self.aligner.locate(sequence.upper())
-        if self._debug:
-            print_matrices(self.aligner)
-        if alignment is None:
-            return None
-        # rstart == 0 means it is a 5' adapter
-        if alignment[2] == 0:
-            match = RemoveBeforeMatch(*alignment, adapter=self, sequence=sequence)
-        else:
-            match = RemoveAfterMatch(*alignment, adapter=self, sequence=sequence)
-        return match
-
-    def spec(self) -> str:
-        return f"...{self.sequence}..."
-
-    def create_statistics(self) -> AnywhereAdapterStatistics:
-        return AnywhereAdapterStatistics(self)
+    kind = "anywhere"
 
 
 class NonInternalFrontAdapter(FrontAdapter):
     """A 5' adapter that must not match inside the read."""
 
-    description = "non-internal 5'"
-
-    def descriptive_identifier(self) -> str:
-        return "noninternal_five_prime"
-
-    def _aligner(self):
-        return self._make_aligner(self.sequence, Where.FRONT_NOT_INTERNAL.value)
-
-    def _kmer_finder(self):
-        return self._make_kmer_finder(
-            self.sequence,
-            front_adapter=True,
-            back_adapter=self._force_anywhere,
-            internal=False,
-        )
-
-    def match_to(self, sequence: str):
-        if not self.kmer_finder.kmers_present(sequence):
-            return None
-        alignment = self.aligner.locate(sequence)
-        if self._debug:
-            try:
-                print_matrices(self.aligner)
-            except AttributeError:
-                pass
-        if alignment is None:
-            return None
-        return RemoveBeforeMatch(*alignment, adapter=self, sequence=sequence)
-
-    def spec(self) -> str:
-        return f"X{self.sequence}..."
+    kind = "noninternal_front"
 
 
 class NonInternalBackAdapter(BackAdapter):
     """A 3' adapter that must not match inside the read."""
 
-    description = "non-internal 3'"
-
-    def descriptive_identifier(self) -> str:
-        return "noninternal_three_prime"
-
-    def _aligner(self):
-        return self._make_aligner(self.sequence, Where.BACK_NOT_INTERNAL.value)
-
-    def _kmer_finder(self):
-        return self._make_kmer_finder(
-            self.sequence,
-            back_adapter=True,
-            front_adapter=self._force_anywhere,
-            internal=False,
-        )
-
-    def match_to(self, sequence: str):
-        if not self.kmer_finder.kmers_present(sequence):
-            return None
-        alignment = self.aligner.locate(sequence)
-        if self._debug:
-            try:
-                print_matrices(self.aligner)  # pragma: no cover
-            except AttributeError:
-                pass
-        if alignment is None:
-            return None
-        return RemoveAfterMatch(*alignment, adapter=self, sequence=sequence)
-
-    def spec(self) -> str:
-        return f"{self.sequence}X"
+    kind = "noninternal_back"
 
 
 class PrefixAdapter(NonInternalFrontAdapter):
     """An anchored 5' adapter (must match at the read start, in full)."""
 
-    description = "anchored 5'"
-    allows_partial_matches = False
-
-    def __init__(self, sequence: str, *args, **kwargs):
-        kwargs["min_overlap"] = len(sequence)
-        super().__init__(sequence, *args, **kwargs)
-
-    def descriptive_identifier(self) -> str:
-        return "anchored_five_prime"
-
-    def _aligner(self):
-        if not self.indels:
-            return PrefixComparer(
-                self.sequence,
-                self.max_error_rate,
-                wildcard_ref=self.adapter_wildcards,
-                wildcard_query=self.read_wildcards,
-                min_overlap=self.min_overlap,
-            )
-        else:
-            return self._make_aligner(self.sequence, Where.PREFIX.value)
-
-    def _kmer_finder(self):
-        if isinstance(self.aligner, PrefixComparer):
-            # The comparer is already a plain scan; a prefilter would
-            # only add overhead.
-            return MockKmerFinder()
-        else:
-            return super()._kmer_finder()
-
-    def spec(self) -> str:
-        return f"^{self.sequence}..."
+    kind = "prefix"
 
 
 class SuffixAdapter(NonInternalBackAdapter):
     """An anchored 3' adapter (must match at the read end, in full)."""
 
-    description = "anchored 3'"
-    allows_partial_matches = False
+    kind = "suffix"
 
-    def __init__(self, sequence: str, *args, **kwargs):
-        kwargs["min_overlap"] = len(sequence)
-        super().__init__(sequence, *args, **kwargs)
 
-    def descriptive_identifier(self) -> str:
-        return "anchored_three_prime"
-
-    def _aligner(self):
-        if not self.indels:
-            return SuffixComparer(
-                self.sequence,
-                self.max_error_rate,
-                wildcard_ref=self.adapter_wildcards,
-                wildcard_query=self.read_wildcards,
-                min_overlap=self.min_overlap,
-            )
-        else:
-            return self._make_aligner(self.sequence, Where.SUFFIX.value)
-
-    def _kmer_finder(self):
-        if isinstance(self.aligner, SuffixComparer):
-            return MockKmerFinder()
-        else:
-            return super()._kmer_finder()
-
-    def spec(self) -> str:
-        return f"{self.sequence}$"
+# --- linked adapters ---------------------------------------------------------
 
 
 class LinkedMatch(Match):
-    """A match of a LinkedAdapter."""
+    """A match of a LinkedAdapter (either phase may be None)."""
 
     def __init__(
         self,
-        front_match: RemoveBeforeMatch,
-        back_match: RemoveAfterMatch,
+        front_match: Optional[AdapterMatch],
+        back_match: Optional[AdapterMatch],
         adapter: "LinkedAdapter",
     ):
         assert front_match is not None or back_match is not None
@@ -988,27 +797,26 @@ class LinkedMatch(Match):
         self.adapter = adapter
 
     def __repr__(self):
-        return "<LinkedMatch(front_match={!r}, back_match={}, adapter={})>".format(
-            self.front_match, self.back_match, self.adapter
+        return (
+            f"<LinkedMatch(front_match={self.front_match!r}, "
+            f"back_match={self.back_match}, adapter={self.adapter})>"
         )
 
     @property
-    def score(self):
-        s = 0
-        if self.front_match is not None:
-            s += self.front_match.score
-        if self.back_match is not None:
-            s += self.back_match.score
-        return s
+    def score(self) -> int:
+        return sum(
+            phase.score
+            for phase in (self.front_match, self.back_match)
+            if phase is not None
+        )
 
     @property
-    def errors(self):
-        e = 0
-        if self.front_match is not None:
-            e += self.front_match.errors
-        if self.back_match is not None:
-            e += self.back_match.errors
-        return e
+    def errors(self) -> int:
+        return sum(
+            phase.errors
+            for phase in (self.front_match, self.back_match)
+            if phase is not None
+        )
 
     def trimmed(self, read):
         if self.front_match:
@@ -1018,12 +826,12 @@ class LinkedMatch(Match):
         return read
 
     def remainder_interval(self) -> Tuple[int, int]:
-        matches = [
-            match
-            for match in [self.front_match, self.back_match]
-            if match is not None
+        phases = [
+            phase
+            for phase in (self.front_match, self.back_match)
+            if phase is not None
         ]
-        return remainder(matches)
+        return remainder(phases)
 
     def retained_adapter_interval(self) -> Tuple[int, int]:
         if self.front_match:
@@ -1039,32 +847,30 @@ class LinkedMatch(Match):
 
     def get_info_records(self, read) -> List[List]:
         records = []
-        for match, namesuffix in [
-            (self.front_match, ";1"),
-            (self.back_match, ";2"),
-        ]:
-            if match is None:
+        for phase, suffix in ((self.front_match, ";1"), (self.back_match, ";2")):
+            if phase is None:
                 continue
-            record = match.get_info_records(read)[0]
-            record[7] = (
+            record = phase.get_info_records(read)[0]
+            base_name = (
                 "none" if self.adapter.name is None else self.adapter.name
-            ) + namesuffix
+            )
+            record[7] = base_name + suffix
             records.append(record)
-            read = match.trimmed(read)
+            read = phase.trimmed(read)
         return records
 
     def match_sequence(self):
-        return (
-            (self.front_match.match_sequence() if self.front_match else "")
-            + ","
-            + (self.back_match.match_sequence() if self.back_match else "")
-        )
+        front = self.front_match.match_sequence() if self.front_match else ""
+        back = self.back_match.match_sequence() if self.back_match else ""
+        return f"{front},{back}"
 
 
 class LinkedAdapter(Adapter):
-    """A 5' adapter combined with a 3' adapter."""
+    """A 5' adapter combined with a 3' adapter: the 5' phase is trimmed
+    first, then the 3' phase is searched in the remainder."""
 
     description = "linked"
+    kind = "linked"
 
     def __init__(
         self,
@@ -1077,9 +883,8 @@ class LinkedAdapter(Adapter):
         super().__init__(name)
         self.front_required = front_required
         self.back_required = back_required
-        # Attributes needed for the report
-        self.where = "linked"
-        self.name = _generate_adapter_name() if name is None else name
+        self.where = "linked"  # report attribute
+        self.name = _next_auto_name() if name is None else name
         self.front_adapter = front_adapter
         self.front_adapter.name = self.name
         self.back_adapter = back_adapter
@@ -1099,7 +904,7 @@ class LinkedAdapter(Adapter):
 
     def match_to(self, sequence: str) -> Optional[LinkedMatch]:
         front_match = self.front_adapter.match_to(sequence)
-        if self.front_required and front_match is None:
+        if front_match is None and self.front_required:
             return None
         if front_match is not None:
             sequence = sequence[front_match.trim_slice()]
@@ -1108,16 +913,16 @@ class LinkedAdapter(Adapter):
             return None
         return LinkedMatch(front_match, back_match, self)
 
-    def create_statistics(self) -> LinkedAdapterStatistics:
-        return LinkedAdapterStatistics(
-            self, front=self.front_adapter, back=self.back_adapter
+    def create_statistics(self) -> AdapterStatistics:
+        return AdapterStatistics(
+            self, "linked",
+            front=EndStatistics(self.front_adapter),
+            back=EndStatistics(self.back_adapter),
         )
 
     @property
     def sequence(self):
-        return (
-            self.front_adapter.sequence + "..." + self.back_adapter.sequence
-        )
+        return f"{self.front_adapter.sequence}...{self.back_adapter.sequence}"
 
     @property
     def remove(self):
@@ -1125,6 +930,9 @@ class LinkedAdapter(Adapter):
 
     def spec(self) -> str:
         return f"{self.front_adapter.spec()}...{self.back_adapter.spec()}"
+
+
+# --- multi-adapter matching --------------------------------------------------
 
 
 class MultipleAdapters(Matchable):
@@ -1135,40 +943,38 @@ class MultipleAdapters(Matchable):
         self._adapters = adapters
 
     def enable_debug(self):
-        for a in self._adapters:
-            a.enable_debug()
+        for adapter in self._adapters:
+            adapter.enable_debug()
 
     def __getitem__(self, item):
         return self._adapters[item]
 
-    def __len__(self):
+    def __len__(self) -> int:
         return len(self._adapters)
 
-    def match_to(self, sequence: str) -> Optional[SingleMatch]:
-        """Best match by score, then by fewer errors; earlier adapters win ties."""
-        best_match = None
+    def match_to(self, sequence: str):
+        """Best match by score, then by fewer errors; earlier adapters
+        win ties."""
+        best = None
         for adapter in self._adapters:
             match = adapter.match_to(sequence)
             if match is None:
                 continue
             if (
-                best_match is None
-                or match.score > best_match.score
-                or (
-                    match.score == best_match.score
-                    and match.errors < best_match.errors
-                )
+                best is None
+                or match.score > best.score
+                or (match.score == best.score and match.errors < best.errors)
             ):
-                best_match = match
-        return best_match
+                best = match
+        return best
 
 
 class AdapterIndex:
     """
-    Index of multiple anchored adapters of the same type: a dict from
-    every string within edit (or hamming) distance k of any adapter to
-    (adapter, errors, matches). Restrictions: no wildcards either side,
-    at most 3 errors.
+    Exact-lookup index over multiple anchored adapters of one type: a
+    dict from every string within edit (or, without indels, hamming)
+    distance k of any adapter to (adapter, errors, matches). Only
+    wildcard-free adapters with at most 3 errors can be indexed.
     """
 
     def __init__(self, adapters, prefix: bool):
@@ -1178,76 +984,44 @@ class AdapterIndex:
         for adapter in adapters:
             self._accept(adapter, prefix)
         self._adapters = adapters
-        self._lengths, self._index, self._ambiguous = self._make_index()
+        self._prefix = prefix
+        self._lengths, self._index, self._ambiguous = self._build()
         logger.debug(
-            "String lengths in the index: %s", sorted(self._lengths, reverse=True)
+            "String lengths in the index: %s",
+            sorted(self._lengths, reverse=True),
         )
         if len(self._lengths) == 1:
             self._length = self._lengths[0]
-            self.match_to = self._match_to_one_length
+            self.match_to = self._match_one_length
         else:
-            self.match_to = self._match_to_multiple_lengths
-        if prefix:
-            self._make_affix = self._make_prefix
-            self._make_match = self._make_prefix_match
-        else:
-            self._make_affix = self._make_suffix
-            self._make_match = self._make_suffix_match
+            self.match_to = self._match_multiple_lengths
 
     def __repr__(self):
         return f"{self.__class__.__name__}(adapters={self._adapters!r})"
 
-    @staticmethod
-    def _make_suffix(s, n):
-        return s[-n:]
+    def _affix(self, s: str, n: int) -> str:
+        return s[:n] if self._prefix else s[-n:]
 
-    @staticmethod
-    def _make_prefix(s, n):
-        return s[:n]
-
-    @staticmethod
-    def _make_prefix_match(adapter, length, score, errors, sequence):
-        return RemoveBeforeMatch(
-            astart=0,
-            astop=len(adapter.sequence),
-            rstart=0,
-            rstop=length,
-            score=score,
-            errors=errors,
-            adapter=adapter,
-            sequence=sequence,
-        )
-
-    @staticmethod
-    def _make_suffix_match(adapter, length, score, errors, sequence):
-        return RemoveAfterMatch(
-            astart=0,
-            astop=len(adapter.sequence),
-            rstart=len(sequence) - length,
-            rstop=len(sequence),
-            score=score,
-            errors=errors,
-            adapter=adapter,
-            sequence=sequence,
-        )
+    def _make_match(self, adapter, length, score, errors, sequence):
+        builder = _front_match if self._prefix else _back_match
+        return builder(adapter, length, score, errors, sequence)
 
     @classmethod
     def _accept(cls, adapter: SingleAdapter, prefix: bool):
         """Raise ValueError if the adapter cannot be indexed."""
-        if prefix and not isinstance(adapter, PrefixAdapter):
-            raise ValueError("Only 5' anchored adapters are allowed")
-        elif not prefix and not isinstance(adapter, SuffixAdapter):
-            raise ValueError("Only 3' anchored adapters are allowed")
+        required = PrefixAdapter if prefix else SuffixAdapter
+        if not isinstance(adapter, required):
+            where = "5'" if prefix else "3'"
+            raise ValueError(f"Only {where} anchored adapters are allowed")
         if adapter.read_wildcards:
             raise ValueError("Wildcards in the read not supported")
         if adapter.adapter_wildcards:
             raise ValueError("Wildcards in the adapter not supported")
-        k = int(len(adapter) * adapter.max_error_rate)
-        if k > 3:
+        if int(len(adapter) * adapter.max_error_rate) > 3:
             raise ValueError("Error rate too high")
 
     @classmethod
-    def is_acceptable(cls, adapter: SingleAdapter, prefix: bool):
+    def is_acceptable(cls, adapter: SingleAdapter, prefix: bool) -> bool:
         """Whether this adapter can be used in an index."""
         try:
             cls._accept(adapter, prefix)
@@ -1255,7 +1029,20 @@ class AdapterIndex:
             return False
         return True
 
-    def _make_index(self):
+    def _environment(self, adapter):
+        """Yield (string, errors, matches) for every string within the
+        adapter's error budget."""
+        sequence = adapter.sequence
+        k = int(adapter.max_error_rate * len(sequence))
+        if adapter.indels:
+            yield from edit_environment(sequence, k)
+        else:
+            for errors in range(k + 1):
+                matches = len(sequence) - errors
+                for s in hamming_sphere(sequence, errors):
+                    yield s, errors, matches
+
+    def _build(self):
         start_time = time.time()
         max_k = max(
             (
@@ -1273,35 +1060,21 @@ class AdapterIndex:
                 "of memory. If this becomes a problem, try --no-indels "
                 "and/or --no-index."
             )
-        index: Dict[str, Tuple[SingleAdapter, int, int]] = dict()
+        index: Dict[str, Tuple[SingleAdapter, int, int]] = {}
         lengths = set()
         ambiguous = {}
         for adapter in self._adapters:
-            sequence = adapter.sequence
-            k = int(adapter.max_error_rate * len(sequence))
-            if adapter.indels:
-                for s, errors, matches in edit_environment(sequence, k):
-                    if s in index:
-                        other_adapter, other_errors, other_matches = index[s]
-                        if matches < other_matches:
-                            continue
-                        if other_matches == matches and s not in ambiguous:
-                            ambiguous[s] = (adapter, other_adapter, k, matches)
-                    index[s] = (adapter, errors, matches)
-                    lengths.add(len(s))
-            else:
-                n = len(sequence)
-                for errors in range(k + 1):
-                    matches = n - errors
-                    for s in hamming_sphere(sequence, errors):
-                        if s in index:
-                            other_adapter, other_errors, other_matches = index[s]
-                            if matches < other_matches:
-                                continue
-                            if other_matches == matches and s not in ambiguous:
-                                ambiguous[s] = (adapter, other_adapter, k, matches)
-                        index[s] = (adapter, errors, matches)
-                lengths.add(n)
+            k = int(adapter.max_error_rate * len(adapter.sequence))
+            for s, errors, matches in self._environment(adapter):
+                claimed = index.get(s)
+                if claimed is not None:
+                    other_adapter, _, other_matches = claimed
+                    if matches < other_matches:
+                        continue
+                    if other_matches == matches and s not in ambiguous:
+                        ambiguous[s] = (adapter, other_adapter, k, matches)
+                index[s] = (adapter, errors, matches)
+                lengths.add(len(s))
 
         if ambiguous:
             logger.warning(
@@ -1310,12 +1083,12 @@ class AdapterIndex:
                 "assigned uniquely.",
                 len(ambiguous),
             )
-            s = next(iter(ambiguous))
-            adapter, other_adapter, k, matches = ambiguous[s]
+            example = next(iter(ambiguous))
+            adapter, other_adapter, k, matches = ambiguous[example]
             logger.warning(
                 "WARNING: For example, %r, when found in a read, would result "
                 "in %s matches for both %s %r and %s %r",
-                s,
+                example,
                 matches,
                 other_adapter.name,
                 other_adapter.sequence,
@@ -1328,65 +1101,53 @@ class AdapterIndex:
             for s in ambiguous:
                 del index[s]
 
-        elapsed = time.time() - start_time
         logger.info("Built an index containing %s strings.", len(index))
-        logger.debug("Building the index took %.1f s", elapsed)
+        logger.debug(
+            "Building the index took %.1f s", time.time() - start_time
+        )
         return sorted(lengths, reverse=True), index, len(ambiguous)
 
-    def _match_to_one_length(self, sequence: str):
-        affix = self._make_affix(sequence.upper(), self._length)
+    def _match_one_length(self, sequence: str):
+        affix = self._affix(sequence.upper(), self._length)
         if "N" in affix:
-            result = self._lookup_with_n(affix)
-            if result is None:
-                return None
-            adapter, e, m = result
+            hit = self._lookup_with_n(affix)
         else:
-            try:
-                adapter, e, m = self._index[affix]
-            except KeyError:
-                return None
-        return self._make_match(adapter, self._length, m, e, sequence)
-
-    def _match_to_multiple_lengths(self, sequence: str):
-        affix = sequence.upper()
-        best_adapter: Optional[SingleAdapter] = None
-        best_length = 0
-        best_m = -1
-        best_e = 1000
-        # Check successively shorter affixes.
-        for length in self._lengths:
-            if length < best_m:
-                # Shorter affixes cannot reach best_m matches anymore.
-                break
-            affix = self._make_affix(affix, length)
-            if "N" in affix:
-                result = self._lookup_with_n(affix)
-                if result is None:
-                    continue
-                adapter, e, m = result
-            else:
-                try:
-                    adapter, e, m = self._index[affix]
-                except KeyError:
-                    continue
-            if m > best_m or (m == best_m and e < best_e):
-                best_adapter = adapter
-                best_e = e
-                best_m = m
-                best_length = length
-        if best_m == -1:
+            hit = self._index.get(affix)
+        if hit is None:
             return None
-        return self._make_match(best_adapter, best_length, best_m, best_e, sequence)
+        adapter, errors, matches = hit
+        return self._make_match(adapter, self._length, matches, errors, sequence)
+
+    def _match_multiple_lengths(self, sequence: str):
+        affix = sequence.upper()
+        best = None  # (matches, -errors, adapter, length)
+        # check successively shorter affixes; stop once no shorter
+        # affix could beat the best match count found so far
+        for length in self._lengths:
+            if best is not None and length < best[0]:
+                break
+            affix = self._affix(affix, length)
+            if "N" in affix:
+                hit = self._lookup_with_n(affix)
+            else:
+                hit = self._index.get(affix)
+            if hit is None:
+                continue
+            adapter, errors, matches = hit
+            if best is None or (matches, -errors) > (best[0], -best[1]):
+                best = (matches, errors, adapter, length)
+        if best is None:
+            return None
+        matches, errors, adapter, length = best
+        return self._make_match(adapter, length, matches, errors, sequence)
 
     def _lookup_with_n(self, affix):
-        # N wildcards count as mismatches; look up with N replaced by an
-        # arbitrary base, then re-align to fix up the error/match counts.
-        affix_without_n = affix.replace("N", "A")
-        try:
-            result = self._index[affix_without_n]
-        except KeyError:
+        # N wildcards count as mismatches; look up with N replaced by
+        # an arbitrary base, then re-align to fix the error/match counts
+        hit = self._index.get(affix.replace("N", "A"))
+        if hit is None:
             return None
-        adapter = result[0]
+        adapter = hit[0]
         match = adapter.match_to(affix)
         if match is None:
             return None
@@ -1394,6 +1155,8 @@ class AdapterIndex:
 
 
 class IndexedPrefixAdapters(Matchable):
+    kind = "indexed_prefix"
+
     def __init__(self, adapters):
         super().__init__(name="indexed_prefix_adapters")
         self._index = AdapterIndex(adapters, prefix=True)
@@ -1404,6 +1167,8 @@ class IndexedPrefixAdapters(Matchable):
 
 
 class IndexedSuffixAdapters(Matchable):
+    kind = "indexed_suffix"
+
     def __init__(self, adapters):
         super().__init__(name="indexed_suffix_adapters")
         self._index = AdapterIndex(adapters, prefix=False)
@@ -1414,17 +1179,17 @@ class IndexedSuffixAdapters(Matchable):
 
 
 def warn_duplicate_adapters(adapters):
-    d = dict()
+    seen = {}
     for adapter in adapters:
         key = (adapter.__class__, adapter.sequence)
-        if key in d:
+        if key in seen:
             logger.warning(
                 "Adapter %r (%s) was specified multiple times! "
                 "Please make sure that this is what you want.",
                 adapter.sequence,
                 adapter.description,
             )
-        d[key] = adapter.name
+        seen[key] = adapter.name
 
 
 def remainder(matches: Sequence[Match]) -> Tuple[int, int]:
@@ -1439,5 +1204,4 @@ def remainder(matches: Sequence[Match]) -> Tuple[int, int]:
     for match in matches:
         match_start, match_stop = match.remainder_interval()
         start += match_start
-    length = match_stop - match_start
-    return (start, start + length)
+    return (start, start + match_stop - match_start)

@@ -139,49 +139,18 @@ def _unpack_result(arr: np.ndarray):
 
 def adapter_kind(adapter) -> Optional[str]:
     """Map a host adapter object to its AdapterTask kind (None when
-    the batch engine has no implementation for it)."""
-    from .adapters import (
-        AnywhereAdapter,
-        BackAdapter,
-        FrontAdapter,
-        LinkedAdapter,
-        NonInternalBackAdapter,
-        NonInternalFrontAdapter,
-        PrefixAdapter,
-        RightmostBackAdapter,
-        RightmostFrontAdapter,
-        SuffixAdapter,
-    )
-
+    the batch engine has no implementation for it). Adapter classes
+    declare their kind; the anchored no-indel variants divert to the
+    vectorized comparer implementations."""
     if getattr(adapter, "_force_anywhere", False):
         return None
-    t = type(adapter)
-    if t is BackAdapter:
-        return "back"
-    if t is FrontAdapter:
-        return "front"
-    if t is AnywhereAdapter:
-        return "anywhere"
-    if t is NonInternalFrontAdapter:
-        return "noninternal_front"
-    if t is NonInternalBackAdapter:
-        return "noninternal_back"
-    if t is PrefixAdapter:
-        return "prefix" if adapter.indels else "prefix_cmp"
-    if t is SuffixAdapter:
-        return "suffix" if adapter.indels else "suffix_cmp"
-    if t is RightmostFrontAdapter:
-        return "rightmost_front"
-    if t is RightmostBackAdapter:
-        return "rightmost_back"
-    if t is LinkedAdapter:
-        return "linked"
-    from .adapters import IndexedPrefixAdapters, IndexedSuffixAdapters
-
-    if t is IndexedPrefixAdapters:
-        return "indexed_prefix"
-    if t is IndexedSuffixAdapters:
-        return "indexed_suffix"
+    kind = getattr(adapter, "kind", None)
+    if kind in ("prefix", "suffix") and not adapter.indels:
+        return kind + "_cmp"
+    if kind in _KIND_INFO or kind in (
+        "linked", "indexed_prefix", "indexed_suffix"
+    ):
+        return kind
     return None
 
 

@@ -21,10 +21,6 @@ from .adapters import (
     AnywhereAdapter,
     LinkedAdapter,
     SingleAdapter,
-    LinkedAdapterStatistics,
-    FrontAdapterStatistics,
-    BackAdapterStatistics,
-    AnywhereAdapterStatistics,
 )
 from .json_utils import OneLine
 from .modifiers import (
@@ -679,7 +675,7 @@ def full_report(stats: Statistics, time: float, gc_content: float) -> str:  # no
             print_s("=" * 3, extra + "Adapter", adapter_statistics.name, "=" * 3)
             print_s()
 
-            if isinstance(adapter_statistics, LinkedAdapterStatistics):
+            if adapter_statistics.kind == "linked":
                 print_s(
                     "Sequence: {}...{}; Type: linked; Length: {}+{}; "
                     "5' trimmed: {} times; 3' trimmed: {} times".format(
@@ -710,7 +706,7 @@ def full_report(stats: Statistics, time: float, gc_content: float) -> str:  # no
             if total == 0:
                 print_s()
                 continue
-            if isinstance(adapter_statistics, AnywhereAdapterStatistics):
+            if adapter_statistics.kind == "both":
                 assert isinstance(adapter, AnywhereAdapter)
                 print_s(total_front, "times, it overlapped the 5' end of a read")
                 print_s(
@@ -724,7 +720,7 @@ def full_report(stats: Statistics, time: float, gc_content: float) -> str:  # no
                 print_s()
                 print_s("Overview of removed sequences (3' or within)")
                 print_s(histogram(adapter_statistics.back, stats.n, gc_content))
-            elif isinstance(adapter_statistics, LinkedAdapterStatistics):
+            elif adapter_statistics.kind == "linked":
                 assert isinstance(adapter, LinkedAdapter)
                 print_s()
                 print_s(
@@ -739,7 +735,7 @@ def full_report(stats: Statistics, time: float, gc_content: float) -> str:  # no
                 print_s()
                 print_s("Overview of removed sequences at 3' end")
                 print_s(histogram(adapter_statistics.back, stats.n, gc_content))
-            elif isinstance(adapter_statistics, FrontAdapterStatistics):
+            elif adapter_statistics.kind == "front":
                 assert isinstance(adapter, FrontAdapter)
                 print_s()
                 if adapter.allows_partial_matches:
@@ -748,7 +744,7 @@ def full_report(stats: Statistics, time: float, gc_content: float) -> str:  # no
                 print_s("Overview of removed sequences")
                 print_s(histogram(adapter_statistics.end, stats.n, gc_content))
             else:
-                assert isinstance(adapter_statistics, BackAdapterStatistics)
+                assert adapter_statistics.kind == "back"
                 assert isinstance(adapter, BackAdapter)
                 print_s()
                 if adapter.allows_partial_matches:
@@ -840,7 +836,7 @@ def minimal_report(stats: Statistics, time: float, gc_content: float) -> str:
     warning = False
     for which_in_pair in (0, 1):
         for adapter_statistics in stats.adapter_stats[which_in_pair]:
-            if isinstance(adapter_statistics, BackAdapterStatistics):
+            if adapter_statistics.kind == "back":
                 if AdjacentBaseStatistics(
                     adapter_statistics.end.adjacent_bases
                 ).should_warn:

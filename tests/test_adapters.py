@@ -8,8 +8,7 @@ import pytest
 
 from cutadapt_tpu.io import SequenceRecord
 from cutadapt_tpu.adapters import (
-    RemoveAfterMatch,
-    RemoveBeforeMatch,
+    AdapterMatch,
     FrontAdapter,
     BackAdapter,
     PrefixAdapter,
@@ -155,7 +154,7 @@ def test_wildcards():
         adapter_wildcards=True,
     )
     sequence = "CCCCAGAACTACAGTCCCGGC"
-    am = RemoveAfterMatch(
+    am = AdapterMatch(
         astart=0,
         astop=17,
         rstart=5,
@@ -164,6 +163,7 @@ def test_wildcards():
         errors=2,
         adapter=adapter,
         sequence=sequence,
+        end="back",
     )
     assert am.wildcards() == "GGC"
     """
@@ -359,7 +359,7 @@ def test_info_record():
         name="Foo",
     )
     read = SequenceRecord(name="abc", sequence="CCCCAGAACTACAGTCCCGGC")
-    am = RemoveAfterMatch(
+    am = AdapterMatch(
         astart=0,
         astop=17,
         rstart=5,
@@ -368,6 +368,7 @@ def test_info_record():
         errors=2,
         adapter=adapter,
         sequence=read.sequence,
+        end="back",
     )
     assert am.get_info_records(read) == [
         [
@@ -592,7 +593,7 @@ def test_indexed_prefix_adapters_with_n_wildcard():
         # N in the read should be counted as mismatch
         t = sequence[:i] + "N" + sequence[i + 1 :] + "TGCT"
         result = ma.match_to(t)
-        assert isinstance(result, RemoveBeforeMatch)
+        assert result.is_front
         assert (result.rstart, result.rstop) == (0, 8)
         assert result.errors == 1
         assert result.score == 6
@@ -606,7 +607,7 @@ def test_indexed_prefix_adapters_with_n_collision(sequence):
 
     result = ipa.match_to(sequence)
 
-    assert isinstance(result, RemoveBeforeMatch)
+    assert result.is_front
     assert result.adapter is a2
 
 

@@ -13,8 +13,7 @@ from cutadapt_tpu.adapters import (
     LinkedAdapter,
     FrontAdapter,
     Adapter,
-    RemoveBeforeMatch,
-    RemoveAfterMatch,
+    AdapterMatch,
     LinkedMatch,
 )
 from cutadapt_tpu.modifiers import (
@@ -32,6 +31,14 @@ from cutadapt_tpu.modifiers import (
     PairedEndRenamer,
     PairedReverseComplementer,
 )
+
+def RemoveBeforeMatch(**kwargs):
+    return AdapterMatch(end="front", **kwargs)
+
+
+def RemoveAfterMatch(**kwargs):
+    return AdapterMatch(end="back", **kwargs)
+
 
 
 def test_unconditional_cutter():
