@@ -1,20 +1,24 @@
 """
-Adapter specification mini-language parser.
+The adapter-specification mini-language.
 
-Grammar highlights: ``^ADAPTER`` / ``ADAPTER$`` anchoring, ``XADAPTER``
-/ ``ADAPTERX`` non-internal placement, ``A...B`` linked adapters,
-per-adapter parameters ``;e=0.2;o=5;noindels;rightmost;required``,
-``name=SEQ`` naming, ``A{5}`` brace expansion, and ``file:``/``^file:``
-/``file$:`` FASTA loading.
+One spec string describes an adapter: placement markers (``^A`` /
+``A$`` anchor, ``XA`` / ``AX`` forbid internal hits), an ellipsis
+(``A...B``) builds linked adapters, ``name=SEQ`` names, ``{n}``
+repeats a base, per-adapter parameter overrides follow after ``;``
+(``e=``, ``o=``, ``noindels``, ``rightmost``, ``required``,
+``optional``, ``anywhere``), and ``file:``/``^file:``/``file$:`` pull
+sequences from FASTA.
+
+Parsing is table-driven: `_PARAMETERS` declares the accepted parameter
+names/aliases and `_PLACEMENT_CLASSES` maps (type, placement,
+rightmost) to the adapter class. Grammar and error wording match the
+reference parser (/root/reference/src/cutadapt/parser.py:28-563).
 """
 
 import logging
-import re
 from pathlib import Path
 from typing import Any, Dict, Iterable, List, Optional, Tuple, Type
 
-from .io.compressed import xopen
-from .io.fastq import parse_fasta
 from .adapters import (
     Adapter,
     AnywhereAdapter,
@@ -29,140 +33,153 @@ from .adapters import (
     RightmostFrontAdapter,
     SuffixAdapter,
 )
+from .io.compressed import xopen
+from .io.fastq import parse_fasta
 
 logger = logging.getLogger(__name__)
 
+# accepted ";key=value" parameters: name -> canonical name (None = canonical)
+_PARAMETERS: Dict[str, Optional[str]] = {
+    "e": "max_error_rate",
+    "error_rate": "max_errors",
+    "max_error_rate": "max_errors",
+    "o": "min_overlap",
+    "max_errors": None,
+    "min_overlap": None,
+    "anywhere": None,
+    "required": None,
+    "optional": None,
+    "indels": None,
+    "noindels": None,
+    "rightmost": None,
+}
+
+# pairs that cannot appear together, and the rewrite applied afterwards:
+# (key_a, key_b, replace_b_with, value)
+_EXCLUSIVE = (
+    ("required", "optional", "required", False),
+    ("indels", "noindels", "indels", False),
+)
+
+_PLACEMENT_CLASSES: Dict[Tuple[str, Optional[str], bool], Type[Adapter]] = {
+    ("front", None, False): FrontAdapter,
+    ("front", None, True): RightmostFrontAdapter,
+    ("front", "anchored", False): PrefixAdapter,
+    ("front", "noninternal", False): NonInternalFrontAdapter,
+    ("back", None, False): BackAdapter,
+    ("back", None, True): RightmostBackAdapter,
+    ("back", "anchored", False): SuffixAdapter,
+    ("back", "noninternal", False): NonInternalBackAdapter,
+    ("anywhere", None, False): AnywhereAdapter,
+}
+
 
 def parse_search_parameters(spec: str) -> Dict[str, Any]:
-    """Parse ``key=value;key=value`` into a dict of search parameters."""
-    allowed_parameters = {
-        # abbreviations
-        "e": "max_error_rate",
-        "error_rate": "max_errors",
-        "max_error_rate": "max_errors",
-        "o": "min_overlap",
-        # allowed parameters
-        "max_errors": None,
-        "min_overlap": None,
-        "anywhere": None,
-        "required": None,
-        "optional": None,  # if specified, 'required' is set to False
-        "indels": None,
-        "noindels": None,
-        "rightmost": None,
-    }
-    fields = spec.split(";")
-    result: Dict[str, Any] = dict()
-    for field in fields:
+    """Parse ``key=value;flag;...`` into a search-parameter dict."""
+    result: Dict[str, Any] = {}
+    for field in spec.split(";"):
         field = field.strip()
         if not field:
             continue
         key, equals, value = field.partition("=")
         key = key.strip()
-        if key not in allowed_parameters:
+        if key not in _PARAMETERS:
             raise KeyError(f"Unknown parameter '{key}'")
-        if equals == "=" and value == "":
+        if equals and not value:
             raise ValueError(f"No value given for key '{key}'")
-        # unabbreviate
-        while allowed_parameters[key] is not None:
-            key = allowed_parameters[key]  # type: ignore
+        # resolve aliases to their canonical name
+        while _PARAMETERS[key] is not None:
+            key = _PARAMETERS[key]
         value = value.strip()
-        if value == "":
-            value = True
+        if not value:
+            parsed: Any = True
         else:
             try:
-                value = int(value)
+                parsed = int(value)
             except ValueError:
-                value = float(value)
+                parsed = float(value)
         if key in result:
             raise KeyError(f"Key '{key}' specified twice")
-        result[key] = value
-    if "optional" in result and "required" in result:
-        raise ValueError(
-            "'optional' and 'required' cannot be specified at the same time"
-        )
-    if "indels" in result and "noindels" in result:
-        raise ValueError("'indels' and 'noindels' cannot be specified at the same time")
-    if "optional" in result:
-        result["required"] = False
-        del result["optional"]
-    if "noindels" in result:
-        result["indels"] = False
-        del result["noindels"]
+        result[key] = parsed
+    for key_a, key_b, target, target_value in _EXCLUSIVE:
+        if key_b not in result:
+            continue
+        if key_a in result:
+            raise ValueError(
+                f"'{key_b}' and '{key_a}' cannot be specified at the same time"
+                if key_a == "required"
+                else f"'{key_a}' and '{key_b}' cannot be specified at the "
+                "same time"
+            )
+        del result[key_b]
+        result[target] = target_value
     return result
 
 
 def expand_braces(sequence: str) -> str:
     """
-    Replace all occurrences of ``x{n}`` with n occurrences of x.
-
-    >>> expand_braces('TGA{5}CT')
-    'TGAAAAACT'
+    Replace every ``x{n}`` with n copies of x ('ACG{3}T' -> 'ACGGGT').
     """
-    # Simple DFA with four states, encoded in prev
-    result = ""
-    prev = None
-    for s in re.split("([{}])", sequence):
-        if s == "":
-            continue
-        if prev is None:
-            if s == "{":
+    pieces: List[str] = []
+    repeatable = False  # whether a '{n}' may follow here
+    i = 0
+    n = len(sequence)
+    while i < n:
+        ch = sequence[i]
+        if ch == "{":
+            if not repeatable:
                 raise ValueError('"{" must be used after a character')
-            if s == "}":
-                raise ValueError('"}" cannot be used here')
-            prev = s
-            result += s
-        elif prev == "{":
-            prev = int(s)
-            if not 0 <= prev <= 10000:
-                raise ValueError(f"Value {prev} invalid")
-        elif isinstance(prev, int):
-            if s != "}":
-                raise ValueError('"}" expected')
-            result = result[:-1] + result[-1] * prev
-            prev = None
+            close = sequence.find("}", i + 1)
+            if close < 0:
+                raise ValueError("Unterminated expression")
+            count = int(sequence[i + 1 : close])  # ValueError on junk
+            if not 0 <= count <= 10000:
+                raise ValueError(f"Value {count} invalid")
+            pieces[-1] = pieces[-1] * count
+            repeatable = False
+            i = close + 1
+        elif ch == "}":
+            raise ValueError(
+                'Expected "{"' if repeatable else '"}" cannot be used here'
+            )
         else:
-            if s != "{":
-                raise ValueError('Expected "{"')
-            prev = "{"
-    if isinstance(prev, int) or prev == "{":
-        raise ValueError("Unterminated expression")
-    return result
+            pieces.append(ch)
+            repeatable = True
+            i += 1
+    return "".join(pieces)
 
 
-def _normalize_ellipsis(spec1: str, spec2: str, adapter_type) -> Tuple[str, str]:
-    if adapter_type == "anywhere":
-        raise ValueError('No ellipsis ("...") allowed in "anywhere" adapters')
-    if not spec1:
-        if adapter_type == "back":
-            # -a ...ADAPTER
-            spec = spec2
-        else:
-            # -g ...ADAPTER
-            raise ValueError("Invalid adapter specification")
-    elif not spec2:
-        if adapter_type == "back":
-            # -a ADAPTER...
-            adapter_type = "front"
-            spec = spec1
-        else:
-            # -g ADAPTER...
-            spec = spec1
-    else:
-        raise ValueError("Expected either spec1 or spec2")
-    return spec, adapter_type
+def _take_placement(spec: str) -> Tuple[Optional[str], Optional[str], str]:
+    """Strip placement markers; return (front, back, bare sequence)
+    where each side is None, 'anchored' or 'noninternal'."""
+    front = back = None
+    if spec.startswith("^"):
+        front = "anchored"
+        spec = spec[1:]
+    if spec[:1] in ("x", "X"):
+        if front is not None:
+            raise ValueError("conflicting front placements")
+        front = "noninternal"
+        spec = spec.lstrip("xX")
+    if spec.endswith("$"):
+        back = "anchored"
+        spec = spec[:-1]
+    if spec[-1:] in ("x", "X"):
+        if back is not None:
+            raise ValueError("conflicting back placements")
+        back = "noninternal"
+        spec = spec.rstrip("xX")
+    if front is not None and back is not None:
+        raise ValueError("front and back placements")
+    return front, back, spec
 
 
 class AdapterSpecification:
-    """# noqa: E501
-    Description of a single non-linked adapter.
-
-    Attributes: name, restriction (None, 'anchored' or 'noninternal'),
-    sequence, search parameters, adapter_type ('front'/'back'/'anywhere'),
-    rightmost.
-
-    >>> AdapterSpecification.parse('a_name=ACGT;anywhere', 'back')
-    AdapterSpecification(name='a_name', restriction=None, sequence='ACGT', parameters={'anywhere': True}, adapter_type='back')
+    """
+    Parsed form of one non-linked adapter spec: its name, placement
+    restriction (None, 'anchored' or 'noninternal'), bare sequence,
+    parameter overrides, adapter type ('front'/'back'/'anywhere') and
+    rightmost preference.
     """
 
     def __init__(
@@ -185,15 +202,10 @@ class AdapterSpecification:
 
     def __repr__(self):
         return (
-            "{}(name={!r}, restriction={!r}, sequence={!r}, parameters={!r}, "
-            "adapter_type={!r})".format(
-                self.__class__.__name__,
-                self.name,
-                self.restriction,
-                self.sequence,
-                self.parameters,
-                self.adapter_type,
-            )
+            f"{self.__class__.__name__}(name={self.name!r}, "
+            f"restriction={self.restriction!r}, sequence={self.sequence!r}, "
+            f"parameters={self.parameters!r}, "
+            f"adapter_type={self.adapter_type!r})"
         )
 
     def __eq__(self, other):
@@ -205,37 +217,29 @@ class AdapterSpecification:
             and self.adapter_type == other.adapter_type
         )
 
-    @staticmethod
-    def _extract_name(spec: str) -> Tuple[Optional[str], str]:
-        """Split 'name=ADAPTER' into name and spec."""
-        fields = spec.split("=", 1)
-        name: Optional[str] = None
-        if len(fields) > 1:
-            name, spec = fields
-            name = name.strip()
-        spec = spec.strip()
-        return name, spec
-
     @classmethod
     def parse(cls, spec: str, adapter_type: str) -> "AdapterSpecification":
-        """Parse a non-linked adapter specification."""
+        """Parse a non-linked adapter specification string."""
         if adapter_type not in ("front", "back", "anywhere"):
             raise ValueError("adapter_type must be front, back or anywhere")
 
-        spec, _, parameters_spec = spec.partition(";")
-        name, spec = cls._extract_name(spec)
+        spec, _, parameter_text = spec.partition(";")
+        name, _, rest = spec.partition("=")
+        if rest:
+            name, spec = name.strip(), rest
+        else:
+            name = None
         spec = spec.strip()
-        parameters = parse_search_parameters(parameters_spec)
+        parameters = parse_search_parameters(parameter_text)
         spec = expand_braces(spec)
         rightmost = parameters.pop("rightmost", False)
 
-        # Adapters consisting of only X characters are kept as-is for
-        # backwards compatibility.
-        if len(spec.strip("X")) == 0:
+        # an all-X "adapter" is legacy colorspace padding: keep as-is
+        if not spec.strip("X"):
             return cls(name, None, spec, {}, adapter_type, False)
 
         try:
-            front_restriction, back_restriction, spec = cls._parse_restrictions(spec)
+            front, back, spec = _take_placement(spec)
         except ValueError:
             raise ValueError(
                 "You cannot use multiple placement restrictions for an adapter "
@@ -243,21 +247,17 @@ class AdapterSpecification:
                 "or ADAPTERX"
             ) from None
 
-        if adapter_type == "front" and back_restriction:
+        if adapter_type == "front" and back is not None:
             raise ValueError(
                 "Allowed placement restrictions for a 5' adapter are XADAPTER "
                 "and ^ADAPTER"
             )
-        if adapter_type == "back" and front_restriction:
+        if adapter_type == "back" and front is not None:
             raise ValueError(
                 "Allowed placement restrictions for a 3' adapter are ADAPTERX "
                 "and ADAPTER$"
             )
-
-        if front_restriction is not None:
-            restriction: Optional[str] = front_restriction
-        else:
-            restriction = back_restriction
+        restriction = front if front is not None else back
 
         if adapter_type == "anywhere" and restriction is not None:
             raise ValueError(
@@ -270,7 +270,6 @@ class AdapterSpecification:
                 "Setting 'min_overlap=' (or 'o=') for anchored adapters is not "
                 "possible because anchored adapters always need to match in full."
             )
-
         if parameters.get("min_overlap", 0) > len(spec):
             parameters["min_overlap"] = len(spec)
 
@@ -283,79 +282,19 @@ class AdapterSpecification:
 
         return cls(name, restriction, spec, parameters, adapter_type, rightmost)
 
-    @staticmethod
-    def _parse_restrictions(spec: str) -> Tuple[Optional[str], Optional[str], str]:
-        front_restriction = None
-        if spec.startswith("^"):
-            front_restriction = "anchored"
-            spec = spec[1:]
-        if spec.upper().startswith("X"):
-            if front_restriction is not None:
-                raise ValueError("two front restrictions")
-            front_restriction = "noninternal"
-            spec = spec.lstrip("xX")
-
-        back_restriction = None
-        if spec.endswith("$"):
-            back_restriction = "anchored"
-            spec = spec[:-1]
-        if spec.upper().endswith("X"):
-            if back_restriction is not None:
-                raise ValueError("two back restrictions")
-            back_restriction = "noninternal"
-            spec = spec.rstrip("xX")
-
-        n_placement_restrictions = int(bool(front_restriction)) + int(
-            bool(back_restriction)
-        )
-        if n_placement_restrictions > 1:
-            raise ValueError("front and back restrictions")
-        assert front_restriction is None or back_restriction is None
-        return front_restriction, back_restriction, spec
-
-    @staticmethod
-    def _restriction_to_class(adapter_type, restriction, rightmost):
-        if adapter_type == "front":
-            if rightmost:
-                assert restriction is None
-                return RightmostFrontAdapter
-            elif restriction is None:
-                return FrontAdapter
-            elif restriction == "anchored":
-                return PrefixAdapter
-            elif restriction == "noninternal":
-                return NonInternalFrontAdapter
-            else:
-                raise ValueError(
-                    f"Value {restriction} for a front restriction not allowed"
-                )
-        elif adapter_type == "back":
-            if rightmost:
-                assert restriction is None
-                return RightmostBackAdapter
-            elif restriction is None:
-                return BackAdapter
-            elif restriction == "anchored":
-                return SuffixAdapter
-            elif restriction == "noninternal":
-                return NonInternalBackAdapter
-            else:
-                raise ValueError(
-                    f"Value {restriction} for a back restriction not allowed"
-                )
-        else:
-            assert adapter_type == "anywhere"
-            if restriction is None:
-                return AnywhereAdapter
-            else:
+    def adapter_class(self) -> Type[Adapter]:
+        key = (self.adapter_type, self.restriction, self.rightmost)
+        try:
+            return _PLACEMENT_CLASSES[key]
+        except KeyError:
+            if self.adapter_type == "anywhere":
                 raise ValueError(
                     'No placement may be specified for "anywhere" adapters'
-                )
-
-    def adapter_class(self):
-        return self._restriction_to_class(
-            self.adapter_type, self.restriction, self.rightmost
-        )
+                ) from None
+            raise ValueError(
+                f"Value {self.restriction} for a {self.adapter_type} "
+                "restriction not allowed"
+            ) from None
 
 
 def make_adapters_from_specifications(
@@ -369,7 +308,9 @@ def make_adapters_from_specifications(
     adapters: List[Adapter] = []
     for adapter_type, spec in type_spec_pairs:
         adapters.extend(
-            make_adapters_from_one_specification(spec, adapter_type, search_parameters)
+            make_adapters_from_one_specification(
+                spec, adapter_type, search_parameters
+            )
         )
     return adapters
 
@@ -379,43 +320,40 @@ def make_adapters_from_one_specification(
     adapter_type: str,
     search_parameters: Dict[str, Any],
 ) -> Iterable[Adapter]:
-    """Parse one adapter spec, yielding one or more Adapter instances."""
-    if (
-        spec.startswith("file:")
-        or spec.startswith("^file:")
-        or spec.startswith("file$:")
-    ):
-        anchoring_prefix = ""
-        anchoring_suffix = ""
-        if spec.startswith("^"):
-            spec = spec[1:]
-            anchoring_prefix = "^"
-        elif spec.startswith("file$:"):
-            spec = "file:" + spec[6:]
-            anchoring_suffix = "$"
-        path, _, parameters_spec = spec[5:].partition(";")
-        parameters = search_parameters.copy()
-        parameters.update(parse_search_parameters(parameters_spec))
-        for name, seq in read_adapters_fasta(path):
-            yield make_adapter(
-                anchoring_prefix + seq + anchoring_suffix,
-                adapter_type,
-                parameters,
-                name=name,
+    """Parse one adapter spec, yielding one or more Adapter instances
+    (several for ``file:`` specs)."""
+    if spec.startswith(("file:", "^file:", "file$:")):
+        yield from _adapters_from_fasta(spec, adapter_type, search_parameters)
+        return
+    try:
+        yield make_adapter(spec, adapter_type, search_parameters)
+    except InvalidCharacter as e:
+        if Path(spec).exists():
+            raise InvalidCharacter(
+                e.args[0] + "\n"
+                f"A file exists named '{spec}'. "
+                "To use the sequences in that file as adapter sequences, "
+                f"write 'file:' before the path, as in 'file:{spec}'."
             )
-    else:
-        try:
-            yield make_adapter(spec, adapter_type, search_parameters)
-        except InvalidCharacter as e:
-            if Path(spec).exists():
-                extra_message = (
-                    f"A file exists named '{spec}'. "
-                    "To use the sequences in that file as adapter sequences, "
-                    f"write 'file:' before the path, as in 'file:{spec}'."
-                )
-                raise InvalidCharacter(e.args[0] + "\n" + extra_message)
-            else:
-                raise
+        raise
+
+
+def _adapters_from_fasta(
+    spec: str, adapter_type: str, search_parameters: Dict[str, Any]
+) -> Iterable[Adapter]:
+    """Expand a file:/^file:/file$: spec into one adapter per FASTA
+    record, transferring the anchoring marker onto each sequence."""
+    prefix = suffix = ""
+    if spec.startswith("^"):
+        prefix, spec = "^", spec[1:]
+    elif spec.startswith("file$:"):
+        suffix, spec = "$", "file:" + spec[len("file$:") :]
+    path, _, parameter_text = spec[len("file:") :].partition(";")
+    parameters = {**search_parameters, **parse_search_parameters(parameter_text)}
+    for name, sequence in read_adapters_fasta(path):
+        yield make_adapter(
+            prefix + sequence + suffix, adapter_type, parameters, name=name
+        )
 
 
 def make_adapter(
@@ -431,15 +369,36 @@ def make_adapter(
     """
     if adapter_type not in ("front", "back", "anywhere"):
         raise ValueError("adapter_type must be front, back or anywhere")
-    spec1, middle, spec2 = spec.partition("...")
-    if middle == "..." and spec1 and spec2:
-        return _make_linked_adapter(spec1, spec2, name, adapter_type, search_parameters)
-
-    if middle == "...":
-        spec, adapter_type = _normalize_ellipsis(spec1, spec2, adapter_type)
+    first, ellipsis, second = spec.partition("...")
+    if ellipsis and first and second:
+        return _make_linked_adapter(
+            first, second, name, adapter_type, search_parameters
+        )
+    if ellipsis:
+        spec, adapter_type = _resolve_one_sided_ellipsis(
+            first, second, adapter_type
+        )
     else:
-        spec = spec1
-    return _make_not_linked_adapter(spec, name, adapter_type, search_parameters)
+        spec = first
+    return _make_single_adapter(spec, name, adapter_type, search_parameters)
+
+
+def _resolve_one_sided_ellipsis(
+    first: str, second: str, adapter_type: str
+) -> Tuple[str, str]:
+    """An ellipsis with one empty side marks where the read continues:
+    '...A' is a 3' adapter, 'A...' a 5' one."""
+    if adapter_type == "anywhere":
+        raise ValueError('No ellipsis ("...") allowed in "anywhere" adapters')
+    if not first:
+        if adapter_type != "back":
+            raise ValueError("Invalid adapter specification")
+        return second, adapter_type
+    if second:
+        raise ValueError("Expected either spec1 or spec2")
+    if adapter_type == "back":
+        return first, "front"
+    return first, adapter_type
 
 
 def _make_linked_adapter(
@@ -449,7 +408,7 @@ def _make_linked_adapter(
     adapter_type: str,
     search_parameters: Dict[str, Any],
 ) -> LinkedAdapter:
-    """Build a linked adapter from two specification strings."""
+    """Build a linked adapter from the specs on either side of '...'."""
     if adapter_type == "anywhere":
         raise ValueError("'anywhere' (-b) adapters may not be linked")
     front_spec = AdapterSpecification.parse(spec1, "front")
@@ -457,33 +416,28 @@ def _make_linked_adapter(
     if name is None:
         name = front_spec.name
 
-    front_anchored = front_spec.restriction is not None
-    back_anchored = back_spec.restriction is not None
-
-    front_parameters = search_parameters.copy()
-    front_parameters.update(front_spec.parameters)
-    back_parameters = search_parameters.copy()
-    back_parameters.update(back_spec.parameters)
-
     if adapter_type == "front":
-        # -g requires both adapters to be present
-        front_required = True
-        back_required = True
+        # -g makes both halves mandatory
+        defaults = (True, True)
     else:
-        # -a requires only the anchored adapters to be present
-        front_required = front_anchored
-        back_required = back_anchored
+        # -a requires only the anchored halves
+        defaults = (
+            front_spec.restriction is not None,
+            back_spec.restriction is not None,
+        )
 
-    front_required = front_parameters.pop("required", front_required)
-    back_required = back_parameters.pop("required", back_required)
+    halves = []
+    for half_spec, half_name, default_required in zip(
+        (front_spec, back_spec), ("linked_front", "linked_back"), defaults
+    ):
+        parameters = {**search_parameters, **half_spec.parameters}
+        required = parameters.pop("required", default_required)
+        adapter = half_spec.adapter_class()(
+            half_spec.sequence, name=half_name, **parameters
+        )
+        halves.append((adapter, required))
 
-    front_adapter = front_spec.adapter_class()(
-        front_spec.sequence, name="linked_front", **front_parameters
-    )
-    back_adapter = back_spec.adapter_class()(
-        back_spec.sequence, name="linked_back", **back_parameters
-    )
-
+    (front_adapter, front_required), (back_adapter, back_required) = halves
     return LinkedAdapter(
         front_adapter=front_adapter,
         back_adapter=back_adapter,
@@ -493,14 +447,14 @@ def _make_linked_adapter(
     )
 
 
-def _make_not_linked_adapter(
+def _make_single_adapter(
     spec: str,
     name: Optional[str],
     adapter_type: str,
     search_parameters: Dict[str, Any],
 ) -> Adapter:
     aspec = AdapterSpecification.parse(spec, adapter_type)
-    adapter_class: Type[Adapter] = aspec.adapter_class()
+    adapter_class = aspec.adapter_class()
     if aspec.parameters.pop("anywhere", False) and adapter_class in (
         FrontAdapter,
         BackAdapter,
@@ -512,8 +466,7 @@ def _make_not_linked_adapter(
         raise ValueError(
             "'required' and 'optional' can only be used within linked adapters"
         )
-    parameters = search_parameters.copy()
-    parameters.update(aspec.parameters)
+    parameters = {**search_parameters, **aspec.parameters}
     return adapter_class(
         sequence=aspec.sequence,
         name=aspec.name if name is None else name,
@@ -526,5 +479,4 @@ def read_adapters_fasta(path):
     with xopen(path, mode="rb", threads=0) as f:
         for record in parse_fasta(f):
             header = record.name.split(None, 1)
-            name = header[0] if header else None
-            yield name, record.sequence
+            yield (header[0] if header else None), record.sequence

@@ -23,9 +23,9 @@ from cutadapt_tpu.parser import (
     expand_braces,
     make_adapters_from_specifications,
     make_adapters_from_one_specification,
-    _make_not_linked_adapter,
+    _make_single_adapter,
     make_adapter,
-    _normalize_ellipsis,
+    _resolve_one_sided_ellipsis,
 )
 from cutadapt_tpu.modifiers import ModificationInfo
 
@@ -133,7 +133,7 @@ def test_parse_not_linked():
 @pytest.mark.parametrize("reqopt", ("required", "optional"))
 def test_parse_invalid_adapter_specific_parameter(where, reqopt):
     with pytest.raises(ValueError) as e:
-        _make_not_linked_adapter("A;{}".format(reqopt), "name", where, dict())
+        _make_single_adapter("A;{}".format(reqopt), "name", where, dict())
     assert "can only be used within linked adapters" in e.value.args[0]
 
 
@@ -169,7 +169,9 @@ def test_parse_misplaced_placement_restrictions():
 
 def test_restriction_to_class():
     with pytest.raises(ValueError) as e:
-        AdapterSpecification._restriction_to_class("anywhere", "noninternal", False)
+        AdapterSpecification(
+            None, "noninternal", "A", {}, "anywhere", False
+        ).adapter_class()
     assert "No placement may be specified" in e.value.args[0]
 
 
@@ -383,8 +385,8 @@ def test_make_adapters_from_specifications():
     assert "adapter_type must be" in e.value.args[0]
 
 
-def test_normalize_ellipsis():
-    ne = _normalize_ellipsis
+def test_resolve_one_sided_ellipsis():
+    ne = _resolve_one_sided_ellipsis
     assert ne("ACGT", "", "back") == ("ACGT", "front")  # -a ACGT...
     assert ne("ACGT", "", "front") == ("ACGT", "front")  # -g ACGT...
     assert ne("", "ACGT", "back") == ("ACGT", "back")  # -a ...ACGT
