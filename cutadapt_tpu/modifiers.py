@@ -2,32 +2,41 @@
 Read modifications: adapter cutting, quality trimming, renaming etc.
 
 A modifier is a callable taking (read, info) — or the four-argument
-paired form — and returning the modified read(s). Capability-equivalent
-to the reference's modifier layer
-(/root/reference/src/cutadapt/modifiers.py).
+paired form — and returning the modified read(s). This is the per-read
+oracle layer; the batch engine executes the same transforms as window
+updates over whole chunks (batch_pipeline.py), and accel.py translates
+eligible modifier lists onto it.
+
+Design notes: adapter-match *actions* (trim/retain/mask/lowercase/
+crop/none) are one dispatch table shared by AdapterCutter and
+PairedAdapterCutter; the forward-vs-reverse-complement choice is one
+helper shared by both revcomp modifiers; rename templates compile to
+a list of literal/field parts instead of being re-interpreted per
+read.
+
+Capability parity: /root/reference/src/cutadapt/modifiers.py:32-918.
 """
 
-import re
 import logging
-from collections import defaultdict
-from types import SimpleNamespace
-from typing import List, Optional, Sequence, Set, Tuple
+import re
 from abc import ABC, abstractmethod
+from collections import defaultdict
+from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
 
-from .io.records import SequenceRecord, record_names_match
-from .qualtrim import quality_trim_index, nextseq_trim_index, poly_a_trim_index
 from .adapters import (
-    MultipleAdapters,
-    SingleAdapter,
+    Adapter,
+    AdapterIndex,
     IndexedPrefixAdapters,
     IndexedSuffixAdapters,
     Match,
+    MultipleAdapters,
+    SingleAdapter,
     remainder,
-    Adapter,
-    AdapterIndex,
 )
-from .tokenizer import tokenize_braces, TokenizeError, Token, BraceToken
 from .info import ModificationInfo
+from .io.records import SequenceRecord, record_names_match
+from .qualtrim import nextseq_trim_index, poly_a_trim_index, quality_trim_index
+from .tokenizer import BraceToken, Token, TokenizeError, tokenize_braces
 
 logger = logging.getLogger()
 
@@ -61,10 +70,10 @@ class PairedEndModifierWrapper(PairedEndModifier):
         modifier2: Optional[SingleEndModifier],
     ):
         """Set one of the modifiers to None to work on R1 or R2 only."""
+        if modifier1 is None and modifier2 is None:
+            raise ValueError("Not both modifiers may be None")
         self._modifier1 = modifier1
         self._modifier2 = modifier2
-        if self._modifier1 is None and self._modifier2 is None:
-            raise ValueError("Not both modifiers may be None")
 
     def __repr__(self):
         return (
@@ -73,17 +82,69 @@ class PairedEndModifierWrapper(PairedEndModifier):
         )
 
     def __call__(self, read1, read2, info1, info2):
-        if self._modifier1 is None:
-            return read1, self._modifier2(read2, info2)  # type: ignore
-        if self._modifier2 is None:
-            return self._modifier1(read1, info1), read2
-        return self._modifier1(read1, info1), self._modifier2(read2, info2)
+        out1 = (
+            self._modifier1(read1, info1) if self._modifier1 is not None
+            else read1
+        )
+        out2 = (
+            self._modifier2(read2, info2) if self._modifier2 is not None
+            else read2
+        )
+        return out1, out2
+
+
+# --- adapter-match actions ----------------------------------------------------
+#
+# Every action maps (original read, trim-applied read, matches) to the
+# output read. 'trim' returns the already-trimmed read; the others
+# reconstruct their result from the original.
+
+
+def _masked(original, trimmed, matches: Sequence[Match]):
+    start, stop = remainder(matches)
+    out = original[:]
+    out.sequence = (
+        "N" * start
+        + original.sequence[start:stop]
+        + "N" * (len(original) - stop)
+    )
+    return out
+
+
+def _lowercased(original, trimmed, matches: Sequence[Match]):
+    start, stop = remainder(matches)
+    seq = original.sequence
+    out = original[:]
+    out.sequence = (
+        seq[:start].lower() + seq[start:stop].upper() + seq[stop:].lower()
+    )
+    return out
+
+
+def _retained(original, trimmed, matches: Sequence[Match]):
+    start, stop = matches[-1].retained_adapter_interval()
+    return original[start:stop]
+
+
+def _cropped(original, trimmed, matches: Sequence[Match]):
+    last = matches[-1]
+    return original[last.rstart : last.rstop]
+
+
+MATCH_ACTIONS: Dict[Optional[str], Callable] = {
+    "trim": lambda original, trimmed, matches: trimmed,
+    "mask": _masked,
+    "lowercase": _lowercased,
+    "retain": _retained,
+    "crop": _cropped,
+    None: lambda original, trimmed, matches: original[:],
+}
 
 
 class AdapterCutter(SingleEndModifier):
     """
-    Repeatedly find one of multiple adapters in reads and act on the
-    match (trim/retain/mask/lowercase/crop/none).
+    Repeatedly find the best of multiple adapters in reads and act on
+    the match (trim/retain/mask/lowercase/crop/none).
     """
 
     def __init__(
@@ -93,21 +154,21 @@ class AdapterCutter(SingleEndModifier):
         action: Optional[str] = "trim",
         index: bool = True,
     ):
+        if action not in MATCH_ACTIONS:
+            raise ValueError(f"action must be one of {set(MATCH_ACTIONS)}")
+        if action in ("retain", "crop") and times > 1:
+            raise ValueError(
+                "'retain' and 'crop' cannot be combined with times > 1"
+            )
         self.times = times
-        assert action in ("trim", "mask", "lowercase", "retain", "crop", None)
         self.action = action
         self.with_adapters = 0
         self.adapter_statistics = {a: a.create_statistics() for a in adapters}
-        if index:
-            self.adapters = MultipleAdapters(
-                self._regroup_into_indexed_adapters(adapters)
-            )
-        else:
-            self.adapters = MultipleAdapters(adapters)
-        if action in {"retain", "crop"} and times > 1:
-            raise ValueError("'retain' and 'crop' cannot be combined with times > 1")
-        if self.times == 1 and self.action == "trim":
-            self.match_and_trim = self._match_and_trim_once_action_trim  # type: ignore
+        matchables = (
+            self._regroup_into_indexed_adapters(adapters) if index
+            else adapters
+        )
+        self.adapters = MultipleAdapters(matchables)
 
     def __repr__(self):
         return (
@@ -116,70 +177,31 @@ class AdapterCutter(SingleEndModifier):
             f"action='{self.action}')"
         )
 
-    def _regroup_into_indexed_adapters(self, adapters):
-        prefix, suffix, single = self._split_adapters(adapters)
-        if len(prefix) > 1 or len(suffix) > 1:
-            result = single
-            if len(prefix) > 1:
-                result.append(IndexedPrefixAdapters(prefix))
+    @staticmethod
+    def _regroup_into_indexed_adapters(adapters):
+        """Replace groups of >1 indexable anchored adapters with one
+        dict-index matcher; otherwise keep the given order."""
+        groups: Dict[str, list] = {"prefix": [], "suffix": [], "other": []}
+        for adapter in adapters:
+            if AdapterIndex.is_acceptable(adapter, prefix=True):
+                groups["prefix"].append(adapter)
+            elif AdapterIndex.is_acceptable(adapter, prefix=False):
+                groups["suffix"].append(adapter)
             else:
-                result.extend(prefix)
-            if len(suffix) > 1:
-                result.append(IndexedSuffixAdapters(suffix))
-            else:
-                result.extend(suffix)
-            return result
-        else:
-            # Keep the original adapter order when no index is needed.
+                groups["other"].append(adapter)
+        if len(groups["prefix"]) < 2 and len(groups["suffix"]) < 2:
             return adapters
-
-    @staticmethod
-    def _split_adapters(adapters):
-        """
-        Split adapters into indexable anchored-prefix, anchored-suffix
-        and other groups.
-        """
-        prefix: List[SingleAdapter] = []
-        suffix: List[SingleAdapter] = []
-        other: List[SingleAdapter] = []
-        for a in adapters:
-            if AdapterIndex.is_acceptable(a, prefix=True):
-                prefix.append(a)
-            elif AdapterIndex.is_acceptable(a, prefix=False):
-                suffix.append(a)
+        result = list(groups["other"])
+        for side, indexed_class in (
+            ("prefix", IndexedPrefixAdapters),
+            ("suffix", IndexedSuffixAdapters),
+        ):
+            members = groups[side]
+            if len(members) > 1:
+                result.append(indexed_class(members))
             else:
-                other.append(a)
-        return prefix, suffix, other
-
-    @staticmethod
-    def trim_but_retain_adapter(read, matches: Sequence[Match]):
-        start, stop = matches[-1].retained_adapter_interval()
-        return read[start:stop]
-
-    @staticmethod
-    def masked_read(read, matches: Sequence[Match]):
-        start, stop = remainder(matches)
-        result = read[:]
-        result.sequence = (
-            "N" * start + read.sequence[start:stop] + "N" * (len(read) - stop)
-        )
+                result.extend(members)
         return result
-
-    @staticmethod
-    def lowercased_read(read, matches: Sequence[Match]):
-        start, stop = remainder(matches)
-        result = read[:]
-        result.sequence = (
-            read.sequence[:start].lower()
-            + read.sequence[start:stop].upper()
-            + read.sequence[stop:].lower()
-        )
-        return result
-
-    @staticmethod
-    def cropped_read(read, matches: Sequence[Match]):
-        m = matches[-1]
-        return read[m.rstart : m.rstop]  # type: ignore
 
     def __call__(self, read, info: ModificationInfo):
         trimmed_read, matches = self.match_and_trim(read)
@@ -192,53 +214,53 @@ class AdapterCutter(SingleEndModifier):
 
     def match_and_trim(self, read):
         """
-        Search for the best-matching adapter, up to `times` rounds, then
-        perform the requested action. Return (trimmed_read, matches).
+        Search for the best-matching adapter, up to `times` rounds,
+        then perform the configured action. Return (read, matches).
         """
-        matches = []
+        if self.times == 1 and self.action == "trim":
+            # dominant configuration: skip the multi-round bookkeeping
+            match = self.adapters.match_to(read.sequence)
+            if match is None:
+                return read, []
+            return match.trimmed(read), [match]
+
         if self.action == "lowercase":
             read.sequence = read.sequence.upper()
-        trimmed_read = read
+        matches = []
+        current = read
         for _ in range(self.times):
-            match = self.adapters.match_to(trimmed_read.sequence)
+            match = self.adapters.match_to(current.sequence)
             if match is None:
                 break
             matches.append(match)
-            trimmed_read = match.trimmed(trimmed_read)
-
+            current = match.trimmed(current)
         if not matches:
-            return trimmed_read, []
+            return current, []
+        result = MATCH_ACTIONS[self.action](read, current, matches)
+        if self.action == "lowercase":
+            assert len(result.sequence) == len(read)
+        return result, matches
 
-        if self.action == "trim":
-            pass  # read is already trimmed
-        elif self.action == "retain":
-            trimmed_read = self.trim_but_retain_adapter(read, matches)
-        elif self.action == "mask":
-            trimmed_read = self.masked_read(read, matches)
-        elif self.action == "lowercase":
-            trimmed_read = self.lowercased_read(read, matches)
-            assert len(trimmed_read.sequence) == len(read)
-        elif self.action == "crop":
-            trimmed_read = self.cropped_read(read, matches)
-        elif self.action is None:
-            trimmed_read = read[:]
 
-        return trimmed_read, matches
-
-    def _match_and_trim_once_action_trim(self, read):
-        """Fast path for times == 1 and action == 'trim'."""
-        match = self.adapters.match_to(read.sequence)
-        if match is not None:
-            return match.trimmed(read), [match]
-        else:
-            return read, []
+def _credit_matches(cutter, matches, info, reverse_complemented: bool):
+    """Record one read's final matches into the cutter's statistics."""
+    if not matches or cutter is None:
+        return
+    cutter.with_adapters += 1
+    for match in matches:
+        stats = cutter.adapter_statistics[match.adapter]
+        stats.add_match(match)
+        stats.reverse_complemented += bool(reverse_complemented)
+    info.matches.extend(matches)
 
 
 class ReverseComplementer(SingleEndModifier):
     """Trim adapters from a read or its reverse complement, whichever
-    matches better."""
+    matches better (strictly better: ties keep the forward read)."""
 
-    def __init__(self, adapter_cutter: AdapterCutter, rc_suffix: Optional[str] = " rc"):
+    def __init__(
+        self, adapter_cutter: AdapterCutter, rc_suffix: Optional[str] = " rc"
+    ):
         self.adapter_cutter = adapter_cutter
         self.reverse_complemented = 0
         self._suffix = rc_suffix
@@ -247,41 +269,29 @@ class ReverseComplementer(SingleEndModifier):
         return f"ReverseComplementer(adapter_cutter={self.adapter_cutter})"
 
     def __call__(self, read: SequenceRecord, info: ModificationInfo):
-        reverse_read = read.reverse_complement()
-        forward_trimmed_read, forward_matches = self.adapter_cutter.match_and_trim(
-            read
+        cutter = self.adapter_cutter
+        fwd_read, fwd_matches = cutter.match_and_trim(read)
+        rev_read, rev_matches = cutter.match_and_trim(read.reverse_complement())
+        use_rc = sum(m.score for m in rev_matches) > sum(
+            m.score for m in fwd_matches
         )
-        reverse_trimmed_read, reverse_matches = self.adapter_cutter.match_and_trim(
-            reverse_read
-        )
-        forward_score = sum(m.score for m in forward_matches)
-        reverse_score = sum(m.score for m in reverse_matches)
-        use_reverse_complement = reverse_score > forward_score
-
-        if use_reverse_complement:
+        if use_rc:
             self.reverse_complemented += 1
-            assert reverse_matches
-            trimmed_read, matches = reverse_trimmed_read, reverse_matches
+            assert rev_matches
+            trimmed, matches = rev_read, rev_matches
             info.is_rc = True
             if self._suffix:
-                trimmed_read.name += self._suffix
+                trimmed.name += self._suffix
         else:
             info.is_rc = False
-            trimmed_read, matches = forward_trimmed_read, forward_matches
-
-        if matches:
-            self.adapter_cutter.with_adapters += 1
-            for match in matches:
-                stats = self.adapter_cutter.adapter_statistics[match.adapter]
-                stats.add_match(match)
-                stats.reverse_complemented += bool(use_reverse_complement)
-            info.matches.extend(matches)
-        return trimmed_read
+            trimmed, matches = fwd_read, fwd_matches
+        _credit_matches(cutter, matches, info, use_rc)
+        return trimmed
 
 
 class PairedReverseComplementer(PairedEndModifier):
-    """Trim adapters from a read pair or its reverse complement
-    (R1/R2 swapped), whichever matches better."""
+    """Trim adapters from a read pair or its reverse complement (R1/R2
+    swapped), whichever matches better."""
 
     def __init__(
         self,
@@ -301,67 +311,36 @@ class PairedReverseComplementer(PairedEndModifier):
             f"adapter_cutter2={self.adapter_cutter2})"
         )
 
+    def _trim_pair(self, first, second):
+        """Trim (first -> cutter1, second -> cutter2); return reads,
+        matches, and the total score."""
+        if self.adapter_cutter1 is not None:
+            out1, matches1 = self.adapter_cutter1.match_and_trim(first)
+        else:
+            out1, matches1 = first, []
+        if self.adapter_cutter2 is not None:
+            out2, matches2 = self.adapter_cutter2.match_and_trim(second)
+        else:
+            out2, matches2 = second, []
+        score = sum(m.score for m in matches1) + sum(m.score for m in matches2)
+        return (out1, out2, matches1, matches2, score)
+
     def __call__(self, r1, r2, info1, info2):
-        # Run normally
-        if self.adapter_cutter1 is not None:
-            r1_trimmed, r1_matches = self.adapter_cutter1.match_and_trim(r1)
-        else:
-            r1_trimmed, r1_matches = r1, []
-        if self.adapter_cutter2 is not None:
-            r2_trimmed, r2_matches = self.adapter_cutter2.match_and_trim(r2)
-        else:
-            r2_trimmed, r2_matches = r2, []
-        unswapped_score = sum(m.score for m in r1_matches) + sum(
-            m.score for m in r2_matches
-        )
-
-        # Run with R1 and R2 swapped (equivalent to reverse complementing)
-        if self.adapter_cutter1 is not None:
-            r1_trimmed_swapped, r1_matches_swapped = (
-                self.adapter_cutter1.match_and_trim(r2)
-            )
-        else:
-            r1_trimmed_swapped, r1_matches_swapped = r2, []
-        if self.adapter_cutter2 is not None:
-            r2_trimmed_swapped, r2_matches_swapped = (
-                self.adapter_cutter2.match_and_trim(r1)
-            )
-        else:
-            r2_trimmed_swapped, r2_matches_swapped = r1, []
-        swapped_score = sum(m.score for m in r1_matches_swapped) + sum(
-            m.score for m in r2_matches_swapped
-        )
-
-        use_reverse_complement = swapped_score > unswapped_score
-        if use_reverse_complement:
+        straight = self._trim_pair(r1, r2)
+        swapped = self._trim_pair(r2, r1)  # equivalent to revcomping
+        use_rc = swapped[4] > straight[4]
+        out1, out2, matches1, matches2, _ = swapped if use_rc else straight
+        if use_rc:
             self.reverse_complemented += 1
-            r1_trimmed = r1_trimmed_swapped
-            r2_trimmed = r2_trimmed_swapped
-            r1_matches = r1_matches_swapped
-            r2_matches = r2_matches_swapped
             info1.is_rc = info2.is_rc = True
             if self._suffix:
-                r1_trimmed.name += self._suffix
-                r2_trimmed.name += self._suffix
+                out1.name += self._suffix
+                out2.name += self._suffix
         else:
             info1.is_rc = info2.is_rc = False
-
-        if r1_matches:
-            self.adapter_cutter1.with_adapters += 1  # type: ignore
-            for match in r1_matches:
-                stats = self.adapter_cutter1.adapter_statistics[match.adapter]  # type: ignore
-                stats.add_match(match)
-                stats.reverse_complemented += bool(use_reverse_complement)
-            info1.matches.extend(r1_matches)
-        if r2_matches:
-            self.adapter_cutter2.with_adapters += 1  # type: ignore
-            for match in r2_matches:
-                stats = self.adapter_cutter2.adapter_statistics[match.adapter]  # type: ignore
-                stats.add_match(match)
-                stats.reverse_complemented += bool(use_reverse_complement)
-            info2.matches.extend(r2_matches)
-
-        return r1_trimmed, r2_trimmed
+        _credit_matches(self.adapter_cutter1, matches1, info1, use_rc)
+        _credit_matches(self.adapter_cutter2, matches2, info2, use_rc)
+        return out1, out2
 
 
 class PairedAdapterCutterError(Exception):
@@ -369,65 +348,54 @@ class PairedAdapterCutterError(Exception):
 
 
 class PairedAdapterCutter(PairedEndModifier):
-    """Trim adapter i from R1 only when adapter i also matches R2."""
+    """Trim adapter i from R1 only when adapter i also matches R2
+    (--pair-adapters): the pair with the best total score wins."""
 
     def __init__(self, adapters1, adapters2, action="trim"):
         if len(adapters1) != len(adapters2):
             raise PairedAdapterCutterError(
                 "The number of adapters to trim from R1 and R2 must be "
-                "the same. Given: {} for R1, {} for R2".format(
-                    len(adapters1), len(adapters2)
-                )
+                f"the same. Given: {len(adapters1)} for R1, "
+                f"{len(adapters2)} for R2"
             )
         if not adapters1:
             raise PairedAdapterCutterError("No adapters given")
         self._adapter_pairs = list(zip(adapters1, adapters2))
         logger.debug("Adapter pairs:")
         for a1, a2 in self._adapter_pairs:
-            logger.debug(" • %s=%s -- %s=%s", a1.name, a1.spec(), a2.name, a2.spec())
+            logger.debug(
+                " • %s=%s -- %s=%s", a1.name, a1.spec(), a2.name, a2.spec()
+            )
         self.action = action
         self.with_adapters = 0
-        self.adapter_statistics = [None, None]
-        self.adapter_statistics[0] = {a: a.create_statistics() for a in adapters1}
-        self.adapter_statistics[1] = {a: a.create_statistics() for a in adapters2}
+        self.adapter_statistics = [
+            {a: a.create_statistics() for a in adapters1},
+            {a: a.create_statistics() for a in adapters2},
+        ]
 
     def __repr__(self):
         return f"PairedAdapterCutter(adapter_pairs={self._adapter_pairs!r})"
 
     def __call__(self, read1, read2, info1, info2):
-        best_matches = self._find_best_match_pair(read1.sequence, read2.sequence)
-        if best_matches is None:
+        winner = self._find_best_match_pair(read1.sequence, read2.sequence)
+        if winner is None:
             return read1, read2
-        match1, match2 = best_matches
         self.with_adapters += 1
         result = []
-        for i, match, read in zip([0, 1], [match1, match2], [read1, read2]):
-            trimmed_read = read
+        for side, (match, read, info) in enumerate(
+            zip(winner, (read1, read2), (info1, info2))
+        ):
             if self.action == "lowercase":
-                trimmed_read.sequence = trimmed_read.sequence.upper()
-            trimmed_read = match.trimmed(trimmed_read)
-            self.adapter_statistics[i][match.adapter].add_match(match)
-
-            if self.action == "trim":
-                pass
-            elif self.action == "mask":
-                trimmed_read = AdapterCutter.masked_read(read, [match])
-            elif self.action == "lowercase":
-                trimmed_read = AdapterCutter.lowercased_read(read, [match])
-                assert len(trimmed_read.sequence) == len(read)
-            elif self.action == "retain":
-                trimmed_read = AdapterCutter.trim_but_retain_adapter(read, [match])
-            elif self.action is None:  # --no-trim
-                trimmed_read = read[:]
-            result.append(trimmed_read)
-        info1.matches.append(match1)
-        info2.matches.append(match2)
+                read.sequence = read.sequence.upper()
+            trimmed = match.trimmed(read)
+            self.adapter_statistics[side][match.adapter].add_match(match)
+            result.append(MATCH_ACTIONS[self.action](read, trimmed, [match]))
+            info.matches.append(match)
         return result
 
     def _find_best_match_pair(self, sequence1: str, sequence2: str):
         best = None
-        best_score = None
-        best_errors = None
+        best_rank = None
         for adapter1, adapter2 in self._adapter_pairs:
             match1 = adapter1.match_to(sequence1)
             if match1 is None:
@@ -435,16 +403,14 @@ class PairedAdapterCutter(PairedEndModifier):
             match2 = adapter2.match_to(sequence2)
             if match2 is None:
                 continue
-            total_score = match1.score + match2.score
-            total_errors = match1.errors + match2.errors
-            if (
-                best is None
-                or total_score > best_score
-                or (total_score == best_score and total_errors < best_errors)
-            ):
-                best = match1, match2
-                best_score = total_score
-                best_errors = total_errors
+            # higher total score wins; ties go to fewer total errors
+            rank = (
+                match1.score + match2.score,
+                -(match1.errors + match2.errors),
+            )
+            if best is None or rank > best_rank:
+                best = (match1, match2)
+                best_rank = rank
         return best
 
 
@@ -460,12 +426,13 @@ class UnconditionalCutter(SingleEndModifier):
         return f"UnconditionalCutter(length={self.length})"
 
     def __call__(self, read, info: ModificationInfo):
-        if self.length > 0:
-            info.cut_prefix = read.sequence[: self.length]
-            return read[self.length :]
-        elif self.length < 0:
-            info.cut_suffix = read.sequence[self.length :]
-            return read[: self.length]
+        n = self.length
+        if n > 0:
+            info.cut_prefix = read.sequence[:n]
+            return read[n:]
+        if n < 0:
+            info.cut_suffix = read.sequence[n:]
+            return read[:n]
 
 
 class LengthTagModifier(SingleEndModifier):
@@ -480,9 +447,9 @@ class LengthTagModifier(SingleEndModifier):
 
     def __call__(self, read, info: ModificationInfo):
         read = read[:]
-        if read.name.find(self.length_tag) >= 0:
+        if self.length_tag in read.name:
             read.name = self.regex.sub(
-                self.length_tag + str(len(read.sequence)), read.name
+                f"{self.length_tag}{len(read.sequence)}", read.name
             )
         return read
 
@@ -511,11 +478,16 @@ class PrefixSuffixAdder(SingleEndModifier):
         self.suffix = suffix
 
     def __repr__(self):
-        return f"PrefixSuffixAdder(prefix='{self.prefix}', suffix='{self.suffix}')"
+        return (
+            f"PrefixSuffixAdder(prefix='{self.prefix}', "
+            f"suffix='{self.suffix}')"
+        )
 
     def __call__(self, read, info):
         read = read[:]
-        adapter_name = info.matches[-1].adapter.name if info.matches else "no_adapter"
+        adapter_name = (
+            info.matches[-1].adapter.name if info.matches else "no_adapter"
+        )
         read.name = (
             self.prefix.replace("{name}", adapter_name)
             + read.name
@@ -528,11 +500,40 @@ class InvalidTemplate(Exception):
     pass
 
 
+def _parse_read_id(read_name: str) -> Tuple[str, str]:
+    """Split a read header into (id, comment)."""
+    fields = read_name.split(maxsplit=1)
+    if len(fields) == 2:
+        return fields[0], fields[1]
+    return read_name, ""
+
+
+def _compile_template(template: str, allowed: Set[str]):
+    """Compile a brace template into [(is_field, text)] parts; raise
+    InvalidTemplate for syntax errors or unknown field names."""
+    try:
+        tokens = list(tokenize_braces(template))
+    except TokenizeError as e:
+        raise InvalidTemplate(f"Error in template '{template}': {e}")
+    parts = []
+    for token in tokens:
+        is_field = isinstance(token, BraceToken)
+        if is_field and token.value not in allowed:
+            raise InvalidTemplate(
+                f"Error in template: Variable '{token.value}' not recognized"
+            )
+        parts.append((is_field, token.value))
+    return parts
+
+
 class Renamer(SingleEndModifier):
     """
     Rename reads using a template with placeholders:
     {header}, {id}, {comment}, {cut_prefix}, {cut_suffix},
     {adapter_name}, {match_sequence}, {rc}.
+
+    The template is compiled once into literal and field parts; each
+    read evaluates only the fields its template actually uses.
     """
 
     variables = {
@@ -548,11 +549,7 @@ class Renamer(SingleEndModifier):
 
     def __init__(self, template: str):
         template = template.replace(r"\t", "\t")
-        try:
-            self._tokens = list(tokenize_braces(template))
-        except TokenizeError as e:
-            raise InvalidTemplate(f"Error in template '{template}': {e}")
-        self.raise_if_invalid_variable(self._tokens, self.variables)
+        self._parts = _compile_template(template, self.variables)
         self._template = template
 
     def __repr__(self):
@@ -564,9 +561,7 @@ class Renamer(SingleEndModifier):
     @staticmethod
     def raise_if_invalid_variable(tokens: List[Token], allowed: Set[str]) -> None:
         for token in tokens:
-            if not isinstance(token, BraceToken):
-                continue
-            if token.value not in allowed:
+            if isinstance(token, BraceToken) and token.value not in allowed:
                 raise InvalidTemplate(
                     f"Error in template: Variable '{token.value}' not recognized"
                 )
@@ -574,27 +569,28 @@ class Renamer(SingleEndModifier):
     @staticmethod
     def parse_name(read_name: str) -> Tuple[str, str]:
         """Parse read header into an (id, comment) tuple."""
-        fields = read_name.split(maxsplit=1)
-        if len(fields) == 2:
-            return (fields[0], fields[1])
-        else:
-            return (read_name, "")
+        return _parse_read_id(read_name)
 
-    def __call__(self, read: SequenceRecord, info: ModificationInfo) -> SequenceRecord:
-        id_, comment = self.parse_name(read.name)
-        read.name = self._template.format(
-            header=read.name,
-            id=id_,
-            comment=comment,
-            cut_prefix=info.cut_prefix if info.cut_prefix else "",
-            cut_suffix=info.cut_suffix if info.cut_suffix else "",
-            adapter_name=(
-                info.matches[-1].adapter.name if info.matches else "no_adapter"
-            ),
-            rc="rc" if info.is_rc else "",
-            match_sequence=(
-                info.matches[-1].match_sequence() if info.matches else ""
-            ),
+    @staticmethod
+    def _field_values(read, info) -> Dict[str, str]:
+        id_, comment = _parse_read_id(read.name)
+        last = info.matches[-1] if info.matches else None
+        return {
+            "header": read.name,
+            "id": id_,
+            "comment": comment,
+            "cut_prefix": info.cut_prefix or "",
+            "cut_suffix": info.cut_suffix or "",
+            "adapter_name": last.adapter.name if last else "no_adapter",
+            "rc": "rc" if info.is_rc else "",
+            "match_sequence": last.match_sequence() if last else "",
+        }
+
+    def __call__(self, read: SequenceRecord, info: ModificationInfo):
+        values = self._field_values(read, info)
+        read.name = "".join(
+            values[text] if is_field else text
+            for is_field, text in self._parts
         )
         return read
 
@@ -606,31 +602,31 @@ class PairedEndRenamer(PairedEndModifier):
     """
 
     def __init__(self, template: str):
-        try:
-            self._tokens = list(tokenize_braces(template))
-        except TokenizeError as e:
-            raise InvalidTemplate(f"Error in template '{template}': {e}")
-        Renamer.raise_if_invalid_variable(self._tokens, self._get_allowed_variables())
         self._template = template.replace(r"\t", "\t")
+        self._parts = _compile_template(
+            self._template, self._allowed_variables()
+        )
 
     @staticmethod
-    def _get_allowed_variables() -> Set[str]:
+    def _allowed_variables() -> Set[str]:
         allowed = (Renamer.variables - {"rc"}) | {"rn"}
-        for v in Renamer.variables - {"id", "rc"}:
-            allowed.add("r1." + v)
-            allowed.add("r2." + v)
+        for name in Renamer.variables - {"id", "rc"}:
+            allowed.add(f"r1.{name}")
+            allowed.add(f"r2.{name}")
         return allowed
 
     def __call__(self, read1, read2, info1, info2):
         if not record_names_match(read1.name, read2.name):
-            id1 = Renamer.parse_name(read1.name)[0]
-            id2 = Renamer.parse_name(read1.name)[1]
-            raise ValueError(f"Input read IDs not identical: '{id1}' != '{id2}'")
-        name1, name2 = self._rename(read1, read2, info1, info2)
+            id1 = _parse_read_id(read1.name)[0]
+            id2 = _parse_read_id(read1.name)[1]
+            raise ValueError(
+                f"Input read IDs not identical: '{id1}' != '{id2}'"
+            )
+        name1, name2 = self._render_names(read1, read2, info1, info2)
         if not record_names_match(name1, name2):
-            new_id1 = Renamer.parse_name(name1)[0]
-            new_id2 = Renamer.parse_name(name2)[0]
-            id1 = Renamer.parse_name(read1.name)[0]
+            new_id1 = _parse_read_id(name1)[0]
+            new_id2 = _parse_read_id(name2)[0]
+            id1 = _parse_read_id(read1.name)[0]
             raise InvalidTemplate(
                 "After renaming R1 and R2, their IDs are no longer identical: "
                 f"'{new_id1}' != '{new_id2}'. Original read ID: '{id1}'. "
@@ -639,39 +635,31 @@ class PairedEndRenamer(PairedEndModifier):
         read2.name = name2
         return read1, read2
 
-    def _rename(self, read1, read2, info1, info2) -> Tuple[str, str]:
-        id1, comment1 = Renamer.parse_name(read1.name)
-        id2, comment2 = Renamer.parse_name(read2.name)
-        header1 = read1.name
-        header2 = read2.name
-        d = []
-        for id_, comment, header, info in (
-            (id1, comment1, header1, info1),
-            (id2, comment2, header2, info2),
-        ):
-            if info.matches:
-                adapter_name = info.matches[-1].adapter.name
-                match_sequence = info.matches[-1].match_sequence()
-            else:
-                adapter_name = "no_adapter"
-                match_sequence = ""
-            d.append(
-                dict(
-                    comment=comment,
-                    header=header,
-                    cut_prefix=info.cut_prefix if info.cut_prefix else "",
-                    cut_suffix=info.cut_suffix if info.cut_suffix else "",
-                    adapter_name=adapter_name,
-                    match_sequence=match_sequence,
+    def _render_names(self, read1, read2, info1, info2) -> Tuple[str, str]:
+        sides = (
+            Renamer._field_values(read1, info1),
+            Renamer._field_values(read2, info2),
+        )
+
+        def lookup(field: str, rn: int) -> str:
+            side, dot, key = field.partition(".")
+            if dot and side in ("r1", "r2"):
+                return sides[0 if side == "r1" else 1][key]
+            if field == "rn":
+                return str(rn)
+            if field == "id":
+                return sides[rn - 1]["id"]
+            return sides[rn - 1][field]
+
+        names = []
+        for rn in (1, 2):
+            names.append(
+                "".join(
+                    lookup(text, rn) if is_field else text
+                    for is_field, text in self._parts
                 )
             )
-        name1 = self._template.format(
-            id=id1, rn=1, **d[0], r1=SimpleNamespace(**d[0]), r2=SimpleNamespace(**d[1])
-        )
-        name2 = self._template.format(
-            id=id2, rn=2, **d[1], r1=SimpleNamespace(**d[0]), r2=SimpleNamespace(**d[1])
-        )
-        return name1, name2
+        return names[0], names[1]
 
 
 class ZeroCapper(SingleEndModifier):
@@ -679,8 +667,10 @@ class ZeroCapper(SingleEndModifier):
 
     def __init__(self, quality_base=33):
         self.quality_base = quality_base
-        qb = quality_base
-        self.zero_cap_trans = str.maketrans("".join(map(chr, range(qb))), chr(qb) * qb)
+        below = range(quality_base)
+        self.zero_cap_trans = str.maketrans(
+            "".join(map(chr, below)), chr(quality_base) * len(below)
+        )
 
     def __repr__(self):
         return f"ZeroCapper(quality_base={self.quality_base})"
@@ -692,6 +682,8 @@ class ZeroCapper(SingleEndModifier):
 
 
 class NextseqQualityTrimmer(SingleEndModifier):
+    """3' quality trimming that treats dark-cycle G runs as low quality."""
+
     def __init__(self, cutoff: int, base: int = 33):
         self.cutoff = cutoff
         self.base = base
@@ -707,6 +699,8 @@ class NextseqQualityTrimmer(SingleEndModifier):
 
 
 class QualityTrimmer(SingleEndModifier):
+    """BWA-style quality trimming from either or both read ends."""
+
     def __init__(self, cutoff_front: int, cutoff_back: int, base: int = 33):
         self.cutoff_front = cutoff_front
         self.cutoff_back = cutoff_back
@@ -728,7 +722,7 @@ class QualityTrimmer(SingleEndModifier):
 
 
 class PolyATrimmer(SingleEndModifier):
-    """Trim poly-A tails or poly-T heads."""
+    """Trim poly-A tails (or, in revcomp mode, poly-T heads)."""
 
     def __init__(self, revcomp=False):
         self.trimmed_bases = defaultdict(int)
@@ -742,14 +736,13 @@ class PolyATrimmer(SingleEndModifier):
             index = poly_a_trim_index(record.sequence, revcomp=True)
             self.trimmed_bases[index] += 1
             return record[index:]
-        else:
-            index = poly_a_trim_index(record.sequence)
-            self.trimmed_bases[len(record) - index] += 1
-            return record[:index]
+        index = poly_a_trim_index(record.sequence)
+        self.trimmed_bases[len(record) - index] += 1
+        return record[:index]
 
 
 class Shortener(SingleEndModifier):
-    """Shorten reads to the given length (negative: from the start)."""
+    """Shorten reads to the given length (negative: keep the end)."""
 
     def __init__(self, length):
         self.length = length
@@ -760,12 +753,11 @@ class Shortener(SingleEndModifier):
     def __call__(self, read, info: ModificationInfo):
         if self.length >= 0:
             return read[: self.length]
-        else:
-            return read[self.length :]
+        return read[self.length :]
 
 
 class NEndTrimmer(SingleEndModifier):
-    """Trim Ns from the 3' and 5' ends of reads."""
+    """Trim N runs from both ends of the read."""
 
     def __init__(self):
         self.start_trim = re.compile(r"^N+")
@@ -776,8 +768,8 @@ class NEndTrimmer(SingleEndModifier):
 
     def __call__(self, read, info: ModificationInfo):
         sequence = read.sequence
-        start_cut = self.start_trim.match(sequence)
-        end_cut = self.end_trim.search(sequence)
-        start_cut = start_cut.end() if start_cut else 0
-        end_cut = end_cut.start() if end_cut else len(read)
-        return read[start_cut:end_cut]
+        head = self.start_trim.match(sequence)
+        tail = self.end_trim.search(sequence)
+        start = head.end() if head else 0
+        stop = tail.start() if tail else len(read)
+        return read[start:stop]
