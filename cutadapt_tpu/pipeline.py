@@ -1,35 +1,77 @@
 """
-The per-read processing pipeline: apply modifiers, then steps, stopping
-when a step consumes the read.
+The per-read processing pipeline: apply modifiers, then steps, until a
+step consumes the read (pair).
+
+One generic driver handles both arities: each iteration builds the
+records tuple plus one ModificationInfo per record and threads
+``(*records, *infos)`` through every stage — single-end stages receive
+``(read, info)``, paired stages ``(read1, read2, info1, info2)``. The
+batch engine replaces this loop with whole-chunk window updates
+(batch_pipeline.py); accel.py decides per run which engine executes.
+
+Reference parity: pipeline.py:23-153 of /root/reference/src/cutadapt.
 """
 
 import logging
-from abc import ABC, abstractmethod
+from abc import ABC
 from typing import List, Optional, Tuple, Union
 
+from .info import ModificationInfo
 from .io.files import InputFiles
-from .utils import Progress
 from .modifiers import (
-    SingleEndModifier,
     PairedEndModifier,
     PairedEndModifierWrapper,
+    SingleEndModifier,
 )
-from .info import ModificationInfo
 from .steps import SingleEndStep
+from .utils import Progress
 
 logger = logging.getLogger()
 
+_PROGRESS_EVERY = 10000
+
 
 class Pipeline(ABC):
-    """Loop over reads applying modifiers and steps."""
+    """Stream reads from input through modifiers and steps."""
 
-    @abstractmethod
+    paired: bool
+
+    _modifiers: list
+    _steps: list
+
     def process_reads(
         self,
         infiles: InputFiles,
         progress: Optional[Progress] = None,
     ) -> Tuple[int, int, Optional[int]]:
-        pass
+        """Run the pipeline over all input reads.
+
+        Returns (n_reads, total_bp_r1, total_bp_r2-or-None)."""
+        reader = infiles.open()
+        for i, step in enumerate(self._steps, 1):
+            logger.debug("Pipeline step %d: %s", i, step)
+
+        stages = self._modifiers + self._steps
+        arity = 2 if self.paired else 1
+        n = 0
+        bp = [0, 0]
+        for item in reader:
+            n += 1
+            if progress is not None and n % _PROGRESS_EVERY == 0:
+                progress.update(_PROGRESS_EVERY)
+            records = item if self.paired else (item,)
+            infos = tuple(ModificationInfo(r) for r in records)
+            for side in range(arity):
+                bp[side] += len(records[side])
+            for stage in stages:
+                result = stage(*records, *infos)
+                if result is None:
+                    break
+                records = result if self.paired else (result,)
+        if progress is not None:
+            progress.update(n % _PROGRESS_EVERY)
+        infiles.close()
+        return (n, bp[0], bp[1] if self.paired else None)
 
 
 class SingleEndPipeline(Pipeline):
@@ -40,36 +82,8 @@ class SingleEndPipeline(Pipeline):
         modifiers: List[SingleEndModifier],
         steps: List[SingleEndStep],
     ):
-        self._modifiers = modifiers
-        self._steps = steps
-
-    def process_reads(
-        self,
-        infiles: InputFiles,
-        progress: Optional[Progress] = None,
-    ) -> Tuple[int, int, Optional[int]]:
-        """Run the pipeline. Return (n_reads, total_bp, None)."""
-        reader = infiles.open()
-        for i, step in enumerate(self._steps, 1):
-            logger.debug("Pipeline step %d: %s", i, step)
-
-        n = 0
-        total_bp = 0
-        modifiers_and_steps = self._modifiers + self._steps
-        for read in reader:
-            n += 1
-            if n % 10000 == 0 and progress is not None:
-                progress.update(10000)
-            total_bp += len(read)
-            info = ModificationInfo(read)
-            for step in modifiers_and_steps:
-                read = step(read, info)
-                if read is None:
-                    break
-        if progress is not None:
-            progress.update(n % 10000)
-        infiles.close()
-        return (n, total_bp, None)
+        self._modifiers = list(modifiers)
+        self._steps = list(steps)
 
 
 class PairedEndPipeline(Pipeline):
@@ -85,54 +99,12 @@ class PairedEndPipeline(Pipeline):
         ],
         steps,
     ):
-        self._modifiers: List[PairedEndModifier] = []
-        self._steps = steps
-        self._reader = None
-        # Whether to ignore pair_filter mode for the discard-untrimmed filter
+        # whether the discard-untrimmed filter ignores pair_filter mode
         self.override_untrimmed_pair_filter = False
-        self._add_modifiers(modifiers)
-
-    def _add_modifiers(self, modifiers):
+        self._steps = list(steps)
+        self._modifiers: List[PairedEndModifier] = []
         for modifier in modifiers:
             if isinstance(modifier, tuple):
-                self._add_two_single_modifiers(*modifier)
+                self._modifiers.append(PairedEndModifierWrapper(*modifier))
             else:
-                self._add_modifier(modifier)
-
-    def _add_two_single_modifiers(self, modifier1, modifier2) -> None:
-        if modifier1 is None and modifier2 is None:
-            raise ValueError("Not both modifiers can be None")
-        self._modifiers.append(PairedEndModifierWrapper(modifier1, modifier2))
-
-    def _add_modifier(self, modifier: PairedEndModifier) -> None:
-        self._modifiers.append(modifier)
-
-    def process_reads(
-        self,
-        infiles: InputFiles,
-        progress: Optional[Progress] = None,
-    ) -> Tuple[int, int, Optional[int]]:
-        self._infiles = infiles
-        self._reader = infiles.open()
-        n = 0
-        total1_bp = 0
-        total2_bp = 0
-        assert self._reader is not None
-        modifiers_and_steps = self._modifiers + self._steps
-        for reads in self._reader:
-            n += 1
-            if n % 10000 == 0 and progress is not None:
-                progress.update(10000)
-            read1, read2 = reads
-            total1_bp += len(read1)
-            total2_bp += len(read2)
-            info1 = ModificationInfo(read1)
-            info2 = ModificationInfo(read2)
-            for step in modifiers_and_steps:
-                reads = step(*reads, info1, info2)  # type: ignore
-                if reads is None:
-                    break
-        if progress is not None:
-            progress.update(n % 10000)
-        infiles.close()
-        return (n, total1_bp, total2_bp)
+                self._modifiers.append(modifier)

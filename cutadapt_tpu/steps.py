@@ -1,16 +1,27 @@
 """
 Output pipeline steps: side-channel writers, filters, sinks and
-demultiplexers. Each step either passes the read on or consumes it.
+demultiplexers. Each step either passes the read (pair) on or consumes
+it; sinks and demultiplexers tally written-length statistics that the
+report layer collects.
+
+The three demultiplexers share one routing core (`_RoutedSink`): a
+writers table keyed by the routing decision (adapter name, R1 adapter
+name, or the R1×R2 name combination), an optional fallback writer for
+unmatched reads, and a drop counter when there is no fallback. The
+batch engine implements the same routing vectorized (accel.py demux
+emit path).
+
+Capability parity: /root/reference/src/cutadapt/steps.py:34-580.
 """
 
 import itertools
 from abc import ABC, abstractmethod
-from typing import Any, List, Optional, Sequence, TextIO, Tuple
+from typing import Any, Optional, Sequence, TextIO, Tuple
 
-from .io.records import SequenceRecord
-from .io.files import OutputFiles
-from .predicates import Predicate
 from .info import ModificationInfo
+from .io.files import OutputFiles
+from .io.records import SequenceRecord
+from .predicates import Predicate
 from .statistics import ReadLengthStatistics
 
 RecordPair = Tuple[SequenceRecord, SequenceRecord]
@@ -48,8 +59,11 @@ class HasFilterStatistics(ABC):
         """Name used in statistics."""
 
 
+# --- filters -----------------------------------------------------------------
+
+
 class SingleEndFilter(SingleEndStep, HasFilterStatistics):
-    """Filter reads by a predicate, optionally routing the filtered
+    """Drop reads matching a predicate, optionally routing the dropped
     ones to a writer."""
 
     def __init__(self, predicate: Predicate, writer=None):
@@ -58,7 +72,10 @@ class SingleEndFilter(SingleEndStep, HasFilterStatistics):
         self._writer = writer
 
     def __repr__(self):
-        return f"SingleEndFilter(predicate={self._predicate}, writer={self._writer})"
+        return (
+            f"SingleEndFilter(predicate={self._predicate}, "
+            f"writer={self._writer})"
+        )
 
     def descriptive_identifier(self) -> str:
         return self._predicate.descriptive_identifier()
@@ -66,19 +83,20 @@ class SingleEndFilter(SingleEndStep, HasFilterStatistics):
     def filtered(self) -> int:
         return self._filtered
 
-    def __call__(self, read, info: ModificationInfo) -> Optional[SequenceRecord]:
-        if self._predicate.test(read, info):
-            self._filtered += 1
-            if self._writer is not None:
-                self._writer.write(read)
-            return None
-        return read
+    def __call__(self, read, info) -> Optional[SequenceRecord]:
+        if not self._predicate.test(read, info):
+            return read
+        self._filtered += 1
+        if self._writer is not None:
+            self._writer.write(read)
+        return None
 
 
 class PairedEndFilter(PairedEndStep, HasFilterStatistics):
     """
-    Filter read pairs. pair_filter_mode decides which reads must match:
-    'any' (either), 'both', or 'first'.
+    Drop read pairs by predicate. With predicates on both sides,
+    pair_filter_mode decides how the two verdicts combine: 'any'
+    (either side suffices), 'both', or 'first' (R1 decides alone).
     """
 
     def __init__(
@@ -95,17 +113,6 @@ class PairedEndFilter(PairedEndStep, HasFilterStatistics):
         self.predicate1 = predicate1
         self.predicate2 = predicate2
         self.writer = writer
-        self._is_filtered: Any
-        if predicate2 is None:
-            self._is_filtered = self._is_filtered_first
-        elif predicate1 is None:
-            self._is_filtered = self._is_filtered_second
-        elif pair_filter_mode == "any":
-            self._is_filtered = self._is_filtered_any
-        elif pair_filter_mode == "both":
-            self._is_filtered = self._is_filtered_both
-        else:
-            self._is_filtered = self._is_filtered_first
 
     def __repr__(self):
         return (
@@ -115,37 +122,44 @@ class PairedEndFilter(PairedEndStep, HasFilterStatistics):
         )
 
     def descriptive_identifier(self) -> str:
-        if self.predicate1 is not None:
-            return self.predicate1.descriptive_identifier()
-        else:
-            assert self.predicate2 is not None
-            return self.predicate2.descriptive_identifier()
+        primary = self.predicate1 or self.predicate2
+        assert primary is not None
+        return primary.descriptive_identifier()
 
     def filtered(self) -> int:
         return self._filtered
 
-    def _is_filtered_any(self, read1, read2, info1, info2) -> bool:
-        return self.predicate1.test(read1, info1) or self.predicate2.test(read2, info2)  # type: ignore
-
-    def _is_filtered_both(self, read1, read2, info1, info2) -> bool:
-        return self.predicate1.test(read1, info1) and self.predicate2.test(read2, info2)  # type: ignore
-
-    def _is_filtered_first(self, read1, read2, info1, info2) -> bool:
-        return self.predicate1.test(read1, info1)  # type: ignore
-
-    def _is_filtered_second(self, read1, read2, info1, info2) -> bool:
-        return self.predicate2.test(read2, info2)  # type: ignore
+    def _verdict(self, read1, read2, info1, info2) -> bool:
+        if self.predicate2 is None:
+            return self.predicate1.test(read1, info1)
+        if self.predicate1 is None:
+            return self.predicate2.test(read2, info2)
+        mode = self._pair_filter_mode
+        if mode == "first":
+            return self.predicate1.test(read1, info1)
+        if mode == "any":
+            return self.predicate1.test(read1, info1) or self.predicate2.test(
+                read2, info2
+            )
+        return self.predicate1.test(read1, info1) and self.predicate2.test(
+            read2, info2
+        )
 
     def __call__(self, read1, read2, info1, info2) -> Optional[RecordPair]:
-        if self._is_filtered(read1, read2, info1, info2):
-            self._filtered += 1
-            if self.writer is not None:
-                self.writer.write(read1, read2)
-            return None
-        return (read1, read2)
+        if not self._verdict(read1, read2, info1, info2):
+            return (read1, read2)
+        self._filtered += 1
+        if self.writer is not None:
+            self.writer.write(read1, read2)
+        return None
+
+
+# --- side-channel writers ----------------------------------------------------
 
 
 class RestFileWriter(SingleEndStep):
+    """--rest-file: log the read part beyond the last adapter match."""
+
     def __init__(self, file: TextIO):
         self._file = file
 
@@ -155,12 +169,14 @@ class RestFileWriter(SingleEndStep):
     def __call__(self, read, info) -> Optional[SequenceRecord]:
         if info.matches:
             rest = info.matches[-1].rest()
-            if len(rest) > 0:
+            if rest:
                 print(rest, read.name, file=self._file)
         return read
 
 
 class WildcardFileWriter(SingleEndStep):
+    """--wildcard-file: log the bases matched by adapter N wildcards."""
+
     def __init__(self, file: TextIO):
         self._file = file
 
@@ -174,6 +190,9 @@ class WildcardFileWriter(SingleEndStep):
 
 
 class InfoFileWriter(SingleEndStep):
+    """--info-file: one tab-separated row per adapter match (or a
+    single -1 row for unmatched reads)."""
+
     RC_MAP = {None: "", True: "1", False: "0"}
 
     def __init__(self, file: TextIO):
@@ -183,25 +202,23 @@ class InfoFileWriter(SingleEndStep):
         return f"InfoFileWriter(file={self._file})"
 
     def __call__(self, read, info: ModificationInfo) -> Optional[SequenceRecord]:
-        current_read = info.original_read
-        if info.is_rc:
-            current_read = current_read.reverse_complement()
-        if info.matches:
-            for match in info.matches:
-                for info_record in match.get_info_records(current_read):
-                    # info_record[0] is the read name suffix
-                    print(
-                        read.name + info_record[0],
-                        *info_record[1:],
-                        self.RC_MAP[info.is_rc],
-                        sep="\t",
-                        file=self._file,
-                    )
-                current_read = match.trimmed(current_read)
-        else:
-            seq = read.sequence
+        if not info.matches:
             qualities = read.qualities if read.qualities is not None else ""
-            print(read.name, -1, seq, qualities, sep="\t", file=self._file)
+            print(read.name, -1, read.sequence, qualities, sep="\t",
+                  file=self._file)
+            return read
+        current = info.original_read
+        if info.is_rc:
+            current = current.reverse_complement()
+        rc_flag = self.RC_MAP[info.is_rc]
+        for match in info.matches:
+            for row in match.get_info_records(current):
+                # row[0] is a read-name suffix (linked-adapter phase)
+                print(
+                    read.name + row[0], *row[1:], rc_flag,
+                    sep="\t", file=self._file,
+                )
+            current = match.trimmed(current)
         return read
 
 
@@ -211,7 +228,10 @@ class PairedInfoFileWriter(PairedEndStep):
         self._info_writer2 = InfoFileWriter(file2)
 
     def __repr__(self):
-        return f"PairedInfoFileWriter({self._info_writer1}, {self._info_writer2})"
+        return (
+            f"PairedInfoFileWriter({self._info_writer1}, "
+            f"{self._info_writer2})"
+        )
 
     def __call__(self, read1, read2, info1, info2) -> Optional[RecordPair]:
         self._info_writer1(read1, info1)
@@ -235,11 +255,13 @@ class PairedSingleEndStep(PairedEndStep):
         return (result, read2)
 
 
+# --- sinks -------------------------------------------------------------------
+
+
 class SingleEndSink(SingleEndStep, HasStatistics):
     """Write each read to a writer; used as the last pipeline step."""
 
     def __init__(self, writer):
-        super().__init__()
         self.writer = writer
         self._statistics = ReadLengthStatistics()
 
@@ -259,7 +281,6 @@ class PairedEndSink(PairedEndStep, HasStatistics):
     """Write each read pair to a writer; the last pipeline step."""
 
     def __init__(self, writer):
-        super().__init__()
         self.writer = writer
         self._statistics = ReadLengthStatistics()
 
@@ -275,8 +296,61 @@ class PairedEndSink(PairedEndStep, HasStatistics):
         return self._statistics
 
 
-class Demultiplexer(SingleEndStep, HasStatistics, HasFilterStatistics):
-    """Route each read to an output file by its last adapter match."""
+# --- demultiplexers ----------------------------------------------------------
+
+
+def _fill_template(template: str, **names: Optional[str]) -> str:
+    """Substitute {key} placeholders, using 'unknown' for None."""
+    for key, value in names.items():
+        template = template.replace(
+            "{" + key + "}", value if value is not None else "unknown"
+        )
+    return template
+
+
+class _RoutedSink(HasStatistics):
+    """Routing core shared by the demultiplexers: deliver each read
+    (pair) to the writer its routing key selects, to the fallback
+    writer when there is no key, or count it as dropped."""
+
+    def __init__(self):
+        self._writers: dict = {}
+        self._untrimmed_writer = None  # fallback for unmatched reads
+        self._statistics = ReadLengthStatistics()
+        self._filtered = 0
+
+    def _deliver(self, key: Any, *reads) -> None:
+        writer = (
+            self._writers[key] if key in self._writers
+            else self._untrimmed_writer
+        )
+        if writer is None:
+            self._filtered += 1
+            return
+        if len(reads) == 1:
+            self._statistics.update(reads[0])
+        else:
+            self._statistics.update2(*reads)
+        writer.write(*reads)
+
+    def descriptive_identifier(self) -> str:
+        return "discard_untrimmed"
+
+    def get_statistics(self) -> ReadLengthStatistics:
+        return self._statistics
+
+    def filtered(self) -> int:
+        return self._filtered
+
+
+def _last_adapter_name(info: ModificationInfo) -> Optional[str]:
+    return info.matches[-1].adapter.name if info.matches else None
+
+
+class Demultiplexer(_RoutedSink, SingleEndStep, HasFilterStatistics):
+    """Route each read to an output file by its last adapter match
+    (``{name}`` template); unmatched reads go to the untrimmed output
+    unless discarded."""
 
     def __init__(
         self,
@@ -286,62 +360,27 @@ class Demultiplexer(SingleEndStep, HasStatistics, HasFilterStatistics):
         discard_untrimmed: bool,
         outfiles: OutputFiles,
     ):
-        self._writers, self._untrimmed_writer = self._open_writers(
-            adapter_names, template, untrimmed_output, discard_untrimmed, outfiles
-        )
-        self._statistics = ReadLengthStatistics()
-        self._filtered = 0
+        super().__init__()
+        for name in adapter_names:
+            self._writers[name] = outfiles.open_record_writer(
+                _fill_template(template, name=name)
+            )
+        if not discard_untrimmed:
+            fallback_path = untrimmed_output or _fill_template(
+                template, name=None
+            )
+            self._untrimmed_writer = outfiles.open_record_writer(fallback_path)
 
     def __repr__(self):
         return f"<Demultiplexer len(writers)={len(self._writers)}>"
 
-    @staticmethod
-    def _open_writers(
-        adapter_names: Sequence[str],
-        template: str,
-        untrimmed_output: Optional[str],
-        discard_untrimmed: bool,
-        outfiles: OutputFiles,
-    ):
-        writers = dict()
-        for name in adapter_names:
-            path = template.replace("{name}", name)
-            writers[name] = outfiles.open_record_writer(path)
-        if discard_untrimmed:
-            untrimmed = None
-        else:
-            untrimmed_path: Optional[str]
-            if untrimmed_output:
-                untrimmed_path = untrimmed_output
-            else:
-                untrimmed_path = template.replace("{name}", "unknown")
-            untrimmed = outfiles.open_record_writer(untrimmed_path)
-        return writers, untrimmed
-
     def __call__(self, read, info) -> Optional[SequenceRecord]:
-        if info.matches:
-            name = info.matches[-1].adapter.name
-            self._statistics.update(read)
-            self._writers[name].write(read)
-        elif self._untrimmed_writer is not None:
-            self._statistics.update(read)
-            self._untrimmed_writer.write(read)
-        else:
-            self._filtered += 1
+        self._deliver(_last_adapter_name(info), read)
         return None
 
-    def descriptive_identifier(self) -> str:
-        return "discard_untrimmed"
 
-    def get_statistics(self) -> ReadLengthStatistics:
-        return self._statistics
-
-    def filtered(self) -> int:
-        return self._filtered
-
-
-class PairedDemultiplexer(PairedEndStep, HasStatistics, HasFilterStatistics):
-    """Route read pairs to output files by the R1 adapter match."""
+class PairedDemultiplexer(_RoutedSink, PairedEndStep, HasFilterStatistics):
+    """Route read pairs to output files; the R1 match decides."""
 
     def __init__(
         self,
@@ -353,72 +392,29 @@ class PairedDemultiplexer(PairedEndStep, HasStatistics, HasFilterStatistics):
         discard_untrimmed: bool,
         outfiles: OutputFiles,
     ):
-        self._writers, self._untrimmed_writer = self._open_writers(
-            adapter_names,
-            template1,
-            template2,
-            untrimmed_output,
-            untrimmed_paired_output,
-            discard_untrimmed,
-            outfiles,
-        )
-        self._statistics = ReadLengthStatistics()
-        self._filtered = 0
-
-    @staticmethod
-    def _open_writers(
-        adapter_names: Sequence[str],
-        template1: str,
-        template2: str,
-        untrimmed_output: Optional[str],
-        untrimmed_paired_output: Optional[str],
-        discard_untrimmed: bool,
-        outfiles: OutputFiles,
-    ):
-        demultiplex_out = dict()
+        super().__init__()
         for name in adapter_names:
-            path1 = template1.replace("{name}", name)
-            path2 = template2.replace("{name}", name)
-            demultiplex_out[name] = outfiles.open_record_writer(path1, path2)
-        if discard_untrimmed:
-            untrimmed = None
-        else:
-            if untrimmed_output is not None:
-                untrimmed_path1 = untrimmed_output
-            else:
-                untrimmed_path1 = template1.replace("{name}", "unknown")
-            if untrimmed_paired_output is not None:
-                untrimmed_path2 = untrimmed_paired_output
-            else:
-                untrimmed_path2 = template2.replace("{name}", "unknown")
-            untrimmed = outfiles.open_record_writer(untrimmed_path1, untrimmed_path2)
-        return demultiplex_out, untrimmed
+            self._writers[name] = outfiles.open_record_writer(
+                _fill_template(template1, name=name),
+                _fill_template(template2, name=name),
+            )
+        if not discard_untrimmed:
+            self._untrimmed_writer = outfiles.open_record_writer(
+                untrimmed_output or _fill_template(template1, name=None),
+                untrimmed_paired_output or _fill_template(template2, name=None),
+            )
 
     def __call__(self, read1, read2, info1, info2) -> Optional[RecordPair]:
         assert read2 is not None
-        if info1.matches:
-            name = info1.matches[-1].adapter.name
-            self._statistics.update2(read1, read2)
-            self._writers[name].write(read1, read2)
-        elif self._untrimmed_writer is not None:
-            self._statistics.update2(read1, read2)
-            self._untrimmed_writer.write(read1, read2)
-        else:
-            self._filtered += 1
+        self._deliver(_last_adapter_name(info1), read1, read2)
         return None
 
-    def descriptive_identifier(self) -> str:
-        return "discard_untrimmed"
 
-    def get_statistics(self) -> ReadLengthStatistics:
-        return self._statistics
-
-    def filtered(self) -> int:
-        return self._filtered
-
-
-class CombinatorialDemultiplexer(PairedEndStep, HasStatistics):
-    """Route read pairs by the combination of R1 and R2 matches."""
+class CombinatorialDemultiplexer(_RoutedSink, PairedEndStep):
+    """Route read pairs by the combination of R1 and R2 matches
+    (``{name1}``/``{name2}`` templates). Without --discard-untrimmed,
+    every partially- and fully-unmatched combination gets its own
+    'unknown' output; with it, those pairs are dropped."""
 
     def __init__(
         self,
@@ -429,51 +425,23 @@ class CombinatorialDemultiplexer(PairedEndStep, HasStatistics):
         discard_untrimmed: bool,
         outfiles: OutputFiles,
     ):
-        self._writers = self._open_writers(
-            adapter_names,
-            adapter_names2,
-            template1,
-            template2,
-            discard_untrimmed,
-            outfiles,
-        )
-        self._statistics = ReadLengthStatistics()
-
-    @staticmethod
-    def _open_writers(
-        adapter_names: Sequence[str],
-        adapter_names2: Sequence[str],
-        template1: str,
-        template2: str,
-        discard_untrimmed: bool,
-        outfiles: OutputFiles,
-    ):
-        writers = dict()
-        extra: List[Tuple[Optional[str], Optional[str]]]
-        if discard_untrimmed:
-            extra = []
-        else:
-            extra = [(None, None)]
-            extra += [(None, name2) for name2 in adapter_names2]
-            extra += [(name1, None) for name1 in adapter_names]
-        for name1, name2 in (
-            list(itertools.product(adapter_names, adapter_names2)) + extra
-        ):
-            fname1 = name1 if name1 is not None else "unknown"
-            fname2 = name2 if name2 is not None else "unknown"
-            path1 = template1.replace("{name1}", fname1).replace("{name2}", fname2)
-            path2 = template2.replace("{name1}", fname1).replace("{name2}", fname2)
-            writers[(name1, name2)] = outfiles.open_record_writer(path1, path2)
-        return writers
+        super().__init__()
+        keys = list(itertools.product(adapter_names, adapter_names2))
+        if not discard_untrimmed:
+            keys.append((None, None))
+            keys.extend((None, name2) for name2 in adapter_names2)
+            keys.extend((name1, None) for name1 in adapter_names)
+        for name1, name2 in keys:
+            self._writers[(name1, name2)] = outfiles.open_record_writer(
+                _fill_template(template1, name1=name1, name2=name2),
+                _fill_template(template2, name1=name1, name2=name2),
+            )
 
     def __call__(self, read1, read2, info1, info2) -> Optional[RecordPair]:
         assert read2 is not None
-        name1 = info1.matches[-1].adapter.name if info1.matches else None
-        name2 = info2.matches[-1].adapter.name if info2.matches else None
-        key = (name1, name2)
+        key = (_last_adapter_name(info1), _last_adapter_name(info2))
         if key in self._writers:
-            self._statistics.update2(read1, read2)
-            self._writers[key].write(read1, read2)
+            self._deliver(key, read1, read2)
         return None
 
     def get_statistics(self) -> ReadLengthStatistics:
