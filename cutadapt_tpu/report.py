@@ -1,40 +1,49 @@
 """
 Statistics collection and report rendering (text, minimal TSV, JSON).
 
-All counters are mergeable (via ``+=``) — this is the reduction
-contract used by the multicore runner and by the sharded TPU batch
-engine (per-chip counter tensors are reduced and folded into these
-objects before rendering).
+The Statistics object is the single mergeable summary of a run: every
+field either sums, Counter-merges, or must agree across shards, and
+``+=`` applies the right rule per field. That merge contract is what
+multicore workers and the sharded TPU engine rely on — per-chip
+counter tensors reduce on device (psum), land in these objects, and
+render identically to a single-shard run.
+
+Rendering is split per concern: a summary block, a read-fate table, a
+per-adapter section laid out by the adapter statistics' kind
+('front' / 'back' / 'both' / 'linked'), and poly-A tables. The exact
+output text is a compatibility surface (byte-parity with the
+reference's reports, /root/reference/src/cutadapt/report.py:81-900)
+and must not drift.
 """
 
+import textwrap
+from collections import Counter, defaultdict
 from dataclasses import dataclass
 from io import StringIO
-import textwrap
-from collections import defaultdict, Counter
 from typing import Any, Dict, Iterator, List, Mapping, Optional, Tuple
 
 from .adapters import (
-    EndStatistics,
     AdapterStatistics,
-    FrontAdapter,
-    BackAdapter,
     AnywhereAdapter,
+    BackAdapter,
+    EndStatistics,
+    FrontAdapter,
     LinkedAdapter,
     SingleAdapter,
 )
 from .json_utils import OneLine
 from .modifiers import (
-    QualityTrimmer,
-    NextseqQualityTrimmer,
     AdapterCutter,
+    NextseqQualityTrimmer,
     PairedAdapterCutter,
-    ReverseComplementer,
     PairedEndModifierWrapper,
-    PolyATrimmer,
     PairedReverseComplementer,
+    PolyATrimmer,
+    QualityTrimmer,
+    ReverseComplementer,
 )
 from .statistics import ReadLengthStatistics
-from .steps import HasStatistics, HasFilterStatistics
+from .steps import HasFilterStatistics, HasStatistics
 
 FILTERS = {
     "too_short": "that were too short",
@@ -50,8 +59,7 @@ FILTERS = {
 def safe_divide(numerator: Optional[int], denominator: int) -> float:
     if numerator is None or not denominator:
         return 0.0
-    else:
-        return numerator / denominator
+    return numerator / denominator
 
 
 def add_if_not_none(a: Optional[int], b: Optional[int]) -> Optional[int]:
@@ -62,7 +70,19 @@ def add_if_not_none(a: Optional[int], b: Optional[int]) -> Optional[int]:
     return a + b
 
 
+def _merge_optional_counter(
+    mine: Optional[Dict[int, int]], theirs: Optional[Dict[int, int]]
+) -> Optional[Dict[int, int]]:
+    if mine is None:
+        return theirs
+    if theirs is None:
+        return mine
+    return defaultdict(int, Counter(mine) + Counter(theirs))
+
+
 class Statistics:
+    """Mergeable summary of one (partial) run."""
+
     def __init__(self) -> None:
         self.paired: Optional[bool] = None
         # filter name -> number of filtered reads/read pairs
@@ -77,53 +97,58 @@ class Statistics:
         self.adapter_stats: List[List[AdapterStatistics]] = [[], []]
         self._collected: bool = False
 
+    # --- merging (the shard-reduction contract) -----------------------
+
     def __iadd__(self, other: Any):
         if not isinstance(other, Statistics):
             raise ValueError(f"Cannot add {other.__class__.__name__}")
-        self.n += other.n
-        self.read_length_statistics += other.read_length_statistics
-
         if self.paired is None:
             self.paired = other.paired
         elif self.paired != other.paired:
             raise ValueError("Incompatible Statistics: paired is not equal")
 
+        self.n += other.n
+        self.read_length_statistics += other.read_length_statistics
         self.reverse_complemented = add_if_not_none(
             self.reverse_complemented, other.reverse_complemented
         )
-        for filter_name, count in other.filtered.items():
-            self.filtered[filter_name] += count
+        for name, count in other.filtered.items():
+            self.filtered[name] += count
 
-        for i in (0, 1):
-            self.total_bp[i] += other.total_bp[i]
-            self.with_adapters[i] = add_if_not_none(
-                self.with_adapters[i], other.with_adapters[i]
+        for side in (0, 1):
+            self.total_bp[side] += other.total_bp[side]
+            self.with_adapters[side] = add_if_not_none(
+                self.with_adapters[side], other.with_adapters[side]
             )
-            self.quality_trimmed_bp[i] = add_if_not_none(
-                self.quality_trimmed_bp[i], other.quality_trimmed_bp[i]
+            self.quality_trimmed_bp[side] = add_if_not_none(
+                self.quality_trimmed_bp[side], other.quality_trimmed_bp[side]
             )
-            if self.poly_a_trimmed_lengths[i] is None:
-                self.poly_a_trimmed_lengths[i] = other.poly_a_trimmed_lengths[i]
-            elif other.poly_a_trimmed_lengths[i] is not None:
-                self.poly_a_trimmed_lengths[i] = defaultdict(
-                    int,
-                    Counter(self.poly_a_trimmed_lengths[i])
-                    + Counter(other.poly_a_trimmed_lengths[i]),
-                )
-
-            if self.adapter_stats[i] and other.adapter_stats[i]:
-                if len(self.adapter_stats[i]) != len(other.adapter_stats[i]):
-                    raise ValueError(
-                        "Incompatible Statistics objects (adapter_stats length)"
-                    )
-                for j in range(len(self.adapter_stats[i])):
-                    self.adapter_stats[i][j] += other.adapter_stats[i][j]
-            elif other.adapter_stats[i]:
-                assert self.adapter_stats[i] == []
-                self.adapter_stats[i] = other.adapter_stats[i]
+            self.poly_a_trimmed_lengths[side] = _merge_optional_counter(
+                self.poly_a_trimmed_lengths[side],
+                other.poly_a_trimmed_lengths[side],
+            )
+            self._merge_adapter_stats(side, other.adapter_stats[side])
         return self
 
-    def collect(self, n: int, total_bp1: int, total_bp2: Optional[int], modifiers, steps):
+    def _merge_adapter_stats(self, side: int, theirs: List[AdapterStatistics]):
+        mine = self.adapter_stats[side]
+        if not theirs:
+            return
+        if not mine:
+            self.adapter_stats[side] = theirs
+            return
+        if len(mine) != len(theirs):
+            raise ValueError(
+                "Incompatible Statistics objects (adapter_stats length)"
+            )
+        for j, other_stats in enumerate(theirs):
+            mine[j] += other_stats
+
+    # --- collection from pipeline objects -----------------------------
+
+    def collect(
+        self, n: int, total_bp1: int, total_bp2: Optional[int], modifiers, steps
+    ):
         """
         n -- total number of reads
         total_bp1 -- number of bases in first reads
@@ -133,69 +158,64 @@ class Statistics:
             raise ValueError("Cannot call Statistics.collect more than once")
         self.n = n
         self.total_bp[0] = total_bp1
-        if total_bp2 is None:
-            self.paired = False
-        else:
-            self.paired = True
+        self.paired = total_bp2 is not None
+        if total_bp2 is not None:
             self.total_bp[1] = total_bp2
 
         for step in steps:
-            self._collect_step(step)
+            if isinstance(step, HasStatistics):
+                self.read_length_statistics += step.get_statistics()
+            if isinstance(step, HasFilterStatistics):
+                self.filtered[step.descriptive_identifier()] = step.filtered()
         for modifier in modifiers:
             self._collect_modifier(modifier)
         self._collected = True
         return self
 
-    def _collect_step(self, step) -> None:
-        if isinstance(step, HasStatistics):
-            self.read_length_statistics += step.get_statistics()
-        if isinstance(step, HasFilterStatistics):
-            name = step.descriptive_identifier()
-            self.filtered[name] = step.filtered()
+    def _take_cutter(self, side: int, cutter: AdapterCutter) -> None:
+        """Fold one AdapterCutter's tallies into one read side."""
+        if self.with_adapters[side] is None:
+            self.with_adapters[side] = cutter.with_adapters
+            self.adapter_stats[side] = list(cutter.adapter_statistics.values())
+        else:
+            self.with_adapters[side] += cutter.with_adapters
+            self.adapter_stats[side] += list(cutter.adapter_statistics.values())
 
     def _collect_modifier(self, m) -> None:
         if isinstance(m, PairedAdapterCutter):
-            for i in 0, 1:
-                self.with_adapters[i] = m.with_adapters
-                self.adapter_stats[i] = list(m.adapter_statistics[i].values())
+            for side in (0, 1):
+                self.with_adapters[side] = m.with_adapters
+                self.adapter_stats[side] = list(
+                    m.adapter_statistics[side].values()
+                )
             return
         if isinstance(m, PairedEndModifierWrapper):
-            modifiers_list = [(0, m._modifier1), (1, m._modifier2)]
+            per_side = [(0, m._modifier1), (1, m._modifier2)]
         elif isinstance(m, PairedReverseComplementer):
-            modifiers_list = [(0, m.adapter_cutter1), (1, m.adapter_cutter2)]
+            per_side = [(0, m.adapter_cutter1), (1, m.adapter_cutter2)]
             self.reverse_complemented = m.reverse_complemented
         else:
-            modifiers_list = [(0, m)]
-        for i, modifier in modifiers_list:
+            per_side = [(0, m)]
+        for side, modifier in per_side:
             if isinstance(modifier, (QualityTrimmer, NextseqQualityTrimmer)):
-                self.quality_trimmed_bp[i] = add_if_not_none(
-                    self.quality_trimmed_bp[i], modifier.trimmed_bases
+                self.quality_trimmed_bp[side] = add_if_not_none(
+                    self.quality_trimmed_bp[side], modifier.trimmed_bases
                 )
             if isinstance(modifier, PolyATrimmer):
-                self.poly_a_trimmed_lengths[i] = modifier.trimmed_bases
+                self.poly_a_trimmed_lengths[side] = modifier.trimmed_bases
             elif isinstance(modifier, AdapterCutter):
-                if self.with_adapters[i] is None:
-                    self.with_adapters[i] = modifier.with_adapters
-                    self.adapter_stats[i] = list(modifier.adapter_statistics.values())
-                else:
-                    self.with_adapters[i] += modifier.with_adapters  # type: ignore
-                    self.adapter_stats[i] += list(modifier.adapter_statistics.values())
+                self._take_cutter(side, modifier)
             elif isinstance(modifier, ReverseComplementer):
-                if self.with_adapters[i] is None:
-                    self.with_adapters[i] = modifier.adapter_cutter.with_adapters
-                    self.adapter_stats[i] = list(
-                        modifier.adapter_cutter.adapter_statistics.values()
-                    )
+                first = self.with_adapters[side] is None
+                self._take_cutter(side, modifier.adapter_cutter)
+                if first:
                     self.reverse_complemented = modifier.reverse_complemented
                 else:
-                    assert self.with_adapters[i] is not None
-                    self.with_adapters[i] += modifier.adapter_cutter.with_adapters  # type: ignore
-                    self.adapter_stats[i] += list(
-                        modifier.adapter_cutter.adapter_statistics.values()
-                    )
                     self.reverse_complemented = add_if_not_none(
                         self.reverse_complemented, modifier.reverse_complemented
                     )
+
+    # --- JSON ----------------------------------------------------------
 
     def as_json(self, gc_content: float = 0.5, one_line: bool = False) -> Dict:
         """Return a dict representation suitable for the JSON report."""
@@ -208,10 +228,12 @@ class Statistics:
             "read_counts": {  # pairs or reads
                 "input": self.n,
                 "filtered": filtered,
-                "output": self.read_length_statistics.written_reads(),
+                "output": written_reads,
                 "reverse_complemented": self.reverse_complemented,
                 "read1_with_adapter": self.with_adapters[0],
-                "read2_with_adapter": self.with_adapters[1] if self.paired else None,
+                "read2_with_adapter": (
+                    self.with_adapters[1] if self.paired else None
+                ),
             },
             "basepair_counts": {
                 "input": self.total,
@@ -233,14 +255,16 @@ class Statistics:
                 )
                 for astats in self.adapter_stats[0]
             ],
-            "adapters_read2": [
-                self._adapter_statistics_as_json(
-                    astats, self.n, gc_content, one_line=one_line
-                )
-                for astats in self.adapter_stats[1]
-            ]
-            if self.paired
-            else None,
+            "adapters_read2": (
+                [
+                    self._adapter_statistics_as_json(
+                        astats, self.n, gc_content, one_line=one_line
+                    )
+                    for astats in self.adapter_stats[1]
+                ]
+                if self.paired
+                else None
+            ),
             "poly_a_trimmed_read1": self._poly_a_trimmed_as_json(
                 self.poly_a_trimmed_lengths[0]
             ),
@@ -256,33 +280,23 @@ class Statistics:
         gc_content: float,
         one_line: bool = False,
     ):
-        adapter = adapter_statistics.adapter
+        make_line = OneLine if one_line else (lambda value: value)
         ends: List[Optional[Dict[str, Any]]] = []
         total_trimmed_reads = 0
-        make_line = OneLine if one_line else (lambda value: value)
         for end_statistics in adapter_statistics.end_statistics():
             if end_statistics is None:
                 ends.append(None)
                 continue
             total = sum(end_statistics.lengths.values())
+            total_trimmed_reads += total
             if end_statistics.allows_partial_matches:
-                eranges = ErrorRanges(
-                    length=end_statistics.effective_length,
-                    error_rate=end_statistics.max_error_rate,
-                ).lengths()
+                eranges = error_range_lengths(
+                    end_statistics.effective_length,
+                    end_statistics.max_error_rate,
+                )
             else:
                 eranges = None
             base_stats = AdjacentBaseStatistics(end_statistics.adjacent_bases)
-            trimmed_lengths = [
-                make_line(
-                    {
-                        "len": row.length,
-                        "expect": round(row.expect, 1),
-                        "counts": row.error_counts,
-                    }
-                )
-                for row in histogram_rows(end_statistics, n, gc_content)
-            ]
             ends.append(
                 {
                     "type": end_statistics.adapter_type,
@@ -293,21 +307,27 @@ class Statistics:
                     "matches": total,
                     "adjacent_bases": base_stats.as_json(),
                     "dominant_adjacent_base": base_stats.warnbase,
-                    "trimmed_lengths": trimmed_lengths,
+                    "trimmed_lengths": [
+                        make_line(
+                            {
+                                "len": row.length,
+                                "expect": round(row.expect, 1),
+                                "counts": row.error_counts,
+                            }
+                        )
+                        for row in histogram_rows(end_statistics, n, gc_content)
+                    ],
                 }
             )
-            total_trimmed_reads += total
-
-        on_reverse_complement = (
-            adapter_statistics.reverse_complemented
-            if self.reverse_complemented
-            else None
-        )
         return {
             "name": adapter_statistics.name,
             "total_matches": total_trimmed_reads,
-            "on_reverse_complement": on_reverse_complement,
-            "linked": isinstance(adapter, LinkedAdapter),
+            "on_reverse_complement": (
+                adapter_statistics.reverse_complemented
+                if self.reverse_complemented
+                else None
+            ),
+            "linked": isinstance(adapter_statistics.adapter, LinkedAdapter),
             "five_prime_end": ends[0],
             "three_prime_end": ends[1],
         }
@@ -321,6 +341,8 @@ class Statistics:
             for length in sorted(poly_a)
         ]
 
+    # --- derived quantities --------------------------------------------
+
     @property
     def total(self) -> int:
         return sum(self.total_bp)
@@ -331,13 +353,13 @@ class Statistics:
 
     @property
     def poly_a_trimmed_bp(self) -> Tuple[Optional[int], Optional[int]]:
-        def trimmed(i: int) -> Optional[int]:
-            lengths = self.poly_a_trimmed_lengths[i]
+        def bp(side: int) -> Optional[int]:
+            lengths = self.poly_a_trimmed_lengths[side]
             if lengths is None:
                 return None
             return sum(length * count for length, count in lengths.items())
 
-        return (trimmed(0), trimmed(1))
+        return (bp(0), bp(1))
 
     @property
     def poly_a_trimmed(self) -> Optional[int]:
@@ -353,7 +375,7 @@ class Statistics:
 
     @property
     def written_fraction(self) -> float:
-        return safe_divide(self.read_length_statistics.written_reads(), self.n)
+        return safe_divide(self.written, self.n)
 
     @property
     def with_adapters_fraction(self) -> List[float]:
@@ -383,30 +405,28 @@ class Statistics:
         return safe_divide(self.poly_a_trimmed, self.total)
 
 
-class ErrorRanges:
-    """
-    Lengths up to which each number of errors is allowed for partial
-    adapter matches.
+# --- error-range table -------------------------------------------------------
 
-    >>> ErrorRanges(length=8, error_rate=0.1).lengths()
-    [8]
-    >>> ErrorRanges(length=20, error_rate=0.1).lengths()
-    [9, 19, 20]
-    """
+
+def error_range_lengths(length: int, error_rate: float) -> List[int]:
+    """Longest overlap length for each allowed error count, ascending:
+    element e is the largest length at which e errors are accepted."""
+    lengths = [
+        int(errors / error_rate) - 1
+        for errors in range(1, int(error_rate * length) + 1)
+    ]
+    if not lengths or lengths[-1] < length:
+        lengths.append(length)
+    return lengths
+
+
+class ErrorRanges:
+    """Pretty-printer for the allowed-errors-by-length table."""
 
     def __init__(self, length: int, error_rate: float):
         self.length = length
         self.error_rate = error_rate
-        self._lengths = self._compute_lengths()
-
-    def _compute_lengths(self) -> List[int]:
-        lengths = [
-            int(errors / self.error_rate) - 1
-            for errors in range(1, int(self.error_rate * self.length) + 1)
-        ]
-        if not lengths or lengths[-1] < self.length:
-            lengths.append(self.length)
-        return lengths
+        self._lengths = error_range_lengths(length, error_rate)
 
     def __repr__(self):
         return (
@@ -416,22 +436,18 @@ class ErrorRanges:
         )
 
     def __str__(self):
-        """
-        >>> str(ErrorRanges(length=8, error_rate=0.1))
-        '1-8 bp: 0'
-        >>> str(ErrorRanges(length=20, error_rate=0.1))
-        '1-9 bp: 0; 10-19 bp: 1; 20 bp: 2'
-        """
-        prev = 1
-        s = ""
-        for errors, r in enumerate(self._lengths[:-1]):
-            s += f"{prev}-{r} bp: {errors}; "
-            prev = r + 1
-        if prev == self._lengths[-1]:
-            s += f"{prev} bp: {len(self._lengths) - 1}"
+        parts = []
+        lower = 1
+        for errors, upper in enumerate(self._lengths[:-1]):
+            parts.append(f"{lower}-{upper} bp: {errors}; ")
+            lower = upper + 1
+        final_errors = len(self._lengths) - 1
+        last = self._lengths[-1]
+        if lower == last:
+            parts.append(f"{lower} bp: {final_errors}")
         else:
-            s += f"{prev}-{self._lengths[-1]} bp: {len(self._lengths) - 1}"
-        return s
+            parts.append(f"{lower}-{last} bp: {final_errors}")
+        return "".join(parts)
 
     def lengths(self):
         return self._lengths
@@ -441,30 +457,13 @@ def error_ranges(end_statistics: EndStatistics) -> str:
     length = end_statistics.effective_length
     error_rate = end_statistics.max_error_rate
     if end_statistics.allows_partial_matches:
-        s = "\n" + str(ErrorRanges(length, error_rate))
+        body = "\n" + str(ErrorRanges(length, error_rate))
     else:
-        s = f" {int(error_rate * length)}"
-    return "No. of allowed errors:" + s + "\n"
+        body = f" {int(error_rate * length)}"
+    return "No. of allowed errors:" + body + "\n"
 
 
-def histogram(end_statistics: EndStatistics, n: int, gc_content: float) -> str:
-    """
-    Formatted histogram of trimmed lengths, including the number of
-    reads expected to be trimmed by chance.
-    """
-    sio = StringIO()
-    print("length", "count", "expect", "max.err", "error counts", sep="\t", file=sio)
-    for row in histogram_rows(end_statistics, n, gc_content):
-        print(
-            row.length,
-            row.count,
-            f"{row.expect:.1F}",
-            row.max_err,
-            " ".join(str(e) for e in row.error_counts),
-            sep="\t",
-            file=sio,
-        )
-    return sio.getvalue() + "\n"
+# --- histograms --------------------------------------------------------------
 
 
 @dataclass
@@ -484,47 +483,69 @@ def histogram_rows(
     gc_content: float,
 ) -> Iterator[HistogramRow]:
     """Yield histogram rows. n -- total number of reads."""
-    d = end_statistics.lengths
+    lengths = end_statistics.lengths
     errors = end_statistics.errors
-    match_probabilities = end_statistics.random_match_probabilities(
+    random_chance = end_statistics.random_match_probabilities(
         gc_content=gc_content
     )
-    for length in sorted(d):
-        # once length surpasses the adapter length, the probability
-        # does not increase anymore
-        expect = n * match_probabilities[min(len(end_statistics.sequence), length)]
-        count = d[length]
-        max_errors = max(errors[length].keys())
-        error_counts = [errors[length][e] for e in range(max_errors + 1)]
+    adapter_length = len(end_statistics.sequence)
+    for length in sorted(lengths):
+        # beyond the adapter length the chance stops increasing
+        expect = n * random_chance[min(adapter_length, length)]
+        worst = max(errors[length].keys())
         yield HistogramRow(
             length=length,
-            count=count,
+            count=lengths[length],
             expect=expect,
             max_err=int(
                 end_statistics.max_error_rate
                 * min(length, end_statistics.effective_length)
             ),
-            error_counts=error_counts,
+            error_counts=[errors[length][e] for e in range(worst + 1)],
         )
 
 
+def histogram(end_statistics: EndStatistics, n: int, gc_content: float) -> str:
+    """
+    Formatted histogram of trimmed lengths, including the number of
+    reads expected to be trimmed by chance.
+    """
+    sio = StringIO()
+    print("length", "count", "expect", "max.err", "error counts", sep="\t",
+          file=sio)
+    for row in histogram_rows(end_statistics, n, gc_content):
+        print(
+            row.length,
+            row.count,
+            f"{row.expect:.1F}",
+            row.max_err,
+            " ".join(str(e) for e in row.error_counts),
+            sep="\t",
+            file=sio,
+        )
+    return sio.getvalue() + "\n"
+
+
 class AdjacentBaseStatistics:
+    """Distribution of the base preceding removed 3' adapters; warns
+    when one base dominates (likely incomplete adapter sequence)."""
+
     def __init__(self, bases: Dict[str, int]):
         self.bases: Dict[str, int] = bases
         self._warnbase: Optional[str] = None
         total = sum(self.bases.values())
         if total == 0:
             self._fractions = None
-        else:
-            self._fractions = []
-            for base in ["A", "C", "G", "T", ""]:
-                text = base if base != "" else "none/other"
-                fraction = 1.0 * self.bases[base] / total
-                self._fractions.append((text, 1.0 * self.bases[base] / total))
-                if fraction > 0.8 and base != "":
-                    self._warnbase = text
-            if total < 20:
-                self._warnbase = None
+            return
+        self._fractions = []
+        for base in ("A", "C", "G", "T", ""):
+            label = base if base != "" else "none/other"
+            fraction = self.bases[base] / total
+            self._fractions.append((label, fraction))
+            if fraction > 0.8 and base != "":
+                self._warnbase = label
+        if total < 20:
+            self._warnbase = None
 
     def __repr__(self):
         return f"AdjacentBaseStatistics(bases={self.bases})"
@@ -542,38 +563,34 @@ class AdjacentBaseStatistics:
             return ""
         sio = StringIO()
         print("Bases preceding removed adapters:", file=sio)
-        for text, fraction in self._fractions:
-            print(f"  {text}: {fraction:.1%}", file=sio)
+        for label, fraction in self._fractions:
+            print(f"  {label}: {fraction:.1%}", file=sio)
         if self.should_warn:
             print("WARNING:", file=sio)
             print(
-                f"    The adapter is preceded by '{self._warnbase}' extremely often.",
+                f"    The adapter is preceded by '{self._warnbase}' "
+                "extremely often.",
                 file=sio,
             )
             print(
-                "    The provided adapter sequence could be incomplete at its 5' end.",
+                "    The provided adapter sequence could be incomplete at "
+                "its 5' end.",
                 file=sio,
             )
             print("    Ignore this warning when trimming primers.", file=sio)
         return sio.getvalue()
 
     def as_json(self) -> Optional[Dict[str, int]]:
-        if self._fractions:
-            return {b: self.bases.get(b, 0) for b in ["A", "C", "G", "T", ""]}
-        else:
+        if not self._fractions:
             return None
+        return {b: self.bases.get(b, 0) for b in ["A", "C", "G", "T", ""]}
 
 
-def full_report(stats: Statistics, time: float, gc_content: float) -> str:  # noqa: C901
-    """Render the full human-readable report."""
-    if stats.n == 0:
-        return "No reads processed!"
-    sio = StringIO()
+# --- text reports ------------------------------------------------------------
 
-    def print_s(*args, **kwargs):
-        kwargs["file"] = sio
-        print(*args, **kwargs)
 
+def _summary_block(stats: Statistics) -> str:
+    """The '=== Summary ===' block (counts, fate breakdown, bp totals)."""
     report = "\n=== Summary ===\n\n"
     if stats.paired:
         report += f"Total read pairs processed:      {stats.n:13,d}\n"
@@ -624,7 +641,9 @@ def full_report(stats: Statistics, time: float, gc_content: float) -> str:  # no
         if stats.paired:
             for i in (0, 1):
                 if stats.quality_trimmed_bp[i] is not None:
-                    report += f"  Read {i + 1}: {stats.quality_trimmed_bp[i]:13,d} bp\n"
+                    report += (
+                        f"  Read {i + 1}: {stats.quality_trimmed_bp[i]:13,d} bp\n"
+                    )
 
     if stats.poly_a_trimmed is not None:
         report += (
@@ -634,7 +653,9 @@ def full_report(stats: Statistics, time: float, gc_content: float) -> str:  # no
         if stats.paired:
             for i in (0, 1):
                 if stats.poly_a_trimmed_bp[i] is not None:
-                    report += f"  Read {i + 1}: {stats.poly_a_trimmed_bp[i]:13,d} bp\n"
+                    report += (
+                        f"  Read {i + 1}: {stats.poly_a_trimmed_bp[i]:13,d} bp\n"
+                    )
 
     report += (
         "Total written (filtered):  "
@@ -644,23 +665,115 @@ def full_report(stats: Statistics, time: float, gc_content: float) -> str:  # no
         report += "  Read 1: {o.written_bp[0]:13,d} bp\n"
         report += "  Read 2: {o.written_bp[1]:13,d} bp\n"
     pairs_or_reads = "Pairs" if stats.paired else "Reads"
-    report = report.format(o=stats, pairs_or_reads=pairs_or_reads)
-    print_s(report)
+    return report.format(o=stats, pairs_or_reads=pairs_or_reads)
+
+
+def _adapter_header_line(
+    adapter_statistics: AdapterStatistics, total_front, total_back, total
+) -> str:
+    """The 'Sequence: ...; Type: ...' line (without rc suffix)."""
+    adapter = adapter_statistics.adapter
+    if adapter_statistics.kind == "linked":
+        front_seq = adapter_statistics.front.sequence
+        back_seq = adapter_statistics.back.sequence
+        return (
+            f"Sequence: {front_seq}...{back_seq}; Type: linked; "
+            f"Length: {len(front_seq)}+{len(back_seq)}; "
+            f"5' trimmed: {total_front} times; "
+            f"3' trimmed: {total_back} times"
+        )
+    assert isinstance(adapter, (SingleAdapter, AnywhereAdapter))
+    return (
+        f"Sequence: {adapter.sequence}; Type: {adapter.description}; "
+        f"Length: {len(adapter.sequence)}; Trimmed: {total} times"
+    )
+
+
+def _adapter_detail_section(
+    print_s, stats, adapter_statistics, total_front, total_back, gc_content
+) -> bool:
+    """Per-kind detail block; returns whether an incomplete-adapter
+    warning was triggered."""
+    adapter = adapter_statistics.adapter
+    kind = adapter_statistics.kind
+    n = stats.n
+    if kind == "both":
+        assert isinstance(adapter, AnywhereAdapter)
+        print_s(total_front, "times, it overlapped the 5' end of a read")
+        print_s(
+            total_back,
+            "times, it overlapped the 3' end or was within the read",
+        )
+        print_s()
+        print_s("Minimum overlap:", adapter.min_overlap)
+        print_s(error_ranges(adapter_statistics.front))
+        print_s("Overview of removed sequences (5')")
+        print_s(histogram(adapter_statistics.front, n, gc_content))
+        print_s()
+        print_s("Overview of removed sequences (3' or within)")
+        print_s(histogram(adapter_statistics.back, n, gc_content))
+        return False
+    if kind == "linked":
+        assert isinstance(adapter, LinkedAdapter)
+        print_s()
+        print_s(
+            f"Minimum overlap: "
+            f"{adapter.front_adapter.min_overlap}"
+            f"+{adapter.back_adapter.min_overlap}"
+        )
+        print_s(error_ranges(adapter_statistics.front))
+        print_s(error_ranges(adapter_statistics.back))
+        print_s("Overview of removed sequences at 5' end")
+        print_s(histogram(adapter_statistics.front, n, gc_content))
+        print_s()
+        print_s("Overview of removed sequences at 3' end")
+        print_s(histogram(adapter_statistics.back, n, gc_content))
+        return False
+    if kind == "front":
+        assert isinstance(adapter, FrontAdapter)
+        print_s()
+        if adapter.allows_partial_matches:
+            print_s("Minimum overlap:", adapter.min_overlap)
+        print_s(error_ranges(adapter_statistics.end))
+        print_s("Overview of removed sequences")
+        print_s(histogram(adapter_statistics.end, n, gc_content))
+        return False
+    assert kind == "back"
+    assert isinstance(adapter, BackAdapter)
+    print_s()
+    if adapter.allows_partial_matches:
+        print_s("Minimum overlap:", adapter.min_overlap)
+    print_s(error_ranges(adapter_statistics.end))
+    base_stats = AdjacentBaseStatistics(adapter_statistics.end.adjacent_bases)
+    print_s(base_stats)
+    print_s("Overview of removed sequences")
+    print_s(histogram(adapter_statistics.end, n, gc_content))
+    return base_stats.should_warn
+
+
+def full_report(stats: Statistics, time: float, gc_content: float) -> str:
+    """Render the full human-readable report."""
+    if stats.n == 0:
+        return "No reads processed!"
+    sio = StringIO()
+
+    def print_s(*args, **kwargs):
+        kwargs["file"] = sio
+        print(*args, **kwargs)
+
+    print_s(_summary_block(stats))
 
     warning = False
     for which_in_pair in (0, 1):
         for adapter_statistics in stats.adapter_stats[which_in_pair]:
-            end_statistics = adapter_statistics.end_statistics()
-            if end_statistics[0] is not None:
-                total_front = sum(end_statistics[0].lengths.values())
-            else:
-                total_front = 0
-            if end_statistics[1] is not None:
-                total_back = sum(end_statistics[1].lengths.values())
-            else:
-                total_back = 0
+            front_end, back_end = adapter_statistics.end_statistics()
+            total_front = (
+                sum(front_end.lengths.values()) if front_end is not None else 0
+            )
+            total_back = (
+                sum(back_end.lengths.values()) if back_end is not None else 0
+            )
             total = total_front + total_back
-            reverse_complemented = adapter_statistics.reverse_complemented
             adapter = adapter_statistics.adapter
             if isinstance(adapter, BackAdapter):
                 assert total_front == 0
@@ -671,92 +784,29 @@ def full_report(stats: Statistics, time: float, gc_content: float) -> str:  # no
                 extra = "First read: " if which_in_pair == 0 else "Second read: "
             else:
                 extra = ""
-
             print_s("=" * 3, extra + "Adapter", adapter_statistics.name, "=" * 3)
             print_s()
-
-            if adapter_statistics.kind == "linked":
-                print_s(
-                    "Sequence: {}...{}; Type: linked; Length: {}+{}; "
-                    "5' trimmed: {} times; 3' trimmed: {} times".format(
-                        adapter_statistics.front.sequence,
-                        adapter_statistics.back.sequence,
-                        len(adapter_statistics.front.sequence),
-                        len(adapter_statistics.back.sequence),
-                        total_front,
-                        total_back,
-                    ),
-                    end="",
-                )
-            else:
-                assert isinstance(adapter, (SingleAdapter, AnywhereAdapter))
-                print_s(
-                    "Sequence: {}; Type: {}; Length: {}; Trimmed: {} times".format(
-                        adapter.sequence,
-                        adapter.description,
-                        len(adapter.sequence),
-                        total,
-                    ),
-                    end="",
-                )
+            print_s(
+                _adapter_header_line(
+                    adapter_statistics, total_front, total_back, total
+                ),
+                end="",
+            )
             if stats.reverse_complemented is not None:
-                print_s(f"; Reverse-complemented: {reverse_complemented} times")
+                print_s(
+                    f"; Reverse-complemented: "
+                    f"{adapter_statistics.reverse_complemented} times"
+                )
             else:
                 print_s()
             if total == 0:
                 print_s()
                 continue
-            if adapter_statistics.kind == "both":
-                assert isinstance(adapter, AnywhereAdapter)
-                print_s(total_front, "times, it overlapped the 5' end of a read")
-                print_s(
-                    total_back, "times, it overlapped the 3' end or was within the read"
-                )
-                print_s()
-                print_s("Minimum overlap:", adapter.min_overlap)
-                print_s(error_ranges(adapter_statistics.front))
-                print_s("Overview of removed sequences (5')")
-                print_s(histogram(adapter_statistics.front, stats.n, gc_content))
-                print_s()
-                print_s("Overview of removed sequences (3' or within)")
-                print_s(histogram(adapter_statistics.back, stats.n, gc_content))
-            elif adapter_statistics.kind == "linked":
-                assert isinstance(adapter, LinkedAdapter)
-                print_s()
-                print_s(
-                    f"Minimum overlap: "
-                    f"{adapter.front_adapter.min_overlap}"
-                    f"+{adapter.back_adapter.min_overlap}"
-                )
-                print_s(error_ranges(adapter_statistics.front))
-                print_s(error_ranges(adapter_statistics.back))
-                print_s("Overview of removed sequences at 5' end")
-                print_s(histogram(adapter_statistics.front, stats.n, gc_content))
-                print_s()
-                print_s("Overview of removed sequences at 3' end")
-                print_s(histogram(adapter_statistics.back, stats.n, gc_content))
-            elif adapter_statistics.kind == "front":
-                assert isinstance(adapter, FrontAdapter)
-                print_s()
-                if adapter.allows_partial_matches:
-                    print_s("Minimum overlap:", adapter.min_overlap)
-                print_s(error_ranges(adapter_statistics.end))
-                print_s("Overview of removed sequences")
-                print_s(histogram(adapter_statistics.end, stats.n, gc_content))
-            else:
-                assert adapter_statistics.kind == "back"
-                assert isinstance(adapter, BackAdapter)
-                print_s()
-                if adapter.allows_partial_matches:
-                    print_s("Minimum overlap:", adapter.min_overlap)
-                print_s(error_ranges(adapter_statistics.end))
-                base_stats = AdjacentBaseStatistics(
-                    adapter_statistics.end.adjacent_bases
-                )
-                warning = warning or base_stats.should_warn
-                print_s(base_stats)
-                print_s("Overview of removed sequences")
-                print_s(histogram(adapter_statistics.end, stats.n, gc_content))
+            warned = _adapter_detail_section(
+                print_s, stats, adapter_statistics, total_front, total_back,
+                gc_content,
+            )
+            warning = warning or warned
 
         poly_a = stats.poly_a_trimmed_lengths[which_in_pair]
         if poly_a is not None:
@@ -771,21 +821,13 @@ def full_report(stats: Statistics, time: float, gc_content: float) -> str:  # no
 
 
 def poly_a_report(poly_a: Mapping[int, int], which_in_pair: Optional[int]) -> str:
+    titles = {None: "Poly-A", 0: "R1 poly-A", 1: "R2 poly-A"}
     sio = StringIO()
-    if which_in_pair is None:
-        title = "Poly-A"
-    elif which_in_pair == 0:
-        title = "R1 poly-A"
-    else:
-        assert which_in_pair == 1
-        title = "R2 poly-A"
-
-    print(f"=== {title} trimmed ===", file=sio)
+    print(f"=== {titles[which_in_pair]} trimmed ===", file=sio)
     print(file=sio)
     print("length", "count", sep="\t", file=sio)
     for length in sorted(poly_a):
-        count = poly_a[length]
-        print(length, count, sep="\t", file=sio)
+        print(length, poly_a[length], sep="\t", file=sio)
     return sio.getvalue() + "\n"
 
 
@@ -796,54 +838,18 @@ def format_filter_report(stats):
             continue
         value = stats.filtered[name]
         fraction = stats.filtered_fraction(name)
-        line = (
+        report += (
             "{pairs_or_reads} "
             + (description + ":").ljust(27)
             + f"{value:13,d} ({fraction:.1%})\n"
         )
-        report += line
     return report
 
 
 def minimal_report(stats: Statistics, time: float, gc_content: float) -> str:
     """Create a minimal tabular report suitable for concatenation."""
-    _ = time
-    _ = gc_content
+    del time, gc_content
 
-    fields = [
-        "OK",
-        stats.n,  # reads/pairs in
-        stats.total,  # bases in
-        stats.filtered.get("too_short", 0),  # reads/pairs
-        stats.filtered.get("too_long", 0),  # reads/pairs
-        stats.filtered.get("too_many_n", 0),  # reads/pairs
-        stats.read_length_statistics.written_reads(),  # reads/pairs out
-        stats.with_adapters[0] if stats.with_adapters[0] is not None else 0,  # reads
-        stats.quality_trimmed_bp[0]
-        if stats.quality_trimmed_bp[0] is not None
-        else 0,  # bases
-        stats.read_length_statistics.written_bp()[0],  # bases out
-    ]
-    if stats.paired:
-        fields += [
-            stats.with_adapters[1] if stats.with_adapters[1] is not None else 0,
-            stats.quality_trimmed_bp[1]
-            if stats.quality_trimmed_bp[1] is not None
-            else 0,
-            stats.read_length_statistics.written_bp()[1],
-        ]
-
-    warning = False
-    for which_in_pair in (0, 1):
-        for adapter_statistics in stats.adapter_stats[which_in_pair]:
-            if adapter_statistics.kind == "back":
-                if AdjacentBaseStatistics(
-                    adapter_statistics.end.adjacent_bases
-                ).should_warn:
-                    warning = True
-                    break
-    if warning:
-        fields[0] = "WARN"
     header = [
         "status",
         "in_reads",
@@ -856,6 +862,31 @@ def minimal_report(stats: Statistics, time: float, gc_content: float) -> str:
         "qualtrim_bp",
         "out_bp",
     ]
+    written_bp = stats.read_length_statistics.written_bp()
+    fields: List[Any] = [
+        "OK",
+        stats.n,
+        stats.total,
+        stats.filtered.get("too_short", 0),
+        stats.filtered.get("too_long", 0),
+        stats.filtered.get("too_many_n", 0),
+        stats.read_length_statistics.written_reads(),
+        stats.with_adapters[0] or 0,
+        stats.quality_trimmed_bp[0] or 0,
+        written_bp[0],
+    ]
     if stats.paired:
         header += ["w/adapters2", "qualtrim2_bp", "out2_bp"]
+        fields += [
+            stats.with_adapters[1] or 0,
+            stats.quality_trimmed_bp[1] or 0,
+            written_bp[1],
+        ]
+
+    for side_stats in stats.adapter_stats[0] + stats.adapter_stats[1]:
+        if side_stats.kind == "back" and AdjacentBaseStatistics(
+            side_stats.end.adjacent_bases
+        ).should_warn:
+            fields[0] = "WARN"
+            break
     return "\t".join(header) + "\n" + "\t".join(str(x) for x in fields)
