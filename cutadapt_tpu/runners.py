@@ -1,9 +1,22 @@
 """
-Pipeline runners: serial and multi-process (reader → N workers →
-ordered writer). The multicore runner splits input into record-aligned
-chunks, distributes them to workers via dynamic work stealing, and
-reassembles output in chunk-index order so results are byte-identical
-regardless of core count.
+Pipeline runners.
+
+Serial mode first offers the run to the batched device engine
+(accel.try_run_accelerated) and only falls back to the per-read loop
+for ineligible configurations. Parallel mode is host data parallelism
+over record-aligned chunks: one reader process feeds whichever worker
+asks next (dynamic balancing), workers stream their output buffers
+back, and the main process writes them strictly in chunk-index order —
+output is byte-identical for any worker count. That ordering plus the
+mergeable Statistics contract is the same reduction scheme the
+multi-chip TPU path uses (shards reduce, host writes in order).
+
+Wire protocol (per connection): a non-negative int is a chunk index;
+CHUNK_DONE ends a stream (workers follow it with their Statistics);
+CHUNK_FAILED is followed by (exception, formatted traceback) and
+terminates the run on the receiving side.
+
+Reference parity: runners.py:38-473 of /root/reference/src/cutadapt.
 """
 
 import io
@@ -15,17 +28,17 @@ import traceback
 from abc import ABC, abstractmethod
 from contextlib import ExitStack
 from multiprocessing.connection import Connection
-from typing import Any, List, Optional, Sequence, Tuple, Iterator, TYPE_CHECKING
+from typing import Any, Iterator, List, Optional, Sequence, Tuple
 
 from .io.fastq import read_chunks, read_paired_chunks
 from .io.files import (
-    InputFiles,
-    OutputFiles,
-    InputPaths,
-    xopen_rb_raise_limit,
-    detect_file_format,
     FileFormat,
+    InputFiles,
+    InputPaths,
+    OutputFiles,
     ProxyWriter,
+    detect_file_format,
+    xopen_rb_raise_limit,
 )
 from .pipeline import Pipeline
 from .report import Statistics
@@ -35,18 +48,36 @@ logger = logging.getLogger()
 
 mpctx = multiprocessing.get_context()
 
-if TYPE_CHECKING:
-    mpctx_Process = multiprocessing.Process  # pragma: no cover
-else:
-    mpctx_Process = mpctx.Process
+CHUNK_DONE = -1
+CHUNK_FAILED = -2
 
 
-class ReaderProcess(mpctx_Process):
+def send_failure(connection: Connection, exc: BaseException) -> None:
+    """Ship an exception over a connection (tracebacks cannot be
+    pickled, so the formatted text travels alongside)."""
+    connection.send(CHUNK_FAILED)
+    connection.send((exc, traceback.format_exc()))
+
+
+def receive_checked(connection: Connection):
+    """Receive one control value; re-raise a shipped failure after
+    terminating all children."""
+    value = connection.recv()
+    if value == CHUNK_FAILED:
+        exc, tb_text = connection.recv()
+        logger.debug("%s", tb_text)
+        for child in multiprocessing.active_children():
+            child.terminate()
+        raise exc
+    return value
+
+
+class ReaderProcess(mpctx.Process):
     """
-    Read chunks of FASTA/FASTQ/BAM data (single-end or paired) and send
-    each to whichever worker asks for work next. Sends the stop token
-    -1 to all workers at the end, or -2 followed by a pickled exception
-    on error.
+    Reads record-aligned chunks (single or paired) and sends each to
+    whichever worker requests work next. Detects the input file format
+    first and ships it back over a dedicated pipe (inputs may be
+    non-seekable pipes, so only this process can look at the bytes).
     """
 
     def __init__(
@@ -59,10 +90,8 @@ class ReaderProcess(mpctx_Process):
         stdin_fd,
     ):
         super().__init__()
-        if len(paths) > 2:
-            raise ValueError("Reading from more than two files currently not supported")
-        if not paths:
-            raise ValueError("Must provide at least one file")
+        if not 1 <= len(paths) <= 2:
+            raise ValueError("Reading requires one or two input files")
         self._paths = paths
         self._file_format_connection = file_format_connection
         self.connections = connections
@@ -72,6 +101,7 @@ class ReaderProcess(mpctx_Process):
 
     def run(self):
         if self.stdin_fd != -1:
+            # stdin was replaced by the parent; reattach it
             sys.stdin.close()
             sys.stdin = os.fdopen(self.stdin_fd)
         try:
@@ -81,50 +111,39 @@ class ReaderProcess(mpctx_Process):
                         stack.enter_context(xopen_rb_raise_limit(path))
                         for path in self._paths
                     ]
-                    file_format = detect_file_format(files[0])
+                    detected = detect_file_format(files[0])
                 except Exception as e:
-                    self._file_format_connection.send(-2)
-                    self._file_format_connection.send((e, traceback.format_exc()))
+                    send_failure(self._file_format_connection, e)
                     raise
-                self._file_format_connection.send(file_format)
-                for index, chunks in enumerate(self._read_chunks(*files)):
-                    self.send_to_worker(index, *chunks)
-            self.shutdown()
+                self._file_format_connection.send(detected)
+                for index, chunks in enumerate(self._chunk_stream(files)):
+                    self._dispatch(index, chunks)
+            # orderly end: one poison pill per worker
+            for _ in range(len(self.connections)):
+                self.connections[self.queue.get()].send(CHUNK_DONE)
         except Exception as e:
-            # Propagate the failure to every worker.
             for connection in self.connections:
-                connection.send(-2)
-                connection.send((e, traceback.format_exc()))
+                send_failure(connection, e)
 
-    def _read_chunks(self, *files) -> Iterator[Tuple[memoryview, ...]]:
-        if len(files) == 1:
+    def _chunk_stream(self, files) -> Iterator[Tuple[memoryview, ...]]:
+        if len(files) == 2:
+            yield from read_paired_chunks(files[0], files[1], self.buffer_size)
+        else:
             for chunk in read_chunks(files[0], self.buffer_size):
                 yield (chunk,)
-        elif len(files) == 2:
-            for chunks in read_paired_chunks(files[0], files[1], self.buffer_size):
-                yield chunks
-        else:
-            raise NotImplementedError
 
-    def send_to_worker(self, chunk_index, chunk1, chunk2=None):
-        worker_index = self.queue.get()
-        connection = self.connections[worker_index]
-        connection.send(chunk_index)
-        connection.send_bytes(chunk1)
-        if chunk2 is not None:
-            connection.send_bytes(chunk2)
-
-    def shutdown(self):
-        # Send poison pills to all workers
-        for _ in range(len(self.connections)):
-            worker_index = self.queue.get()
-            self.connections[worker_index].send(-1)
+    def _dispatch(self, index: int, chunks: Tuple[memoryview, ...]) -> None:
+        connection = self.connections[self.queue.get()]
+        connection.send(index)
+        for chunk in chunks:
+            connection.send_bytes(chunk)
 
 
-class WorkerProcess(mpctx_Process):
+class WorkerProcess(mpctx.Process):
     """
-    Repeatedly request a chunk, run the pipeline over it, and send the
-    processed output chunks and a final Statistics object back.
+    Requests chunks, runs its own copy of the pipeline over each, and
+    streams the proxied output buffers back tagged with the chunk
+    index; finishes with CHUNK_DONE plus its accumulated Statistics.
     """
 
     def __init__(
@@ -153,31 +172,17 @@ class WorkerProcess(mpctx_Process):
         try:
             stats = Statistics()
             while True:
-                # Notify the reader that we need data
                 self._need_work_queue.put(self._id)
                 chunk_index = self._read_pipe.recv()
-                if chunk_index == -1:
-                    # reader is done
+                if chunk_index == CHUNK_DONE:
                     break
-                elif chunk_index == -2:
-                    # An exception has occurred in the reader
-                    e, tb_str = self._read_pipe.recv()
-                    logger.error("%s", tb_str)
-                    raise e
+                if chunk_index == CHUNK_FAILED:
+                    exc, tb_text = self._read_pipe.recv()
+                    logger.error("%s", tb_text)
+                    raise exc
+                stats += self._process_chunk(chunk_index)
 
-                files = [
-                    io.BytesIO(self._read_pipe.recv_bytes())
-                    for _ in range(self._n_input_files)
-                ]
-                infiles = InputFiles(
-                    *files,
-                    interleaved=self._interleaved_input,
-                    fileformat=self._file_format,
-                )
-                (n, bp1, bp2) = self._pipeline.process_reads(infiles)
-                stats += Statistics().collect(n, bp1, bp2, [], [])
-                self._send_outfiles(chunk_index, n)
-
+            # counters living in the pipeline objects are collected once
             stats += Statistics().collect(
                 0,
                 0,
@@ -185,40 +190,51 @@ class WorkerProcess(mpctx_Process):
                 self._pipeline._modifiers,
                 self._pipeline._steps,
             )
-            self._write_pipe.send(-1)
+            self._write_pipe.send(CHUNK_DONE)
             self._write_pipe.send(stats)
         except Exception as e:
-            self._write_pipe.send(-2)
-            self._write_pipe.send((e, traceback.format_exc()))
+            send_failure(self._write_pipe, e)
 
-    def _send_outfiles(self, chunk_index: int, n_reads: int):
+    def _process_chunk(self, chunk_index: int) -> Statistics:
+        """Run the pipeline over one received chunk and ship the
+        resulting output bytes."""
+        buffers = [
+            io.BytesIO(self._read_pipe.recv_bytes())
+            for _ in range(self._n_input_files)
+        ]
+        infiles = InputFiles(
+            *buffers,
+            interleaved=self._interleaved_input,
+            fileformat=self._file_format,
+        )
+        (n, bp1, bp2) = self._pipeline.process_reads(infiles)
         self._write_pipe.send(chunk_index)
-        self._write_pipe.send(n_reads)
-        for pf in self._proxy_files:
-            for chunk in pf.drain():
-                self._write_pipe.send_bytes(chunk)
+        self._write_pipe.send(n)
+        for proxy in self._proxy_files:
+            for blob in proxy.drain():
+                self._write_pipe.send_bytes(blob)
+        return Statistics().collect(n, bp1, bp2, [], [])
 
 
 class OrderedChunkWriter:
     """
-    Buffer chunks arriving out of order and write them strictly in
-    chunk-index order (guarantees deterministic output).
+    Accept chunks in any order, write them strictly by chunk index
+    (deterministic output independent of scheduling).
     """
 
     def __init__(self, outfile):
-        self._chunks = dict()
-        self._current_index = 0
+        self._pending = {}
+        self._next_index = 0
         self._outfile = outfile
 
     def write(self, data: bytes, index: int):
-        self._chunks[index] = data
-        while self._current_index in self._chunks:
-            self._outfile.write(self._chunks[self._current_index])
-            del self._chunks[self._current_index]
-            self._current_index += 1
+        self._pending[index] = data
+        while self._next_index in self._pending:
+            self._outfile.write(self._pending.pop(self._next_index))
+            self._next_index += 1
 
     def wrote_everything(self):
-        return not self._chunks
+        return not self._pending
 
 
 class PipelineRunner(ABC):
@@ -245,9 +261,9 @@ class PipelineRunner(ABC):
 
 class ParallelPipelineRunner(PipelineRunner):
     """
-    Run a pipeline in parallel: a reader process feeds record-aligned
-    chunks to worker processes through per-worker pipes; the main
-    process reassembles output chunks in order and merges statistics.
+    Reader process -> n worker processes -> in-order main-process
+    writer. The whole pipeline object graph is pickled into each
+    worker; outputs must be proxied.
     """
 
     def __init__(
@@ -257,103 +273,83 @@ class ParallelPipelineRunner(PipelineRunner):
         buffer_size: Optional[int] = None,
     ):
         self._n_workers = n_workers
-        self._need_work_queue: multiprocessing.Queue = mpctx.Queue()
-        self._buffer_size = 4 * 1024**2 if buffer_size is None else buffer_size
         self._inpaths = inpaths
-        # the workers read from these connections
-        connections = [mpctx.Pipe(duplex=False) for _ in range(self._n_workers)]
-        self._connections, connw = zip(*connections)
+        self._buffer_size = 4 * 1024**2 if buffer_size is None else buffer_size
+        self._need_work_queue: multiprocessing.Queue = mpctx.Queue()
+        # pipes the workers receive their chunks on
+        receive_ends, send_ends = zip(
+            *(mpctx.Pipe(duplex=False) for _ in range(n_workers))
+        )
+        self._connections = receive_ends
         try:
-            fileno = sys.stdin.fileno()
+            stdin_fd = sys.stdin.fileno()
         except io.UnsupportedOperation:
-            # stdin has been replaced by an object without a file
-            # descriptor (e.g. during tests)
-            fileno = -1
-
-        file_format_connection_r, file_format_connection_w = mpctx.Pipe(duplex=False)
+            # stdin replaced by an object without a file descriptor
+            stdin_fd = -1
+        format_recv, format_send = mpctx.Pipe(duplex=False)
         self._reader_process = ReaderProcess(
             *inpaths.paths,
-            file_format_connection=file_format_connection_w,
-            connections=connw,
+            file_format_connection=format_send,
+            connections=send_ends,
             queue=self._need_work_queue,
             buffer_size=self._buffer_size,
-            stdin_fd=fileno,
+            stdin_fd=stdin_fd,
         )
         self._reader_process.daemon = True
         self._reader_process.start()
-        self._input_file_format: FileFormat = self._try_receive(
-            file_format_connection_r
-        )
-        self._file_format_string = self._input_file_format.name.lower()
-        if self._file_format_string == "bam":
-            # Individual BAM record chunks have no header
-            self._file_format_string = "bam_no_header"
+        self._input_file_format: FileFormat = receive_checked(format_recv)
+        if self._input_file_format is FileFormat.BAM:
+            # individual BAM record chunks carry no header
+            self._format_string = "bam_no_header"
+        else:
+            self._format_string = self._input_file_format.name.lower()
 
-    def _start_workers(
+    def _launch_workers(
         self, pipeline, proxy_files
     ) -> Tuple[List[WorkerProcess], List[Connection]]:
         workers = []
-        connections = []
+        result_connections = []
         for index in range(self._n_workers):
-            conn_r, conn_w = mpctx.Pipe(duplex=False)
-            connections.append(conn_r)
+            recv_end, send_end = mpctx.Pipe(duplex=False)
             worker = WorkerProcess(
                 index,
                 pipeline,
                 self._inpaths,
                 proxy_files,
                 self._connections[index],
-                conn_w,
+                send_end,
                 self._need_work_queue,
-                file_format=self._file_format_string,
+                file_format=self._format_string,
             )
             worker.daemon = True
             worker.start()
             workers.append(worker)
-        return workers, connections
+            result_connections.append(recv_end)
+        return workers, result_connections
 
     def run(self, pipeline, progress, outfiles: OutputFiles) -> Statistics:
-        workers, connections = self._start_workers(pipeline, outfiles.proxy_files())
-        chunk_writers = []
-        for f in outfiles.binary_files():
-            chunk_writers.append(OrderedChunkWriter(f))
+        workers, connections = self._launch_workers(
+            pipeline, outfiles.proxy_files()
+        )
+        writers = [OrderedChunkWriter(f) for f in outfiles.binary_files()]
         stats = Statistics()
         while connections:
-            ready_connections: List[Any] = multiprocessing.connection.wait(connections)
-            for connection in ready_connections:
-                chunk_index: int = self._try_receive(connection)
-                if chunk_index == -1:
-                    # this worker is done
-                    cur_stats = self._try_receive(connection)
-                    stats += cur_stats
+            for connection in multiprocessing.connection.wait(connections):
+                chunk_index = receive_checked(connection)
+                if chunk_index == CHUNK_DONE:
+                    stats += receive_checked(connection)
                     connections.remove(connection)
                     continue
-                number_of_reads: int = self._try_receive(connection)
-                progress.update(number_of_reads)
-                for writer in chunk_writers:
-                    data = connection.recv_bytes()
-                    writer.write(data, chunk_index)
-        for writer in chunk_writers:
-            assert writer.wrote_everything()
-        for w in workers:
-            w.join()
+                n_reads = receive_checked(connection)
+                progress.update(n_reads)
+                for writer in writers:
+                    writer.write(connection.recv_bytes(), chunk_index)
+        assert all(writer.wrote_everything() for writer in writers)
+        for worker in workers:
+            worker.join()
         self._reader_process.join()
         progress.close()
         return stats
-
-    @staticmethod
-    def _try_receive(connection):
-        """Receive from `connection`; re-raise shipped exceptions."""
-        result = connection.recv()
-        if result == -2:
-            # An exception occurred on the other end; the traceback is
-            # shipped as a string because tracebacks cannot be pickled.
-            e, tb_str = connection.recv()
-            logger.debug("%s", tb_str)
-            for child in multiprocessing.active_children():
-                child.terminate()
-            raise e
-        return result
 
     def close(self) -> None:
         pass
@@ -363,7 +359,7 @@ class ParallelPipelineRunner(PipelineRunner):
 
 
 class SerialPipelineRunner(PipelineRunner):
-    """Run a pipeline on a single core."""
+    """Run a pipeline in-process (device engine when eligible)."""
 
     def __init__(self, infiles: InputFiles):
         self._infiles = infiles
@@ -376,15 +372,11 @@ class SerialPipelineRunner(PipelineRunner):
         stats = try_run_accelerated(pipeline, self._infiles, progress)
         if stats is not None:
             return stats
-        (n, total1_bp, total2_bp) = pipeline.process_reads(
-            self._infiles, progress=progress
-        )
+        (n, bp1, bp2) = pipeline.process_reads(self._infiles, progress=progress)
         if progress is not None:
             progress.close()
-        modifiers = getattr(pipeline, "_modifiers", None)
-        assert modifiers is not None
         return Statistics().collect(
-            n, total1_bp, total2_bp, modifiers, pipeline._steps  # type: ignore[attr-defined]
+            n, bp1, bp2, pipeline._modifiers, pipeline._steps
         )
 
     def close(self):
@@ -400,16 +392,11 @@ def make_runner(
     buffer_size: Optional[int] = None,
 ) -> PipelineRunner:
     """
-    Return a SerialPipelineRunner if cores == 1 else a
+    Return a SerialPipelineRunner if cores == 1, else a
     ParallelPipelineRunner with `cores` worker processes.
     """
-    runner: PipelineRunner
     if cores > 1:
-        runner = ParallelPipelineRunner(
-            inpaths,
-            n_workers=cores,
-            buffer_size=buffer_size,
+        return ParallelPipelineRunner(
+            inpaths, n_workers=cores, buffer_size=buffer_size
         )
-    else:
-        runner = SerialPipelineRunner(inpaths.open())
-    return runner
+    return SerialPipelineRunner(inpaths.open())
