@@ -22,6 +22,14 @@ auto-detected from the file name (.gz, .xz, .bz2). Use the file name '-' for
 standard input/output. Without the -o option, output is sent to standard output.
 
 Run "cutadapt-tpu --help" to see all command-line options.
+
+---
+
+Structure of this module: the argument parser declares the ~80 options
+(reference surface: /root/reference/src/cutadapt/cli.py:170-415); a
+PipelineBuilder turns parsed arguments into the modifier/step pipeline;
+main() wires input paths, runner selection (device engine first, host
+processes as fallback) and report rendering together.
 """
 import copy
 import itertools
@@ -31,75 +39,84 @@ import platform
 import shutil
 import sys
 import time
-from argparse import ArgumentParser, SUPPRESS, HelpFormatter
+from argparse import SUPPRESS, ArgumentParser, HelpFormatter
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple, Union
 
 from cutadapt_tpu import __version__
-from cutadapt_tpu.adapters import warn_duplicate_adapters, Adapter, InvalidCharacter
-from cutadapt_tpu.json_utils import OneLine, dumps as json_dumps
-from cutadapt_tpu.parser import make_adapters_from_specifications
+from cutadapt_tpu.adapters import Adapter, InvalidCharacter, warn_duplicate_adapters
+from cutadapt_tpu.io.files import FileOpener, InputPaths, OutputFiles
+from cutadapt_tpu.io.records import FileFormatError, UnknownFileFormat
+from cutadapt_tpu.json_utils import OneLine
+from cutadapt_tpu.json_utils import dumps as json_dumps
+from cutadapt_tpu.log import REPORT, setup_logging
 from cutadapt_tpu.modifiers import (
-    SingleEndModifier,
-    LengthTagModifier,
-    SuffixRemover,
-    PrefixSuffixAdder,
-    ZeroCapper,
-    QualityTrimmer,
-    UnconditionalCutter,
-    NEndTrimmer,
     AdapterCutter,
-    PairedAdapterCutterError,
-    PairedAdapterCutter,
-    NextseqQualityTrimmer,
-    Shortener,
-    ReverseComplementer,
-    PairedEndRenamer,
-    Renamer,
     InvalidTemplate,
-    PolyATrimmer,
+    LengthTagModifier,
+    NEndTrimmer,
+    NextseqQualityTrimmer,
+    PairedAdapterCutter,
+    PairedAdapterCutterError,
+    PairedEndRenamer,
     PairedReverseComplementer,
+    PolyATrimmer,
+    PrefixSuffixAdder,
+    QualityTrimmer,
+    Renamer,
+    ReverseComplementer,
+    Shortener,
+    SingleEndModifier,
+    SuffixRemover,
+    UnconditionalCutter,
+    ZeroCapper,
 )
+from cutadapt_tpu.parser import make_adapters_from_specifications
+from cutadapt_tpu.pipeline import PairedEndPipeline, SingleEndPipeline
 from cutadapt_tpu.predicates import (
-    TooShort,
-    TooLong,
-    TooManyN,
-    TooManyExpectedErrors,
-    TooHighAverageErrorRate,
     CasavaFiltered,
     IsTrimmed,
     IsUntrimmed,
+    TooHighAverageErrorRate,
+    TooLong,
+    TooManyExpectedErrors,
+    TooManyN,
+    TooShort,
 )
-from cutadapt_tpu.report import full_report, minimal_report, Statistics
-from cutadapt_tpu.pipeline import SingleEndPipeline, PairedEndPipeline
-from cutadapt_tpu.runners import make_runner
-from cutadapt_tpu.io.files import InputPaths, OutputFiles, FileOpener
-from cutadapt_tpu.io.records import UnknownFileFormat, FileFormatError
+from cutadapt_tpu.qualtrim import HasNoQualities
+from cutadapt_tpu.report import Statistics, full_report, minimal_report
+from cutadapt_tpu.runners import (
+    ParallelPipelineRunner,
+    SerialPipelineRunner,
+    make_runner,
+)
 from cutadapt_tpu.steps import (
+    CombinatorialDemultiplexer,
+    Demultiplexer,
     InfoFileWriter,
+    PairedDemultiplexer,
+    PairedEndFilter,
+    PairedEndSink,
     PairedInfoFileWriter,
     PairedSingleEndStep,
     RestFileWriter,
-    WildcardFileWriter,
     SingleEndFilter,
-    PairedEndFilter,
-    Demultiplexer,
-    CombinatorialDemultiplexer,
-    PairedDemultiplexer,
-    PairedEndSink,
     SingleEndSink,
+    WildcardFileWriter,
 )
-from cutadapt_tpu.utils import available_cpu_count, Progress, DummyProgress
-from cutadapt_tpu.log import setup_logging, REPORT
-from cutadapt_tpu.qualtrim import HasNoQualities
+from cutadapt_tpu.utils import DummyProgress, Progress, available_cpu_count
 
 logger = logging.getLogger()
 
 
+class CommandLineError(Exception):
+    pass
+
+
 class CutadaptArgumentParser(ArgumentParser):
     """
-    ArgumentParser that prints usage without a 'usage:' prefix and a
-    brief message (not the full usage) on errors.
+    ArgumentParser variant: usage is printed without the 'usage:'
+    prefix, and errors show a one-line hint instead of the full usage.
     """
 
     class CustomUsageHelpFormatter(HelpFormatter):
@@ -109,8 +126,7 @@ class CutadaptArgumentParser(ArgumentParser):
 
         def add_usage(self, usage, actions, groups, prefix=None):
             if usage is not SUPPRESS:  # pragma: no cover
-                args = usage, actions, groups, ""
-                self._add_item(self._format_usage, args)
+                self._add_item(self._format_usage, (usage, actions, groups, ""))
 
     def __init__(self, *args, **kwargs):
         kwargs["formatter_class"] = self.CustomUsageHelpFormatter
@@ -126,30 +142,28 @@ class CutadaptArgumentParser(ArgumentParser):
         self.exit(2, f"\n{self.prog}: error: {message}\n")
 
 
-class CommandLineError(Exception):
-    pass
-
-
 # fmt: off
 def get_argument_parser() -> ArgumentParser:
-    # noqa: E131
-    parser = CutadaptArgumentParser(usage=__doc__, add_help=False)
+    parser = CutadaptArgumentParser(usage=__doc__.partition("---")[0], add_help=False)
+
     group = parser.add_argument_group("Options")
-    group.add_argument("-h", "--help", action="help", help="Show this help message and exit")
-    group.add_argument("--version", action="version", help="Show version number and exit",
-        version=__version__)
+    group.add_argument("-h", "--help", action="help",
+        help="Show this help message and exit")
+    group.add_argument("--version", action="version", version=__version__,
+        help="Show version number and exit")
     group.add_argument("--debug", action="count", default=0,
         help="Print debug log. Use twice to also print DP matrices")
-    group.add_argument("--profile", action="store_true", default=False, help=SUPPRESS)
+    group.add_argument("--profile", action="store_true", default=False,
+        help=SUPPRESS)
     group.add_argument("-j", "--cores", type=int, default=1,
         help='Number of CPU cores to use. Use 0 to auto-detect. Default: %(default)s')
-
-    # Hidden options
-    group.add_argument("--gc-content", type=float, default=50,  # as percentage
+    # hidden tuning knobs
+    group.add_argument("--gc-content", type=float, default=50,  # percentage
         help=SUPPRESS)
     group.add_argument("--buffer-size", type=int, default=4000000,
         help=SUPPRESS)
-    group.add_argument("--no-index", dest="index", default=True, action="store_false", help=SUPPRESS)
+    group.add_argument("--no-index", dest="index", default=True,
+        action="store_false", help=SUPPRESS)
 
     group = parser.add_argument_group("Finding adapters",
         description="Parameters -a, -g, -b specify adapters to be removed from "
@@ -157,28 +171,26 @@ def get_argument_parser() -> ArgumentParser:
             "If specified multiple times, only the best matching adapter is "
             "trimmed (but see the --times option). Use notation "
             "'file:FILE' to read adapter sequences from a FASTA file.")
-    group.add_argument("-a", "--adapter", type=lambda x: ("back", x), action="append",
-        default=[], metavar="ADAPTER", dest="adapters",
-        help="Sequence of an adapter ligated to the 3' end (paired data: of the "
-            "first read). The adapter and subsequent bases are trimmed. If a "
-            "'$' character is appended ('anchoring'), the adapter is only "
-            "found if it is a suffix of the read.")
-    group.add_argument("-g", "--front", type=lambda x: ("front", x), action="append",
-        default=[], metavar="ADAPTER", dest="adapters",
-        help="Sequence of an adapter ligated to the 5' end (paired data: of the "
-            "first read). The adapter and any preceding bases are trimmed. "
-            "Partial matches at the 5' end are allowed. If a '^' character is "
-            "prepended ('anchoring'), the adapter is only found if it is a "
-            "prefix of the read.")
-    group.add_argument("-b", "--anywhere", type=lambda x: ("anywhere", x), action="append",
-        default=[], metavar="ADAPTER", dest="adapters",
-        help="Sequence of an adapter that may be ligated to the 5' or 3' end "
-            "(paired data: of the first read). Both types of matches as "
-            "described under -a and -g are allowed. If the first base of the "
-            "read is part of the match, the behavior is as with -g, otherwise "
-            "as with -a. This option is mostly for rescuing failed library "
-            "preparations - do not use if you know which end your adapter was "
-            "ligated to!")
+    group.add_argument("-a", "--adapter", type=lambda x: ("back", x),
+        action="append", default=[], metavar="ADAPTER", dest="adapters",
+        help="Sequence of a 3' adapter (on R1 for paired data). The adapter "
+            "itself plus everything after it is removed. Append '$' to anchor "
+            "it: the adapter then only counts as a match when it is a suffix "
+            "of the read.")
+    group.add_argument("-g", "--front", type=lambda x: ("front", x),
+        action="append", default=[], metavar="ADAPTER", dest="adapters",
+        help="Sequence of a 5' adapter (on R1 for paired data). The adapter "
+            "itself plus everything before it is removed; partial matches at "
+            "the read start are recognized. Prepend '^' to anchor it: the "
+            "adapter then only counts as a match when it is a prefix of the "
+            "read.")
+    group.add_argument("-b", "--anywhere", type=lambda x: ("anywhere", x),
+        action="append", default=[], metavar="ADAPTER", dest="adapters",
+        help="Sequence of an adapter that may sit at either end (R1 for "
+            "paired data); both the -a and -g match types are considered. If "
+            "the match covers the first base of the read it is handled like "
+            "-g, otherwise like -a. Intended for rescuing failed library "
+            "preparations - avoid it when the ligation end is known!")
     group.add_argument("-e", "--error-rate", "--errors",
         type=float, metavar="E", default=0.1,
         help="Maximum allowed error rate (if 0 <= E < 1), or absolute number of errors "
@@ -197,7 +209,8 @@ def get_argument_parser() -> ArgumentParser:
     group.add_argument("-N", "--no-match-adapter-wildcards", action="store_false",
         default=True, dest="match_adapter_wildcards",
         help="Do not interpret IUPAC wildcards in adapters.")
-    group.add_argument("--action", choices=("trim", "retain", "mask", "lowercase", "crop", "none"),
+    group.add_argument("--action",
+        choices=("trim", "retain", "mask", "lowercase", "crop", "none"),
         default="trim",
         help="What to do if a match was found. "
             "trim: trim adapter and up- or downstream sequence; "
@@ -206,42 +219,42 @@ def get_argument_parser() -> ArgumentParser:
             "lowercase: convert to lowercase; "
             "crop: trim up and downstream sequence; "
             "none: leave unchanged. Default: %(default)s")
-    group.add_argument("--rc", "--revcomp", dest="reverse_complement", default=False,
-        action="store_true",
-        help="Check both the read and its reverse complement for adapter matches. If "
-            "match is on reverse-complemented version, output that one. "
-            "Default: check only read")
-    group.add_argument("--no-trim", dest='action', action='store_const', const='none',
-        help=SUPPRESS)  # Deprecated, use --action=none
-    group.add_argument("--mask-adapter", dest='action', action='store_const', const='mask',
-        help=SUPPRESS)  # Deprecated, use --action=mask
+    group.add_argument("--rc", "--revcomp", dest="reverse_complement",
+        default=False, action="store_true",
+        help="Match each adapter against the read and its reverse complement; "
+            "when the reverse complement fits better, output that orientation. "
+            "Default: check only the read as given")
+    # deprecated spellings of --action values
+    group.add_argument("--no-trim", dest='action', action='store_const',
+        const='none', help=SUPPRESS)
+    group.add_argument("--mask-adapter", dest='action', action='store_const',
+        const='mask', help=SUPPRESS)
 
     group = parser.add_argument_group("Additional read modifications")
-    group.add_argument("-u", "--cut", action='append', default=[], type=int, metavar="LEN",
-        help="Remove LEN bases from each read (or R1 if paired; use -U option for R2). "
-            "If LEN is positive, remove bases from the beginning. "
-            "If LEN is negative, remove bases from the end. "
-            "Can be used twice if LENs have different signs. "
-            "Applied *before* adapter trimming.")
+    group.add_argument("-u", "--cut", action='append', default=[], type=int,
+        metavar="LEN",
+        help="Unconditionally remove LEN bases from each read (R2: see -U); "
+            "runs before adapter trimming. Positive LEN cuts from the start, "
+            "negative from the end. May be given twice when the signs differ.")
     group.add_argument("--nextseq-trim", type=int, default=None, metavar="3'CUTOFF",
         help="NextSeq-specific quality trimming (each read). Trims also dark "
             "cycles appearing as high-quality G bases.")
-    group.add_argument("-q", "--quality-cutoff", default=None, metavar="[5'CUTOFF,]3'CUTOFF",
+    group.add_argument("-q", "--quality-cutoff", default=None,
+        metavar="[5'CUTOFF,]3'CUTOFF",
         help="Trim low-quality bases from 5' and/or 3' ends of each read before "
             "adapter removal. Applied to both reads if data is paired. If one "
             "value is given, only the 3' end is trimmed. If two "
             "comma-separated cutoffs are given, the 5' end is trimmed with "
             "the first cutoff, the 3' end with the second.")
     group.add_argument("--quality-base", type=int, default=33, metavar='N',
-        help="Assume that quality values in FASTQ are encoded as ascii(quality "
-            "+ N). This needs to be set to 64 for some old Illumina "
-            "FASTQ files. Default: %(default)s")
+        help="Assume FASTQ qualities are encoded as ascii(quality + N). Old "
+            "Illumina data may need 64. Default: %(default)s")
     group.add_argument("--poly-a", action="store_true", default=False,
         help="Trim poly-A tails")
     group.add_argument("--length", "-l", type=int, default=None, metavar="LENGTH",
-            help="Shorten reads to LENGTH. Positive values remove bases at the end "
-            "while negative ones remove bases at the beginning. This and the "
-            "following modifications are applied after adapter trimming.")
+        help="Shorten reads to LENGTH (positive: drop the end; negative: drop "
+            "the beginning). This and the following modifications run after "
+            "adapter trimming.")
     group.add_argument("--trim-n", action='store_true', default=False,
         help="Trim N's on ends of reads.")
     group.add_argument("--length-tag", metavar="TAG",
@@ -273,18 +286,20 @@ def get_argument_parser() -> ArgumentParser:
     group.add_argument("--max-n", type=float, default=None, metavar="COUNT",
         help="Discard reads with more than COUNT 'N' bases. If COUNT is a number "
              "between 0 and 1, it is interpreted as a fraction of the read length.")
-    group.add_argument("--max-expected-errors", "--max-ee", type=float, default=None,
-        metavar="ERRORS",
+    group.add_argument("--max-expected-errors", "--max-ee", type=float,
+        default=None, metavar="ERRORS",
         help="Discard reads whose expected number of errors (computed "
             "from quality values) exceeds ERRORS.")
-    group.add_argument("--max-average-error-rate", "--max-aer", type=float, default=None,
-        metavar="ERROR_RATE",
+    group.add_argument("--max-average-error-rate", "--max-aer", type=float,
+        default=None, metavar="ERROR_RATE",
         help="as --max-expected-errors (see above), but divided by length to "
              "account for reads of varying length.")
-    group.add_argument("--discard-trimmed", "--discard", action='store_true', default=False,
+    group.add_argument("--discard-trimmed", "--discard", action='store_true',
+        default=False,
         help="Discard reads that contain an adapter. Use also -O to avoid "
             "discarding too many randomly matching reads.")
-    group.add_argument("--discard-untrimmed", "--trimmed-only", action='store_true', default=False,
+    group.add_argument("--discard-untrimmed", "--trimmed-only",
+        action='store_true', default=False,
         help="Discard reads that do not contain an adapter.")
     group.add_argument("--discard-casava", action='store_true', default=False,
         help="Discard reads that did not pass CASAVA filtering (header has :Y:).")
@@ -305,8 +320,8 @@ def get_argument_parser() -> ArgumentParser:
         help="Output FASTA to standard output even on FASTQ input.")
     group.add_argument("--compression-level", type=int, default=1, metavar="N",
         help="Compression level for compressed output files. Default: %(default)s")
-    group.add_argument("-Z", action="store_const", const=1, dest="compression_level",
-        help=SUPPRESS)  # deprecated; level 1 is the default
+    group.add_argument("-Z", action="store_const", const=1,
+        dest="compression_level", help=SUPPRESS)  # level 1 is the default now
     group.add_argument("--info-file", metavar="FILE",
         help="Write information about each read and its adapter matches into FILE. "
             "See the documentation for the file format.")
@@ -338,11 +353,14 @@ def get_argument_parser() -> ArgumentParser:
     group.add_argument("-B", type=lambda x: ("anywhere", x), dest='adapters2',
         action='append', default=[], metavar='ADAPTER',
         help="5'/3 adapter to be removed from R2")
-    group.add_argument("-U", dest='cut2', action='append', default=[], type=int, metavar="LENGTH",
+    group.add_argument("-U", dest='cut2', action='append', default=[],
+        type=int, metavar="LENGTH",
         help="Remove LENGTH bases from R2")
-    group.add_argument("-Q", dest="quality_cutoff2", default=None, metavar="[5'CUTOFF,]3'CUTOFF",
+    group.add_argument("-Q", dest="quality_cutoff2", default=None,
+        metavar="[5'CUTOFF,]3'CUTOFF",
         help="Quality-trimming cutoff for R2. Default: same as for R1")
-    group.add_argument("-L", dest="length2", type=int, default=None, metavar="LENGTH",
+    group.add_argument("-L", dest="length2", type=int, default=None,
+        metavar="LENGTH",
         help="Shorten R2 to LENGTH. Default: same as for R1")
     group.add_argument("-p", "--paired-output", metavar="FILE",
         help="Write R2 to FILE.")
@@ -351,7 +369,7 @@ def get_argument_parser() -> ArgumentParser:
     group.add_argument("--pair-adapters", action="store_true",
         help="Treat adapters given with -a/-A etc. as pairs. Either both "
              "or none are removed from each read pair.")
-    # pair_filter defaults to None so we can detect whether it was used
+    # default None so that "was it given?" is detectable
     group.add_argument("--pair-filter", default=None,
         choices=("any", "both", "first"),
         help="Which of the reads in a paired-end read have to match the "
@@ -373,50 +391,44 @@ def get_argument_parser() -> ArgumentParser:
 # fmt: on
 
 
-def parse_cutoffs(s: str) -> Tuple[int, int]:
-    """Parse a string INT[,INT] into a pair of integers.
+# --- small value parsers -----------------------------------------------------
 
-    >>> parse_cutoffs("5")
-    (0, 5)
-    >>> parse_cutoffs("6,7")
-    (6, 7)
-    """
+
+def parse_cutoffs(s: str) -> Tuple[int, int]:
+    """Parse 'INT[,INT]' into a (5', 3') cutoff pair; a single value
+    sets only the 3' cutoff."""
     try:
-        cutoffs = [int(value) for value in s.split(",")]
+        values = [int(part) for part in s.split(",")]
     except ValueError as e:
         raise CommandLineError(f"Quality cutoff value not recognized: {e}")
-    if len(cutoffs) == 1:
-        cutoffs = [0, cutoffs[0]]
-    elif len(cutoffs) != 2:
+    if len(values) == 1:
+        return (0, values[0])
+    if len(values) != 2:
         raise CommandLineError(
             "Expected one value or two values separated by comma for "
             "the quality cutoff"
         )
-    return (cutoffs[0], cutoffs[1])
+    return (values[0], values[1])
 
 
 def parse_lengths(s: str) -> Tuple[Optional[int], ...]:
-    """Parse [INT][:[INT]] into a tuple of (possibly None) integers.
-
-    >>> parse_lengths('25')
-    (25,)
-    >>> parse_lengths('17:25')
-    (17, 25)
-    >>> parse_lengths(':25')
-    (None, 25)
-    """
-    fields = s.split(":")
-    if len(fields) not in (1, 2):
+    """Parse '[INT][:[INT]]' into a tuple of optional ints ('25' ->
+    (25,); '17:25' -> (17, 25); ':25' -> (None, 25))."""
+    parts = s.split(":")
+    if len(parts) not in (1, 2):
         raise CommandLineError("Only at most one colon is allowed")
     try:
-        values = tuple(int(f) if f != "" else None for f in fields)
+        values = tuple(int(part) if part else None for part in parts)
     except ValueError as e:
         raise CommandLineError(f"Value not recognized: {e}")
-    if len(values) == 2 and values[0] is None and values[1] is None:
+    if values == (None, None):
         raise CommandLineError(
             f"Cannot parse '{s}': At least one length needs to be given"
         )
-    return tuple(values)
+    return values
+
+
+# --- run-configuration checks ------------------------------------------------
 
 
 def complain_about_duplicate_paths(paths: List[str]):
@@ -440,32 +452,32 @@ def determine_demultiplex_mode(
     output: Optional[str], paired_output: Optional[str]
 ) -> Union[str, bool]:
     """Return one of "normal", "combinatorial" or False."""
-    demultiplex = output is not None and "{name}" in output
-    if paired_output is not None and (demultiplex != ("{name}" in paired_output)):
+    by_name = output is not None and "{name}" in output
+    if paired_output is not None and by_name != ("{name}" in paired_output):
         raise CommandLineError(
             'When demultiplexing paired-end data, "{name}" must appear in '
             "both output file names (-o and -p)"
         )
-    demultiplex_combinatorial = (
-        output is not None
-        and paired_output is not None
-        and "{name1}" in output
-        and "{name2}" in output
-        and "{name1}" in paired_output
-        and "{name2}" in paired_output
+    by_combination = bool(
+        output
+        and paired_output
+        and all(
+            marker in template
+            for marker in ("{name1}", "{name2}")
+            for template in (output, paired_output)
+        )
     )
-    if demultiplex and demultiplex_combinatorial:
+    if by_name and by_combination:
         raise CommandLineError("You cannot combine {name} with {name1} and {name2}")
-    if demultiplex:
+    if by_name:
         return "normal"
-    elif demultiplex_combinatorial:
+    if by_combination:
         return "combinatorial"
-    else:
-        return False
+    return False
 
 
 def determine_paired(args) -> bool:
-    """Whether we should work in paired-end mode."""
+    """Whether any option enabling paired-end mode was used."""
     return bool(
         args.paired_output
         or args.interleaved
@@ -485,43 +497,32 @@ def make_input_paths(
     inputs: Sequence[str], paired: bool, interleaved: bool
 ) -> InputPaths:
     """Check input file names and return InputPaths."""
-    if len(inputs) == 0:
+    if not inputs:
         raise CommandLineError(
             "You did not provide any input file names. Please give me something to do!"
         )
-    elif len(inputs) > 2:
+    if len(inputs) > 2:
         raise CommandLineError(
             f"You provided {len(inputs)} input file names, but either one or two are expected. "
             + "The file names were:\n - "
             + "\n - ".join(f"'{p}'" for p in inputs)
             + "\nHint: If your path contains spaces, you need to enclose it in quotes"
         )
-    input_filename = inputs[0]
     if paired and not interleaved:
-        # Two file names required
         if len(inputs) == 1:
             raise CommandLineError(
                 "You used an option that enables paired-end mode (such as -p, -A, -G, -B, -U), but "
                 "only provided one input file. Please either provide two input files or use "
                 "use --interleaved as appropriate."
             )
-        else:
-            input_paired_filename = inputs[1]  # type: Optional[str]
-    else:
-        if len(inputs) == 2:
-            raise CommandLineError(
-                "It appears you want to trim paired-end data because you provided two input files, "
-                "but then you also need to provide two output files (with -o and -p) or use the "
-                "--interleaved option."
-            )
-        input_paired_filename = None
-
-    if input_paired_filename:
-        return InputPaths(
-            input_filename, input_paired_filename, interleaved=interleaved
+        return InputPaths(inputs[0], inputs[1], interleaved=interleaved)
+    if len(inputs) == 2:
+        raise CommandLineError(
+            "It appears you want to trim paired-end data because you provided two input files, "
+            "but then you also need to provide two output files (with -o and -p) or use the "
+            "--interleaved option."
         )
-    else:
-        return InputPaths(input_filename, interleaved=interleaved)
+    return InputPaths(inputs[0], interleaved=interleaved)
 
 
 def check_arguments(args, paired: bool) -> None:
@@ -570,366 +571,344 @@ def check_arguments(args, paired: bool) -> None:
         raise CommandLineError("--pair-adapters cannot be used with --times")
 
 
-def make_pipeline_from_args(  # noqa: C901
-    args, input_file_format, outfiles, paired, adapters, adapters2
-):
-    """
-    Set up a processing pipeline from parsed command-line arguments.
-    Raise CommandLineError on any problem.
-    """
-    action = None if args.action == "none" else args.action
-    pair_filter_mode = None
-    if paired:
-        pair_filter_mode = "any" if args.pair_filter is None else args.pair_filter
+# --- pipeline assembly -------------------------------------------------------
 
-    def make_filter(
-        predicate1, predicate2, path1, path2, pair_filter_mode=pair_filter_mode
+
+class PipelineBuilder:
+    """Turns parsed arguments into the modifier and step lists of a
+    processing pipeline.
+
+    Assembly order is semantics: side-channel writers run first, then
+    length filters with their routed outputs, content filters, the
+    trimmed/untrimmed routing, and finally the sink or demultiplexer;
+    modifiers run cuts -> quality -> adapters -> poly-A -> shortening
+    -> name edits (mirroring the reference's order,
+    /root/reference/src/cutadapt/cli.py:635-999).
+    """
+
+    def __init__(self, args, input_file_format, outfiles, paired, adapters, adapters2):
+        self._args = args
+        self._format = input_file_format
+        self._outfiles = outfiles
+        self._paired = paired
+        self._adapters = adapters
+        self._adapters2 = adapters2
+        self._pair_filter_mode = (
+            ("any" if args.pair_filter is None else args.pair_filter)
+            if paired
+            else None
+        )
+
+    def build(self):
+        steps = list(self._side_channel_writers())
+        steps.extend(self._length_filters())
+        steps.extend(self._content_filters())
+        steps.extend(self._routing_and_sink())
+        logger.debug("Pipeline steps:")
+        for step in steps:
+            logger.debug("- %s", step)
+        modifiers = list(self._modifiers())
+        if self._paired:
+            return PairedEndPipeline(modifiers, steps)
+        return SingleEndPipeline(modifiers, steps)
+
+    # steps ------------------------------------------------------------
+
+    def _wrap_single_end_step(self, step):
+        return PairedSingleEndStep(step) if self._paired else step
+
+    def _both_sides_filter(self, predicate, pair_filter_mode=None):
+        """A filter applying one predicate to every read (pair)."""
+        if not self._paired:
+            return SingleEndFilter(predicate)
+        return PairedEndFilter(
+            predicate,
+            predicate,
+            pair_filter_mode=pair_filter_mode or self._pair_filter_mode,
+        )
+
+    def _filter_with_outputs(
+        self, predicate1, predicate2, path1, path2, pair_filter_mode=None
     ):
-        record_writer = None
+        """A filter routing dropped reads to output files (if given)."""
+        writer = None
         if path1 or path2:
-            paths = [path1, path2] if paired else [path1]
-            if paired and path2 is None:
-                interleaved = True
-                paths = paths[:1]
-            else:
-                interleaved = False
-            record_writer = outfiles.open_record_writer(
-                *paths, interleaved=interleaved
-            )
-        if paired:
-            step = PairedEndFilter(
-                predicate1, predicate2, record_writer,
-                pair_filter_mode=pair_filter_mode,
-            )
-        else:
-            step = SingleEndFilter(predicate1, record_writer)
-        return step
-
-    adapter_names: List[Optional[str]] = [a.name for a in adapters]
-    adapter_names2: List[Optional[str]] = [a.name for a in adapters2]
-
-    steps = []
-
-    if args.rest_file is not None:
-        step = RestFileWriter(outfiles.open_text(args.rest_file))
-        if paired:
-            step = PairedSingleEndStep(step)
-        steps.append(step)
-
-    if args.info_file is not None:
-        if paired and args.info_file2 is not None:
-            step = PairedInfoFileWriter(
-                outfiles.open_text(args.info_file), outfiles.open_text(args.info_file2)
-            )
-        else:
-            step = InfoFileWriter(outfiles.open_text(args.info_file))
-            if paired:
-                step = PairedSingleEndStep(step)
-        steps.append(step)
-
-    if args.wildcard_file is not None:
-        step = WildcardFileWriter(outfiles.open_text(args.wildcard_file))
-        if paired:
-            step = PairedSingleEndStep(step)
-        steps.append(step)
-
-    # Add filtering steps
-
-    for length, path1, path2, predicate_class in [
-        (
-            args.minimum_length,
-            args.too_short_output,
-            args.too_short_paired_output,
-            TooShort,
-        ),
-        (
-            args.maximum_length,
-            args.too_long_output,
-            args.too_long_paired_output,
-            TooLong,
-        ),
-    ]:
-        if length is None:
-            if path1 or path2:
-                if predicate_class is TooShort:
-                    raise CommandLineError(
-                        "When --too-short-output or --too-short-paired-output are used, "
-                        "a minimum length must be provided with -m/--minimum-length"
-                    )
-                if predicate_class is TooLong:
-                    raise CommandLineError(
-                        "When --too-long-output or --too-long-paired-output are used, "
-                        "a maximum length must be provided with -M/--maximum-length"
-                    )
-            continue
-        if not paired and path2:
-            raise CommandLineError(
-                "--too-short/long-paired-output cannot be used with single-end data"
-            )
-        lengths = parse_lengths(length)
-        if not paired and len(lengths) == 2:
-            raise CommandLineError(
-                "Two minimum or maximum lengths given for single-end data"
-            )
-        if paired and len(lengths) == 1:
-            lengths = (lengths[0], lengths[0])
-        predicate1 = predicate_class(lengths[0]) if lengths[0] is not None else None
-        if len(lengths) == 2 and lengths[1] is not None:
-            predicate2 = predicate_class(lengths[1])
-        else:
-            predicate2 = None
-
-        steps.append(make_filter(predicate1, predicate2, path1, path2))
-
-    if args.max_n is not None:
-        predicate = TooManyN(args.max_n)
-        if paired:
-            step = PairedEndFilter(
-                predicate, predicate, pair_filter_mode=pair_filter_mode
-            )
-        else:
-            step = SingleEndFilter(predicate)
-        steps.append(step)
-
-    if args.max_expected_errors is not None:
-        if not input_file_format.has_qualities():
-            logger.warning(
-                "Ignoring option --max-ee because input does not provide quality values"
-            )
-        else:
-            predicate = TooManyExpectedErrors(args.max_expected_errors)
-            if paired:
-                step = PairedEndFilter(
-                    predicate, predicate, pair_filter_mode=pair_filter_mode
+            if self._paired and path2 is None:
+                writer = self._outfiles.open_record_writer(
+                    path1, interleaved=True
                 )
             else:
-                step = SingleEndFilter(predicate)
-            steps.append(step)
-
-    if args.max_average_error_rate is not None:
-        if not input_file_format.has_qualities():
-            logger.warning(
-                "Ignoring option --max-er because input does not contain quality values"
+                paths = [path1, path2] if self._paired else [path1]
+                writer = self._outfiles.open_record_writer(*paths)
+        if self._paired:
+            return PairedEndFilter(
+                predicate1, predicate2, writer,
+                pair_filter_mode=pair_filter_mode or self._pair_filter_mode,
             )
-        else:
-            predicate = TooHighAverageErrorRate(args.max_average_error_rate)
-            if paired:
-                step = PairedEndFilter(
-                    predicate, predicate, pair_filter_mode=pair_filter_mode
+        return SingleEndFilter(predicate1, writer)
+
+    def _side_channel_writers(self):
+        args, outfiles = self._args, self._outfiles
+        if args.rest_file is not None:
+            yield self._wrap_single_end_step(
+                RestFileWriter(outfiles.open_text(args.rest_file))
+            )
+        if args.info_file is not None:
+            if self._paired and args.info_file2 is not None:
+                yield PairedInfoFileWriter(
+                    outfiles.open_text(args.info_file),
+                    outfiles.open_text(args.info_file2),
                 )
             else:
-                step = SingleEndFilter(predicate)
-            steps.append(step)
-
-    if args.discard_casava:
-        predicate = CasavaFiltered()
-        if paired:
-            step = PairedEndFilter(
-                predicate, predicate, pair_filter_mode=pair_filter_mode
+                yield self._wrap_single_end_step(
+                    InfoFileWriter(outfiles.open_text(args.info_file))
+                )
+        if args.wildcard_file is not None:
+            yield self._wrap_single_end_step(
+                WildcardFileWriter(outfiles.open_text(args.wildcard_file))
             )
-        else:
-            step = SingleEndFilter(predicate)
-        steps.append(step)
 
-    # The last step writes surviving records to the final output(s)
+    def _length_filters(self):
+        args = self._args
+        for length, path1, path2, predicate_class, option in (
+            (args.minimum_length, args.too_short_output,
+             args.too_short_paired_output, TooShort, "-m/--minimum-length"),
+            (args.maximum_length, args.too_long_output,
+             args.too_long_paired_output, TooLong, "-M/--maximum-length"),
+        ):
+            if length is None:
+                if path1 or path2:
+                    which = "short" if predicate_class is TooShort else "long"
+                    bound = "minimum" if which == "short" else "maximum"
+                    raise CommandLineError(
+                        f"When --too-{which}-output or "
+                        f"--too-{which}-paired-output are used, "
+                        f"a {bound} length must be provided with {option}"
+                    )
+                continue
+            if not self._paired and path2:
+                raise CommandLineError(
+                    "--too-short/long-paired-output cannot be used with single-end data"
+                )
+            bounds = parse_lengths(length)
+            if not self._paired and len(bounds) == 2:
+                raise CommandLineError(
+                    "Two minimum or maximum lengths given for single-end data"
+                )
+            if self._paired and len(bounds) == 1:
+                bounds = (bounds[0], bounds[0])
+            predicate1 = (
+                predicate_class(bounds[0]) if bounds[0] is not None else None
+            )
+            predicate2 = (
+                predicate_class(bounds[1])
+                if len(bounds) == 2 and bounds[1] is not None
+                else None
+            )
+            yield self._filter_with_outputs(predicate1, predicate2, path1, path2)
 
-    if (
-        int(args.discard_trimmed)
-        + int(args.discard_untrimmed)
-        + int(
+    def _content_filters(self):
+        args = self._args
+        if args.max_n is not None:
+            yield self._both_sides_filter(TooManyN(args.max_n))
+        if args.max_expected_errors is not None:
+            if not self._format.has_qualities():
+                logger.warning(
+                    "Ignoring option --max-ee because input does not provide quality values"
+                )
+            else:
+                yield self._both_sides_filter(
+                    TooManyExpectedErrors(args.max_expected_errors)
+                )
+        if args.max_average_error_rate is not None:
+            if not self._format.has_qualities():
+                logger.warning(
+                    "Ignoring option --max-er because input does not contain quality values"
+                )
+            else:
+                yield self._both_sides_filter(
+                    TooHighAverageErrorRate(args.max_average_error_rate)
+                )
+        if args.discard_casava:
+            yield self._both_sides_filter(CasavaFiltered())
+
+    def _routing_and_sink(self):
+        """The trimmed/untrimmed routing plus the final output step."""
+        args = self._args
+        untrimmed_requested = (
             args.untrimmed_output is not None
             or args.untrimmed_paired_output is not None
         )
-        > 1
-    ):
-        raise CommandLineError(
-            "Only one of the --discard-trimmed, --discard-untrimmed "
-            "and --untrimmed-output options can be used at the same time."
-        )
+        if (
+            int(args.discard_trimmed)
+            + int(args.discard_untrimmed)
+            + int(untrimmed_requested)
+        ) > 1:
+            raise CommandLineError(
+                "Only one of the --discard-trimmed, --discard-untrimmed "
+                "and --untrimmed-output options can be used at the same time."
+            )
 
-    demultiplex_mode = determine_demultiplex_mode(args.output, args.paired_output)
-    if demultiplex_mode and args.discard_trimmed:
-        raise CommandLineError("Do not use --discard-trimmed when demultiplexing.")
-    if demultiplex_mode == "combinatorial" and args.pair_adapters:
-        raise CommandLineError(
-            "With --pair-adapters, you can only use {name} in your output file name template, "
-            "not {name1} and {name2} (no combinatorial demultiplexing)."
+        demultiplex_mode = determine_demultiplex_mode(
+            args.output, args.paired_output
         )
-    if demultiplex_mode == "normal":
-        if paired:
-            step = PairedDemultiplexer(
+        if demultiplex_mode:
+            if args.discard_trimmed:
+                raise CommandLineError(
+                    "Do not use --discard-trimmed when demultiplexing."
+                )
+            yield self._demultiplexer(demultiplex_mode)
+            return
+
+        # Adapters on only one side would make pair-filter mode 'any'
+        # declare every pair untrimmed; use 'both' instead then.
+        override_mode = (
+            self._paired
+            and (not self._adapters2 or not self._adapters)
+            and (args.discard_untrimmed or untrimmed_requested)
+        )
+        untrimmed_mode = "both" if override_mode else None
+
+        if args.discard_trimmed:
+            yield self._both_sides_filter(IsTrimmed())
+        elif args.discard_untrimmed:
+            yield self._both_sides_filter(IsUntrimmed(), untrimmed_mode)
+        elif untrimmed_requested:
+            yield self._filter_with_outputs(
+                IsUntrimmed(),
+                IsUntrimmed() if self._paired else None,
+                args.untrimmed_output,
+                args.untrimmed_paired_output,
+                untrimmed_mode,
+            )
+        yield self._sink()
+
+    def _demultiplexer(self, mode):
+        args = self._args
+        adapter_names = [a.name for a in self._adapters]
+        adapter_names2 = [a.name for a in self._adapters2]
+        if mode == "combinatorial":
+            if args.pair_adapters:
+                raise CommandLineError(
+                    "With --pair-adapters, you can only use {name} in your output file name template, "
+                    "not {name1} and {name2} (no combinatorial demultiplexing)."
+                )
+            if args.untrimmed_output or args.untrimmed_paired_output:
+                raise CommandLineError(
+                    "Combinatorial demultiplexing (with {name1} and {name2})"
+                    " cannot be combined with --untrimmed-output or --untrimmed-paired-output"
+                )
+            return CombinatorialDemultiplexer(
+                adapter_names,
+                adapter_names2,
+                template1=args.output,
+                template2=args.paired_output,
+                discard_untrimmed=args.discard_untrimmed,
+                outfiles=self._outfiles,
+            )
+        if self._paired:
+            return PairedDemultiplexer(
                 adapter_names,
                 template1=args.output,
                 template2=args.paired_output,
                 untrimmed_output=args.untrimmed_output,
                 untrimmed_paired_output=args.untrimmed_paired_output,
                 discard_untrimmed=args.discard_untrimmed,
-                outfiles=outfiles,
+                outfiles=self._outfiles,
             )
-        else:
-            step = Demultiplexer(
-                adapter_names,
-                template=args.output,
-                untrimmed_output=args.untrimmed_output,
-                discard_untrimmed=args.discard_untrimmed,
-                outfiles=outfiles,
-            )
-        steps.append(step)
-    elif demultiplex_mode == "combinatorial":
-        assert "{name1}" in args.output and "{name2}" in args.output
-        assert "{name1}" in args.paired_output and "{name2}" in args.paired_output
-        if args.untrimmed_output or args.untrimmed_paired_output:
-            raise CommandLineError(
-                "Combinatorial demultiplexing (with {name1} and {name2})"
-                " cannot be combined with --untrimmed-output or --untrimmed-paired-output"
-            )
-        step = CombinatorialDemultiplexer(
+        return Demultiplexer(
             adapter_names,
-            adapter_names2,
-            template1=args.output,
-            template2=args.paired_output,
+            template=args.output,
+            untrimmed_output=args.untrimmed_output,
             discard_untrimmed=args.discard_untrimmed,
-            outfiles=outfiles,
-        )
-        steps.append(step)
-    else:
-        # When adapters are trimmed only in R1 or R2, override the pair
-        # filter mode: the default of 'any' would declare all pairs
-        # untrimmed.
-        override_pair_filter_mode = (
-            paired
-            and (not adapters2 or not adapters)
-            and (
-                args.discard_untrimmed
-                or args.untrimmed_output
-                or args.untrimmed_paired_output
-            )
+            outfiles=self._outfiles,
         )
 
-        if args.discard_trimmed:
-            predicate = IsTrimmed()
-            if paired:
-                step = PairedEndFilter(
-                    predicate, predicate, pair_filter_mode=pair_filter_mode
-                )
-            else:
-                step = SingleEndFilter(predicate)
-            steps.append(step)
-        elif args.discard_untrimmed:
-            predicate = IsUntrimmed()
-            if paired:
-                step = PairedEndFilter(
-                    predicate,
-                    predicate,
-                    pair_filter_mode=(
-                        "both" if override_pair_filter_mode else pair_filter_mode
-                    ),
-                )
-            else:
-                step = SingleEndFilter(predicate)
-            steps.append(step)
-        elif args.untrimmed_output or args.untrimmed_paired_output:
-            predicate1 = IsUntrimmed()
-            predicate2 = IsUntrimmed()
-            steps.append(
-                make_filter(
-                    predicate1,
-                    predicate2 if paired else None,
-                    args.untrimmed_output,
-                    args.untrimmed_paired_output,
-                    pair_filter_mode=(
-                        "both" if override_pair_filter_mode else pair_filter_mode
-                    ),
-                )
-            )
-
-        if paired:
-            paths = [args.output, args.paired_output]
+    def _sink(self):
+        args = self._args
+        if self._paired:
             if args.paired_output is None:
-                interleaved = True
-                paths = paths[:1]
-            else:
-                interleaved = False
-            steps.append(
-                PairedEndSink(
-                    outfiles.open_record_writer(*paths, interleaved=interleaved)
+                writer = self._outfiles.open_record_writer(
+                    args.output, interleaved=True
                 )
+            else:
+                writer = self._outfiles.open_record_writer(
+                    args.output, args.paired_output
+                )
+            return PairedEndSink(writer)
+        if args.output is None:
+            writer = self._outfiles.open_stdout_record_writer(
+                interleaved=self._paired and args.interleaved,
+                force_fasta=args.fasta,
             )
         else:
-            if args.output is None:
-                out = outfiles.open_stdout_record_writer(
-                    interleaved=paired and args.interleaved,
-                    force_fasta=args.fasta,
-                )
-            else:
-                out = outfiles.open_record_writer(args.output, force_fasta=args.fasta)
-            steps.append(SingleEndSink(out))
+            writer = self._outfiles.open_record_writer(
+                args.output, force_fasta=args.fasta
+            )
+        return SingleEndSink(writer)
 
-    logger.debug("Pipeline steps:")
-    for step in steps:
-        logger.debug("- %s", step)
+    # modifiers --------------------------------------------------------
 
-    modifiers = []
-    modifiers.extend(make_unconditional_cutters(args.cut, args.cut2, paired))
+    def _for_both_sides(self, modifier):
+        """Apply one single-end modifier to both reads of a pair."""
+        if self._paired:
+            return (modifier, copy.copy(modifier))
+        return modifier
 
-    if args.nextseq_trim is not None:
-        trimmer = NextseqQualityTrimmer(args.nextseq_trim, args.quality_base)
-        if paired:
-            modifiers.append((trimmer, copy.copy(trimmer)))
-        else:
-            modifiers.append(trimmer)
-
-    modifiers.extend(
-        make_quality_trimmers(
-            args.quality_cutoff,
-            args.quality_cutoff2,
-            args.quality_base,
-            paired,
+    def _modifiers(self):
+        args, paired = self._args, self._paired
+        yield from make_unconditional_cutters(args.cut, args.cut2, paired)
+        if args.nextseq_trim is not None:
+            yield self._for_both_sides(
+                NextseqQualityTrimmer(args.nextseq_trim, args.quality_base)
+            )
+        yield from make_quality_trimmers(
+            args.quality_cutoff, args.quality_cutoff2, args.quality_base, paired
         )
-    )
-    modifiers.extend(
-        make_adapter_cutter(
-            adapters,
-            adapters2,
+        yield from make_adapter_cutter(
+            self._adapters,
+            self._adapters2,
             paired,
             args.pair_adapters,
-            action,
+            None if args.action == "none" else args.action,
             args.times,
             args.reverse_complement,
-            not args.rename,  # no "rc" suffix if --rename is used
+            not args.rename,  # no "rc" suffix when --rename is in play
             args.index,
         )
-    )
+        if args.poly_a:
+            if paired:
+                yield (PolyATrimmer(), PolyATrimmer(revcomp=True))
+            else:
+                yield PolyATrimmer()
+        yield from make_shortener(args.length, args.length2, paired)
+        for modifier in modifiers_applying_to_both_ends_if_paired(args):
+            yield self._for_both_sides(modifier)
+        if args.rename and (args.prefix or args.suffix):
+            raise CommandLineError(
+                "Option --rename cannot be combined with --prefix (-x) or --suffix (-y)"
+            )
+        if args.rename and args.rename != "{header}":
+            try:
+                yield (
+                    PairedEndRenamer(args.rename)
+                    if paired
+                    else Renamer(args.rename)
+                )
+            except InvalidTemplate as e:
+                raise CommandLineError(e)
 
-    if args.poly_a:
-        if paired:
-            modifiers.append((PolyATrimmer(), PolyATrimmer(revcomp=True)))
-        else:
-            modifiers.append(PolyATrimmer())
 
-    modifiers.extend(make_shortener(args.length, args.length2, paired))
-    for modifier in modifiers_applying_to_both_ends_if_paired(args):
-        if paired:
-            modifiers.append((modifier, copy.copy(modifier)))
-        else:
-            modifiers.append(modifier)
-
-    if args.rename and (args.prefix or args.suffix):
-        raise CommandLineError(
-            "Option --rename cannot be combined with --prefix (-x) or --suffix (-y)"
-        )
-    if args.rename and args.rename != "{header}":
-        try:
-            renamer = PairedEndRenamer(args.rename) if paired else Renamer(args.rename)
-            modifiers.append(renamer)
-        except InvalidTemplate as e:
-            raise CommandLineError(e)
-
-    if paired:
-        pipeline = PairedEndPipeline(modifiers, steps)  # type: Any
-    else:
-        pipeline = SingleEndPipeline(modifiers, steps)
-    return pipeline
+def make_pipeline_from_args(
+    args, input_file_format, outfiles, paired, adapters, adapters2
+):
+    """
+    Set up a processing pipeline from parsed command-line arguments.
+    Raise CommandLineError on any problem.
+    """
+    return PipelineBuilder(
+        args, input_file_format, outfiles, paired, adapters, adapters2
+    ).build()
 
 
 def adapters_from_args(args) -> Tuple[List[Adapter], List[Adapter]]:
@@ -956,7 +935,7 @@ def adapters_from_args(args) -> Tuple[List[Adapter], List[Adapter]]:
 
 
 def make_unconditional_cutters(cut1: List[int], cut2: List[int], paired: bool):
-    for i, cut_arg in enumerate([cut1, cut2]):
+    for side, cut_arg in enumerate([cut1, cut2]):
         if not cut_arg:
             continue
         if len(cut_arg) > 2:
@@ -966,13 +945,9 @@ def make_unconditional_cutters(cut1: List[int], cut2: List[int], paired: bool):
         for c in cut_arg:
             if c == 0:
                 continue
-            if i == 0:  # R1
-                if paired:
-                    yield (UnconditionalCutter(c), None)
-                else:
-                    yield UnconditionalCutter(c)
-            else:
-                # R2
+            if side == 0:  # R1
+                yield (UnconditionalCutter(c), None) if paired else UnconditionalCutter(c)
+            else:  # R2
                 assert paired
                 yield (None, UnconditionalCutter(c))
 
@@ -983,7 +958,7 @@ def make_quality_trimmers(
     quality_base: int,
     paired: bool,
 ):
-    qtrimmers = [
+    trimmers = [
         (
             QualityTrimmer(*parse_cutoffs(cutoff), quality_base)
             if cutoff is not None and cutoff != "0"
@@ -993,12 +968,11 @@ def make_quality_trimmers(
     ]
     if paired:
         if cutoff1 is not None and cutoff2 is None:
-            qtrimmers[1] = copy.copy(qtrimmers[0])
-        if qtrimmers[0] is not None or qtrimmers[1] is not None:
-            yield tuple(qtrimmers)
-    elif qtrimmers[0] is not None:
-        assert not paired
-        yield qtrimmers[0]
+            trimmers[1] = copy.copy(trimmers[0])
+        if trimmers != [None, None]:
+            yield tuple(trimmers)
+    elif trimmers[0] is not None:
+        yield trimmers[0]
 
 
 def make_adapter_cutter(
@@ -1016,51 +990,39 @@ def make_adapter_cutter(
         if reverse_complement:
             raise CommandLineError("Cannot use --revcomp with --pair-adapters")
         try:
-            cutter = PairedAdapterCutter(adapters, adapters2, action)
+            yield PairedAdapterCutter(adapters, adapters2, action)
         except PairedAdapterCutterError as e:
             raise CommandLineError("--pair-adapters: " + str(e))
-        yield cutter
-    else:
-        adapter_cutter, adapter_cutter2 = None, None
-        try:
-            if adapters:
-                adapter_cutter = AdapterCutter(adapters, times, action, allow_index)
-            if adapters2:
-                adapter_cutter2 = AdapterCutter(adapters2, times, action, allow_index)
-        except ValueError as e:
-            raise CommandLineError(e)
-        if paired:
-            if adapter_cutter or adapter_cutter2:
-                if reverse_complement:
-                    yield PairedReverseComplementer(
-                        adapter_cutter,
-                        adapter_cutter2,
-                        rc_suffix=" rc" if add_rc_suffix else None,
-                    )
-                else:
-                    yield (adapter_cutter, adapter_cutter2)
-        elif adapter_cutter:
+        return
+    rc_suffix = " rc" if add_rc_suffix else None
+    try:
+        cutter = AdapterCutter(adapters, times, action, allow_index) if adapters else None
+        cutter2 = AdapterCutter(adapters2, times, action, allow_index) if adapters2 else None
+    except ValueError as e:
+        raise CommandLineError(e)
+    if paired:
+        if cutter or cutter2:
             if reverse_complement:
-                yield ReverseComplementer(
-                    adapter_cutter,
-                    rc_suffix=" rc" if add_rc_suffix else None,
-                )
+                yield PairedReverseComplementer(cutter, cutter2, rc_suffix=rc_suffix)
             else:
-                yield adapter_cutter
+                yield (cutter, cutter2)
+    elif cutter:
+        if reverse_complement:
+            yield ReverseComplementer(cutter, rc_suffix=rc_suffix)
+        else:
+            yield cutter
 
 
 def make_shortener(length1: Optional[int], length2: Optional[int], paired: bool):
-    if paired:
-        if length1 is not None and length2 is not None:
-            yield Shortener(length1), Shortener(length2)
-        elif length1 is not None and length2 is None:
-            # If -L not given, use the same setting for both
-            yield Shortener(length1), Shortener(length1)
-        elif length1 is None and length2 is not None:
-            yield None, Shortener(length2)
-    else:
+    if not paired:
         if length1 is not None:
             yield Shortener(length1)
+        return
+    if length1 is not None:
+        # without -L, R2 gets the same setting as R1
+        yield Shortener(length1), Shortener(length2 if length2 is not None else length1)
+    elif length2 is not None:
+        yield None, Shortener(length2)
 
 
 def modifiers_applying_to_both_ends_if_paired(args) -> Iterator[SingleEndModifier]:
@@ -1076,17 +1038,163 @@ def modifiers_applying_to_both_ends_if_paired(args) -> Iterator[SingleEndModifie
         yield ZeroCapper(quality_base=args.quality_base)
 
 
+# --- run orchestration -------------------------------------------------------
+
+
 def log_header(cmdlineargs):
     """Print the program header."""
     implementation = platform.python_implementation()
-    opt = " (" + implementation + ")" if implementation != "CPython" else ""
+    note = f" ({implementation})" if implementation != "CPython" else ""
     logger.info(
         "This is cutadapt-tpu %s with Python %s%s",
         __version__,
         platform.python_version(),
-        opt,
+        note,
     )
     logger.info("Command line parameters: %s", " ".join(cmdlineargs))
+
+
+def log_adapters(adapters, adapters2):
+    paired = adapters2 is not None
+    logger.debug("R1 adapters (%d):" if paired else "Adapters (%d):", len(adapters))
+    for a in itertools.islice(adapters, 20):
+        logger.debug("- %s", a)
+    if len(adapters) > 20:
+        logger.debug("- (%d more)", len(adapters) - 20)
+    if paired:
+        logger.debug("R2 adapters (%d):", len(adapters2))
+        for a in itertools.islice(adapters2, 20):
+            logger.debug("- %s", a)
+        if len(adapters2) > 20:
+            logger.debug("- (%d more)", len(adapters2) - 20)
+
+
+def setup_profiler_if_requested(requested):
+    if not requested:
+        return None
+    import cProfile
+
+    profiler = cProfile.Profile()
+    profiler.enable()
+    return profiler
+
+
+def warn_if_en_dashes(args):
+    for arg in args:
+        if arg.startswith("–"):
+            logger.warning(
+                "The first character in argument '%s' is '–' (an en-dash, Unicode U+2013)"
+                " and will therefore be interpreted as a file name. If you wanted to"
+                " provide an option, use a regular hyphen '-'.",
+                arg,
+            )
+
+
+def estimate_compression_threads(cores: int) -> Optional[int]:
+    return max(0, min(cores - 1, 4))
+
+
+def is_any_output_stdout(args) -> bool:
+    return args.output is None or "-" in (
+        args.output,
+        args.paired_output,
+        args.untrimmed_output,
+        args.untrimmed_paired_output,
+        args.too_short_output,
+        args.too_short_paired_output,
+        args.too_long_output,
+        args.too_long_paired_output,
+        args.rest_file,
+        args.info_file,
+        args.wildcard_file,
+    )
+
+
+def json_report(
+    stats: Statistics,
+    cmdlineargs: List[str],
+    path1: str,
+    path2: Optional[str],
+    cores: int,
+    paired: bool,
+    gc_content: float,
+) -> Dict:
+    d = {
+        "tag": "Cutadapt report",
+        "schema_version": OneLine([0, 3]),
+        "cutadapt_version": __version__,
+        "python_version": platform.python_version(),
+        "command_line_arguments": cmdlineargs,
+        "cores": cores,
+        "input": {
+            "path1": path1,
+            "path2": path2,
+            "paired": paired,
+        },
+    }
+    d.update(stats.as_json(gc_content, one_line=True))
+    return d
+
+
+def _device_path_worth_trying(args, input_paths: InputPaths) -> bool:
+    """Whether a multicore run should first be offered to the device
+    engine: all inputs must be re-openable regular files and no output
+    may be stdout (the parallel fallback re-reads the inputs and
+    reopens every output, which must not close stdout mid-run)."""
+    import os
+
+    if os.environ.get("CUTADAPT_TPU_BATCH") == "0":
+        return False
+    if is_any_output_stdout(args):
+        return False
+    return all(
+        path != "-" and Path(path).is_file() for path in input_paths.paths
+    )
+
+
+def _run_pipeline(args, cores, input_paths, file_opener, progress,
+                  paired, adapters, adapters2):
+    """Select a runner, build the pipeline, run it. Returns
+    (statistics, outfiles)."""
+
+    def build_outfiles_and_pipeline(runner, proxied):
+        outfiles = OutputFiles(
+            proxied=proxied,
+            qualities=runner.input_file_format().has_qualities(),
+            file_opener=file_opener,
+            interleaved=args.interleaved,
+        )
+        pipeline = make_pipeline_from_args(
+            args, runner.input_file_format(), outfiles, paired,
+            adapters, adapters2,
+        )
+        return outfiles, pipeline
+
+    if cores > 1 and _device_path_worth_trying(args, input_paths):
+        # One chip usually outruns N host workers: offer the run to the
+        # batch engine first; on ineligibility fall back to processes.
+        from .accel import try_run_accelerated
+
+        runner = SerialPipelineRunner(input_paths.open())
+        outfiles, pipeline = build_outfiles_and_pipeline(runner, proxied=False)
+        stats = try_run_accelerated(pipeline, runner._infiles, progress)
+        if stats is not None:
+            return stats, outfiles
+        runner.close()
+        outfiles.close()
+
+    with make_runner(input_paths, cores, args.buffer_size) as runner:
+        outfiles, pipeline = build_outfiles_and_pipeline(
+            runner, proxied=cores > 1
+        )
+        logger.info(
+            "Processing %s reads on %d core%s ...",
+            {False: "single-end", True: "paired-end"}[pipeline.paired],
+            cores,
+            "s" if cores > 1 else "",
+        )
+        stats = runner.run(pipeline, progress, outfiles)
+    return stats, outfiles
 
 
 def main_cli():  # pragma: no cover
@@ -1109,7 +1217,7 @@ def main(cmdlineargs) -> Statistics:
 
     cmdlineargs = [str(arg) if isinstance(arg, Path) else arg for arg in cmdlineargs]
     args, leftover_args = parser.parse_known_args(args=cmdlineargs)
-    # Set up logging only if there are no handlers yet (this function
+    # set up logging only if there are no handlers yet (this function
     # may be called from tests or as a library)
     if not logging.root.handlers:
         setup_logging(
@@ -1122,14 +1230,12 @@ def main(cmdlineargs) -> Statistics:
     log_header(cmdlineargs)
     profiler = setup_profiler_if_requested(args.profile)
 
-    log_system_info()
+    logger.debug("Python executable: %s", sys.executable)
     if args.quiet and args.report:
         parser.error("Options --quiet and --report cannot be used at the same time")
-
     if leftover_args:
         warn_if_en_dashes(cmdlineargs)
         parser.error("unrecognized arguments: " + " ".join(leftover_args))
-
     if args.cores < 0:
         parser.error("Value for --cores cannot be negative")
 
@@ -1165,35 +1271,15 @@ def main(cmdlineargs) -> Statistics:
                 args.paired_output,
             ]
         )
-
-        with make_runner(input_paths, cores, args.buffer_size) as runner:
-            outfiles = OutputFiles(
-                proxied=cores > 1,
-                qualities=runner.input_file_format().has_qualities(),
-                file_opener=file_opener,
-                interleaved=args.interleaved,
-            )
-            pipeline = make_pipeline_from_args(
-                args,
-                runner.input_file_format(),
-                outfiles,
-                paired,
-                adapters,
-                adapters2,
-            )
-            logger.info(
-                "Processing %s reads on %d core%s ...",
-                {False: "single-end", True: "paired-end"}[pipeline.paired],
-                cores,
-                "s" if cores > 1 else "",
-            )
-            stats = runner.run(pipeline, progress, outfiles)
+        stats, outfiles = _run_pipeline(
+            args, cores, input_paths, file_opener, progress,
+            paired, adapters, adapters2,
+        )
     except KeyboardInterrupt:
         if args.debug:
             raise
-        else:
-            print("Interrupted", file=sys.stderr)
-            sys.exit(130)
+        print("Interrupted", file=sys.stderr)
+        sys.exit(130)
     except BrokenPipeError:
         sys.exit(1)
     except (
@@ -1206,8 +1292,7 @@ def main(cmdlineargs) -> Statistics:
     ) as e:
         logger.debug("Command line error. Traceback:", exc_info=True)
         logger.error("%s", e)
-        exit_code = 2 if isinstance(e, CommandLineError) else 1
-        sys.exit(exit_code)
+        sys.exit(2 if isinstance(e, CommandLineError) else 1)
     finally:
         try:
             outfiles.close()
@@ -1215,23 +1300,27 @@ def main(cmdlineargs) -> Statistics:
             pass
 
     elapsed = time.time() - start_time
-    if args.report == "minimal":
-        report = minimal_report
-    else:
-        report = full_report
-    logger.log(REPORT, "%s", report(stats, elapsed, args.gc_content / 100.0))
+    render = minimal_report if args.report == "minimal" else full_report
+    logger.log(REPORT, "%s", render(stats, elapsed, args.gc_content / 100.0))
     if args.json is not None:
         with open(args.json, "w") as f:
-            json_dict = json_report(
-                stats=stats,
-                cmdlineargs=cmdlineargs,
-                path1=input_paths.paths[0],
-                path2=input_paths.paths[1] if len(input_paths.paths) > 1 else None,
-                cores=cores,
-                paired=paired,
-                gc_content=args.gc_content / 100.0,
+            f.write(
+                json_dumps(
+                    json_report(
+                        stats=stats,
+                        cmdlineargs=cmdlineargs,
+                        path1=input_paths.paths[0],
+                        path2=(
+                            input_paths.paths[1]
+                            if len(input_paths.paths) > 1
+                            else None
+                        ),
+                        cores=cores,
+                        paired=paired,
+                        gc_content=args.gc_content / 100.0,
+                    )
+                )
             )
-            f.write(json_dumps(json_dict))
             f.write("\n")
     if profiler is not None:
         import pstats
@@ -1239,96 +1328,6 @@ def main(cmdlineargs) -> Statistics:
         profiler.disable()
         pstats.Stats(profiler).sort_stats("time").print_stats(20)
     return stats
-
-
-def log_system_info():
-    logger.debug("Python executable: %s", sys.executable)
-
-
-def log_adapters(adapters, adapters2):
-    paired = adapters2 is not None
-    logger.debug("R1 adapters (%d):" if paired else "Adapters (%d):", len(adapters))
-    for a in itertools.islice(adapters, 20):
-        logger.debug("- %s", a)
-    if len(adapters) > 20:
-        logger.debug("- (%d more)", len(adapters) - 20)
-    if paired:
-        logger.debug("R2 adapters (%d):", len(adapters2))
-        for a in itertools.islice(adapters2, 20):
-            logger.debug("- %s", a)
-        if len(adapters2) > 20:
-            logger.debug("- (%d more)", len(adapters2) - 20)
-
-
-def setup_profiler_if_requested(requested):
-    if requested:
-        import cProfile
-
-        profiler = cProfile.Profile()
-        profiler.enable()
-    else:
-        profiler = None
-    return profiler
-
-
-def warn_if_en_dashes(args):
-    for arg in args:
-        if arg.startswith("–"):
-            logger.warning(
-                "The first character in argument '%s' is '–' (an en-dash, Unicode U+2013)"
-                " and will therefore be interpreted as a file name. If you wanted to"
-                " provide an option, use a regular hyphen '-'.",
-                arg,
-            )
-
-
-def estimate_compression_threads(cores: int) -> Optional[int]:
-    return max(0, min(cores - 1, 4))
-
-
-def is_any_output_stdout(args):
-    return any(
-        [
-            args.output is None,
-            args.output == "-",
-            args.paired_output == "-",
-            args.untrimmed_output == "-",
-            args.untrimmed_paired_output == "-",
-            args.too_short_output == "-",
-            args.too_short_paired_output == "-",
-            args.too_long_output == "-",
-            args.too_long_paired_output == "-",
-            args.rest_file == "-",
-            args.info_file == "-",
-            args.wildcard_file == "-",
-        ]
-    )
-
-
-def json_report(
-    stats: Statistics,
-    cmdlineargs: List[str],
-    path1: str,
-    path2: Optional[str],
-    cores: int,
-    paired: bool,
-    gc_content: float,
-) -> Dict:
-    d = {
-        "tag": "Cutadapt report",
-        "schema_version": OneLine([0, 3]),
-        "cutadapt_version": __version__,
-        "python_version": platform.python_version(),
-        "command_line_arguments": cmdlineargs,
-        "cores": cores,
-        "input": {
-            "path1": path1,
-            "path2": path2,
-            "paired": paired,
-        },
-    }
-    d.update(stats.as_json(gc_content, one_line=True))
-    return d
 
 
 if __name__ == "__main__":  # pragma: no cover
