@@ -11,17 +11,17 @@ Usage:
 For paired-end reads:
     cutadapt-tpu -a ADAPT1 -A ADAPT2 [options] -o out1.fastq -p out2.fastq in1.fastq in2.fastq
 
-Replace "ADAPTER" with the actual sequence of your 3' adapter. IUPAC wildcard
-characters are supported. All reads from input.fastq will be written to
-output.fastq with the adapter sequence removed. Adapter matching is
-error-tolerant. Multiple adapter sequences can be given (use further -a
-options), but only the best-matching adapter will be removed.
+"ADAPTER" stands for the sequence of your 3' adapter; matching is
+error-tolerant and IUPAC wildcards are understood. Every read from
+input.fastq lands in output.fastq with the adapter removed. Give -a
+several times to search several adapters, of which only the best match
+per read is trimmed.
 
-Input may also be in FASTA format. Compressed input and output is supported and
-auto-detected from the file name (.gz, .xz, .bz2). Use the file name '-' for
-standard input/output. Without the -o option, output is sent to standard output.
+FASTA input works too. Compression (.gz, .xz, .bz2) is detected from
+file names on both input and output, and '-' names stdin/stdout; with
+no -o option, trimmed reads go to standard output.
 
-Run "cutadapt-tpu --help" to see all command-line options.
+"cutadapt-tpu --help" lists all command-line options.
 
 ---
 
