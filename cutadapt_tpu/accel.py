@@ -30,6 +30,8 @@ amortizes. jax imports lazily so small runs never pay for it.
 """
 
 import os
+import queue
+import threading
 from typing import Optional
 
 import numpy as np
@@ -37,7 +39,83 @@ import numpy as np
 from .report import Statistics
 
 AUTO_SIZE_THRESHOLD = 64 * 1024 * 1024  # bytes
-CHUNK_RECORDS_BYTES = 64 * 1024 * 1024
+# Streaming chunk size: small enough that several chunks are in flight
+# (the 3-stage thread pipeline needs >= 3 chunks to overlap), large
+# enough that per-dispatch device round-trip latency amortizes.
+CHUNK_RECORDS_BYTES = int(
+    os.environ.get("CUTADAPT_TPU_CHUNK_BYTES", 16 * 1024 * 1024)
+)
+
+_STAGE_END = object()
+
+
+def _pipelined_drive(producer, submit, emit, depth: int = 2) -> None:
+    """Run the three pipeline stages on separate threads:
+
+      reader thread:  iterate `producer` (file I/O + chunk parsing)
+      main thread:    `submit` each item (prefilter/encode/device dispatch)
+      writer thread:  `emit` each submitted item, in order (device
+                      result fetch, FASTQ assembly, file writes, stats)
+
+    The hot host work on all three stages is C++/IO that releases the
+    GIL, so the stages genuinely overlap; bounded queues keep at most
+    `depth` chunks in flight per hand-off. Exceptions from any stage
+    propagate to the caller with cross-thread shutdown handled here.
+    """
+    parsed_q: queue.Queue = queue.Queue(maxsize=depth)
+    emit_q: queue.Queue = queue.Queue(maxsize=depth)
+    failures = []
+
+    def read_stage():
+        try:
+            for item in producer:
+                parsed_q.put(item)
+                if failures:
+                    break
+        except BaseException as e:  # noqa: BLE001 - forwarded to caller
+            failures.append(e)
+        finally:
+            parsed_q.put(_STAGE_END)
+
+    def write_stage():
+        while True:
+            item = emit_q.get()
+            if item is _STAGE_END:
+                return
+            if failures:
+                continue  # drain without emitting
+            try:
+                emit(item)
+            except BaseException as e:  # noqa: BLE001
+                failures.append(e)
+
+    reader = threading.Thread(target=read_stage, daemon=True)
+    writer = threading.Thread(target=write_stage, daemon=True)
+    reader.start()
+    writer.start()
+    try:
+        while True:
+            item = parsed_q.get()
+            if item is _STAGE_END:
+                break
+            if failures:
+                continue  # keep draining so the reader can finish
+            try:
+                emit_q.put(submit(item))
+            except BaseException as e:  # noqa: BLE001
+                failures.append(e)
+    finally:
+        emit_q.put(_STAGE_END)
+        writer.join()
+        # the reader stops after at most one more item (bounded queue)
+        while reader.is_alive():
+            try:
+                parsed_q.get(timeout=0.05)
+            except queue.Empty:
+                pass
+        reader.join()
+    if failures:
+        raise failures[0]
 
 
 def _translate_tasks(cutter):
@@ -455,14 +533,12 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
         if progress is not None:
             progress.update(stats["n"])
 
-    pending = None
-    for data in read_chunks(infile, CHUNK_RECORDS_BYTES):
-        nxt = engine.submit(parse_fastq_chunk(data))
-        if pending is not None:
-            emit(pending)
-        pending = nxt
-    if pending is not None:
-        emit(pending)
+    _pipelined_drive(
+        (parse_fastq_chunk(data)
+         for data in read_chunks(infile, CHUNK_RECORDS_BYTES)),
+        engine.submit,
+        emit,
+    )
     infiles.close()
     if progress is not None:
         progress.close()
@@ -928,15 +1004,12 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
             for d1, d2 in read_paired_chunks(f1, f2, CHUNK_RECORDS_BYTES):
                 yield parse_fastq_chunk(d1), parse_fastq_chunk(d2), None
 
-    pending = None
-    for p1, p2, full in chunk_pairs():
+    def submit_pair(item):
+        p1, p2, full = item
         check_names(p1, p2)
-        nxt = (engine1.submit(p1), engine2.submit(p2), full)
-        if pending is not None:
-            emit(*pending)
-        pending = nxt
-    if pending is not None:
-        emit(*pending)
+        return (engine1.submit(p1), engine2.submit(p2), full)
+
+    _pipelined_drive(chunk_pairs(), submit_pair, lambda item: emit(*item))
     infiles.close()
     if progress is not None:
         progress.close()

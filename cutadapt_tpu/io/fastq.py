@@ -522,15 +522,19 @@ def open_sequence_file(
 def _complete_records_end(buf: bytes, fmt: str, eof: bool) -> Tuple[int, int]:
     """Return (end_offset, n_records) for the complete records in buf."""
     if fmt == "fastq":
-        arr = np.frombuffer(buf, dtype=np.uint8)
-        newlines = np.flatnonzero(arr == 0x0A)
-        n_complete_lines = len(newlines)
+        # One memchr-speed pass counts the lines; the cut position is
+        # then found by stepping back over the few surplus lines from
+        # the end (each rfind scans only one line).
+        n_complete_lines = buf.count(b"\n")
         n_records = n_complete_lines // 4
+        surplus_lines = n_complete_lines - n_records * 4
         if n_records:
-            end = int(newlines[n_records * 4 - 1]) + 1
+            end = buf.rfind(b"\n") + 1
+            for _ in range(surplus_lines):
+                end = buf.rfind(b"\n", 0, end - 1) + 1
         else:
             end = 0
-        if eof and n_records * 4 < n_complete_lines:
+        if eof and surplus_lines:
             # trailing partial record at EOF: let the parser report it
             end = len(buf)
             n_records += 1
@@ -586,14 +590,16 @@ class _ChunkState:
         self.eof = False
 
     def fill(self) -> bytes:
-        data = self.leftover
-        while not self.eof and len(data) < self.buffer_size:
-            more = self.file.read(self.buffer_size - len(data))
+        parts = [self.leftover]
+        size = len(self.leftover)
+        while not self.eof and size < self.buffer_size:
+            more = self.file.read(self.buffer_size - size)
             if not more:
                 self.eof = True
                 break
-            data += more
-        return data
+            parts.append(more)
+            size += len(more)
+        return parts[0] if len(parts) == 1 else b"".join(parts)
 
 
 def read_chunks(
@@ -619,7 +625,7 @@ def read_chunks(
             )
         state.leftover = data[end:]
         if end:
-            yield memoryview(data[:end])
+            yield memoryview(data)[:end]
         if state.eof and not state.leftover.strip():
             return
 
