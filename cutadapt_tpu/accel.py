@@ -420,6 +420,28 @@ def _setup_jax():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+    _setup_mesh(jax)
+
+
+def _setup_mesh(jax) -> None:
+    """Shard DP dispatches over the visible devices. The engine is
+    data-parallel over reads; CUTADAPT_TPU_DEVICES limits how many
+    devices participate ('1' disables sharding, unset = all)."""
+    from .batch_pipeline import set_shard_mesh
+
+    want = os.environ.get("CUTADAPT_TPU_DEVICES", "all")
+    if want == "1":
+        set_shard_mesh(None)
+        return
+    devices = jax.devices()
+    if want != "all":
+        devices = devices[: int(want)]
+    if len(devices) <= 1:
+        set_shard_mesh(None)
+        return
+    from jax.sharding import Mesh
+
+    set_shard_mesh(Mesh(np.array(devices), ("reads",)))
 
 
 def _is_fastq(infile) -> bool:

@@ -48,10 +48,36 @@ _QSTOP_SHIFT = 14
 _FOUND_SHIFT = 28
 _SCORE_BIAS = 32768
 
+# device mesh the DP dispatches shard over (None = single device)
+_ACTIVE_MESH = None
+_MESH_AXIS = "reads"
+
+
+def set_shard_mesh(mesh) -> None:
+    """Shard subsequent DP dispatches over `mesh` (1-D, any axis name;
+    the batch axis is split across its devices). Pass None to return
+    to single-device execution."""
+    global _ACTIVE_MESH
+    if mesh is not None and len(mesh.axis_names) != 1:
+        raise ValueError("expected a 1-D mesh")
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh_for(batch: int):
+    """The active mesh if the batch divides evenly over it."""
+    mesh = _ACTIVE_MESH
+    if mesh is None or mesh.size <= 1 or batch % mesh.size != 0:
+        return None
+    return mesh
+
 
 @lru_cache(maxsize=128)
 def _make_locate_step(
-    spec: AlignerSpec, packed: bool, backend: str = "xla", wide: bool = False
+    spec: AlignerSpec,
+    packed: bool,
+    backend: str = "xla",
+    wide: bool = False,
+    mesh=None,
 ):
     """Jitted locate returning a (2, B) int32: row0 = query_start |
     query_stop<<14 | found<<28; row1 = errors | (score+bias)<<16.
@@ -63,9 +89,23 @@ def _make_locate_step(
     wide=True (XLA only) returns an unpacked (5, B) int32 of
     [found, query_start, query_stop, errors, score] — used for long
     reads whose coordinates would overflow the 14-bit packed fields
-    (window length >= 2**14)."""
+    (window length >= 2**14).
+
+    With a mesh, the dispatch is data-parallel over its devices: the
+    XLA formulation shards through jit in/out shardings, the Pallas
+    kernel runs per-shard under shard_map. The batch size must divide
+    the mesh size (callers check via active_mesh_for)."""
     import jax
     import jax.numpy as jnp
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        by_read = P(axis)
+        by_read_rows = P(axis, None)
+        result_cols = P(None, axis)
 
     if backend == "pallas":
         if wide:
@@ -74,7 +114,21 @@ def _make_locate_step(
             raise ValueError("pallas backend requires packed inputs")
         from .ops.align_pallas import make_pallas_locate
 
-        return jax.jit(make_pallas_locate(spec))
+        kernel = make_pallas_locate(spec)
+        if mesh is None:
+            return jax.jit(kernel)
+        # per-shard kernel execution; results are concatenated on the
+        # batch axis, statistics stay host-side (see parallel/mesh.py
+        # for the psum-reduced counter contract)
+        return jax.jit(
+            jax.shard_map(
+                kernel,
+                mesh=mesh,
+                in_specs=(by_read_rows, by_read),
+                out_specs=result_cols,
+                check_vma=False,
+            )
+        )
 
     locate = make_batch_locate(spec, packed=packed)
 
@@ -104,7 +158,16 @@ def _make_locate_step(
             r1 = out["errors"] | ((out["score"] + _SCORE_BIAS) << 16)
             return jnp.stack([r0, r1])
 
-    return jax.jit(step)
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(
+        step,
+        in_shardings=(
+            NamedSharding(mesh, by_read_rows),
+            NamedSharding(mesh, by_read),
+        ),
+        out_shardings=NamedSharding(mesh, result_cols),
+    )
 
 
 def _pick_backend(packed: bool) -> str:
@@ -285,7 +348,6 @@ class AdapterTask:
         if native.AVAILABLE and isinstance(adapter.kmer_finder, KmerFinder):
             self.pf_tables = native.PrefilterTables(adapter.kmer_finder)
         self._backend = _pick_backend(self.packed)
-        self._step = _make_locate_step(self.spec, self.packed, self._backend)
 
     def run_index(self, chunk, starts, lens):
         """Per-read AdapterIndex lookups over the current windows.
@@ -375,18 +437,24 @@ class AdapterTask:
         """Dispatch the DP; drops to the XLA kernel if the Pallas
         backend fails to build/compile for this spec or shape. With
         wide=True, uses the unpacked XLA formulation whose result
-        fields are full int32 (long reads)."""
+        fields are full int32 (long reads). When a shard mesh is
+        active and the batch divides over it, the dispatch is
+        data-parallel across its devices."""
+        mesh = active_mesh_for(len(lengths))
         if wide:
-            return _make_locate_step(self.spec, self.packed, "xla", True)(
-                enc, lengths
-            )
+            return _make_locate_step(
+                self.spec, self.packed, "xla", True, mesh
+            )(enc, lengths)
         if self._backend == "pallas":
             try:
-                return self._step(enc, lengths)
+                return _make_locate_step(
+                    self.spec, self.packed, "pallas", False, mesh
+                )(enc, lengths)
             except Exception:
                 self._backend = "xla"
-                self._step = _make_locate_step(self.spec, self.packed, "xla")
-        return self._step(enc, lengths)
+        return _make_locate_step(
+            self.spec, self.packed, "xla", False, mesh
+        )(enc, lengths)
 
 
 class Stage:

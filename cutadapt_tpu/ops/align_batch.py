@@ -313,23 +313,29 @@ def make_batch_locate(
     pos_col = np.arange(1, m + 1, dtype=np.int32)[:, None]  # (m, 1)
 
     def init_column(min_n):
-        """Initial (cost, score, origin) column, shaped (m+1, B)."""
+        """Initial (cost, score, origin) column, shaped (m+1, B).
+
+        Zeros are written as `x * 0` on purpose: deriving them from
+        the data keeps the scan carry's varying-axes type consistent
+        when the whole program runs per-shard under shard_map
+        (jnp.zeros_like would produce unvarying constants and trip
+        the carry type check)."""
         i = jnp.asarray(idx_col)  # (m+1, 1)
         mn = min_n[None, :]  # (1, B)
         if not start_in_reference and not start_in_query:
-            score = i * DELETION_SCORE + jnp.zeros_like(mn)
+            score = i * DELETION_SCORE + mn * 0
             cost = jnp.maximum(i, mn) * del_cost
-            origin = jnp.zeros_like(i + mn)
+            origin = (i + mn) * 0
         elif start_in_reference and not start_in_query:
-            score = jnp.zeros_like(i + mn)
-            cost = mn * del_cost + jnp.zeros_like(i)
+            score = (i + mn) * 0
+            cost = mn * del_cost + i * 0
             origin = jnp.minimum(0, mn - i)
         elif not start_in_reference and start_in_query:
-            score = i * DELETION_SCORE + jnp.zeros_like(mn)
-            cost = i * del_cost + jnp.zeros_like(mn)
+            score = i * DELETION_SCORE + mn * 0
+            cost = i * del_cost + mn * 0
             origin = jnp.maximum(0, mn - i)
         else:
-            score = jnp.zeros_like(i + mn)
+            score = (i + mn) * 0
             cost = jnp.minimum(i, mn) * del_cost
             origin = mn - i
         B = min_n.shape[0]
@@ -367,25 +373,28 @@ def make_batch_locate(
         else:
             max_n = jnp.minimum(n, m + k)
         if stop_in_query:
-            min_n = jnp.zeros_like(n)
+            min_n = n * 0
         else:
             min_n = jnp.maximum(0, n - m - k)
 
         cost0, score0, origin0 = init_column(min_n)
+        # per-read zero derived from the input: see init_column's note
+        # on shard_map carry typing
+        zero_b = n * 0
         carry = dict(
             cost=cost0,
             score=score0,
             origin=origin0,
-            last=jnp.full((B,), init_last, jnp.int32),
-            last_filled=jnp.zeros((B,), jnp.int32),
-            stale_origin=jnp.zeros((B,), jnp.int32),
-            best_found=jnp.zeros((B,), bool),
-            best_cost=jnp.full((B,), INF_COST, jnp.int32),
-            best_score=jnp.zeros((B,), jnp.int32),
-            best_origin=jnp.zeros((B,), jnp.int32),
-            best_ref_stop=jnp.full((B,), m, jnp.int32),
+            last=zero_b + init_last,
+            last_filled=zero_b,
+            stale_origin=zero_b,
+            best_found=zero_b.astype(bool),
+            best_cost=zero_b + INF_COST,
+            best_score=zero_b,
+            best_origin=zero_b,
+            best_ref_stop=zero_b + m,
             best_query_stop=n,
-            done=jnp.zeros((B,), bool),
+            done=zero_b.astype(bool),
         )
 
         def column_step(carry, j):

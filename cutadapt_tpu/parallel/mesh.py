@@ -8,6 +8,13 @@ read chunks, see /root/reference/src/cutadapt/runners.py:38-140).
 Tensor/pipeline/sequence parallelism do not apply: there are no
 weight matrices to shard and each read is only a few hundred bases.
 
+The production engine shards exactly this way: with an active mesh
+(batch_pipeline.set_shard_mesh / CUTADAPT_TPU_DEVICES), every DP
+dispatch runs data-parallel over the devices (jit shardings for the
+XLA formulation, shard_map around the Pallas kernel), with the
+mergeable host Statistics as the reduction. This module additionally
+demonstrates the on-device reduction form of that contract.
+
 What *is* communicated between chips are the fixed-shape statistics
 counters: the per-adapter (trimmed-length × error-count) histogram,
 the adjacent-base counts and the written-length histogram are reduced
@@ -42,6 +49,7 @@ def make_sharded_trim_step(
     mesh: Mesh,
     max_len: int,
     jit: bool = True,
+    min_length: int = 0,
 ):
     """
     Build a sharded step: (queries (B, L) uint8 raw, lengths (B,)) ->
@@ -86,13 +94,21 @@ def make_sharded_trim_step(
         other = jnp.sum(found).astype(jnp.int32) - known
         adjacent = jnp.stack(counts + [other])
 
-        # written length histogram
+        # filter counters + written length histogram over kept reads
+        too_short = stops < min_length
+        kept = ~too_short
         wl = jnp.zeros((max_len + 1,), jnp.int32)
-        wl = wl.at[jnp.clip(stops, 0, max_len)].add(1)
+        wl = wl.at[jnp.clip(stops, 0, max_len)].add(kept.astype(jnp.int32))
 
         hist = jax.lax.psum(hist, "data")
         adjacent = jax.lax.psum(adjacent, "data")
         wl = jax.lax.psum(wl, "data")
+        n_too_short = jax.lax.psum(
+            jnp.sum(too_short).astype(jnp.int32), "data"
+        )
+        written_bp = jax.lax.psum(
+            jnp.sum(jnp.where(kept, stops, 0), dtype=jnp.int32), "data"
+        )
         # per-step bp fits int32 (batch * max_len); the host-side
         # accumulator holds the unbounded total as a Python int
         total_bp = jax.lax.psum(jnp.sum(lengths, dtype=jnp.int32), "data")
@@ -102,7 +118,9 @@ def make_sharded_trim_step(
             adjacent_bases=adjacent,
             written_lengths=wl,
             total_bp=total_bp,
+            written_bp=written_bp,
             with_adapters=n_with,
+            filtered_too_short=n_too_short,
         )
         return stops, found, stats
 
@@ -111,18 +129,15 @@ def make_sharded_trim_step(
         adjacent_bases=P(),
         written_lengths=P(),
         total_bp=P(),
+        written_bp=P(),
         with_adapters=P(),
+        filtered_too_short=P(),
     )
-    # The DP kernel's scan carries constant-initialized state, which
-    # jax's manual-axes type check flags as unvarying-vs-varying; the
-    # program is correct (pure per-shard batch work + explicit psums),
-    # so opt out of the check.
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P("data", None), P("data")),
         out_specs=(P("data"), P("data"), stats_specs),
-        check_vma=False,
     )
     if jit:
         fn = jax.jit(fn)

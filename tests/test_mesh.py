@@ -88,3 +88,63 @@ def test_sharded_step_matches_single_device():
     )
     adj = np.asarray(stats["adjacent_bases"])
     assert int(adj.sum()) == int(ref_found.sum())
+
+
+def test_engine_sharded_dispatch_matches_single_device():
+    """BatchPipelineEngine with an active shard mesh must produce
+    byte-identical output to single-device execution."""
+    import random
+
+    from cutadapt_tpu.adapters import BackAdapter, FrontAdapter
+    from cutadapt_tpu.batch_pipeline import (
+        AdapterStage,
+        AdapterTask,
+        BatchPipelineEngine,
+        FilterSpec,
+        QualityStage,
+        set_shard_mesh,
+    )
+    from cutadapt_tpu.io.chunks import assemble_window, parse_fastq_chunk
+
+    rng = random.Random(21)
+    recs = []
+    for i in range(600):
+        L = rng.randint(5, 90)
+        s = "".join(rng.choice("ACGT") for _ in range(L))
+        if rng.random() < 0.4 and L > 20:
+            p = rng.randint(0, L - 14)
+            s = (s[:p] + ADAPTER + s[p:])[:L]
+        q = "".join(chr(rng.randint(35, 70)) for _ in s)
+        recs.append(f"@r{i} c\n{s}\n+\n{q}\n")
+    data = "".join(recs).encode()
+
+    def run(mesh):
+        set_shard_mesh(mesh)
+        try:
+            engine = BatchPipelineEngine(
+                [
+                    QualityStage(0, 12),
+                    AdapterStage([
+                        AdapterTask(
+                            BackAdapter(ADAPTER, max_errors=0.1,
+                                        min_overlap=3), "back", 0),
+                        AdapterTask(
+                            FrontAdapter("TTGGCCAA", max_errors=0.1,
+                                         min_overlap=3), "front", 1),
+                    ]),
+                ],
+                [FilterSpec("too_short", 10)],
+                min_dp_batch=64,
+                max_dp_batch=256,
+            )
+            parsed = parse_fastq_chunk(data)
+            ws, we, keep, stats = engine.process_parsed(parsed)
+            return assemble_window(parsed, ws, we, keep), stats
+        finally:
+            set_shard_mesh(None)
+
+    out_single, stats_single = run(None)
+    out_sharded, stats_sharded = run(make_mesh(jax.devices()[:8]))
+    assert out_sharded == out_single
+    assert stats_sharded["with_adapters"] == stats_single["with_adapters"]
+    assert stats_sharded["filter_counts"] == stats_single["filter_counts"]
