@@ -1,0 +1,34 @@
+"""
+Golden suites with the batch (TPU) path forced on.
+
+The auto-activation threshold keeps the tiny golden inputs on the host
+path by default, so without this lane nothing would continuously prove
+the claim that the full golden suite passes through the batch engine.
+Runs the two end-to-end suites in a subprocess with
+CUTADAPT_TPU_BATCH=1 (compile results come from the persistent test
+cache, so the second run is cheap).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.timeout(1800)
+def test_golden_suites_with_batch_forced():
+    here = os.path.dirname(__file__)
+    env = {**os.environ, "CUTADAPT_TPU_BATCH": "1"}
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+            os.path.join(here, "test_commandline.py"),
+            os.path.join(here, "test_paired.py"),
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1700,
+    )
+    assert proc.returncode == 0, proc.stdout[-4000:] + proc.stderr[-2000:]
