@@ -641,11 +641,38 @@ def _translate_paired(pipeline, interleaved=False):
         if has_special and (interleaved or not isinstance(st[-1], AdapterStage)):
             return None
 
+    from .steps import CombinatorialDemultiplexer, PairedDemultiplexer
+
     pair_filters = []  # (step, kind1/None, thr1, kind2/None, thr2, mode)
     sink = None
     for step in pipeline._steps:
         if isinstance(step, PairedEndSink):
             if sink is not None or not writer_ok(step.writer):
+                return None
+            sink = step
+            continue
+        if isinstance(step, (PairedDemultiplexer, CombinatorialDemultiplexer)):
+            if sink is not None or interleaved:
+                return None
+            # routing needs adapter matches: R1 decides for paired
+            # demux, both sides for combinatorial
+            if cutters[0] is None:
+                return None
+            if isinstance(step, CombinatorialDemultiplexer) and (
+                cutters[1] is None
+            ):
+                return None
+            if any(
+                _transform_action(st) is not None
+                or _revcomp_stage(st) is not None
+                for st in (stages1, stages2)
+            ):
+                return None
+            writers = list(step._writers.values())
+            untrimmed = getattr(step, "_untrimmed_writer", None)
+            if untrimmed is not None:
+                writers.append(untrimmed)
+            if not all(writer_ok(w) for w in writers):
                 return None
             sink = step
             continue
@@ -802,6 +829,78 @@ def _pair_match(engines, chunks, windows, pair_stage):
     return matched
 
 
+def _paired_demux_router(demux, stages1, stages2):
+    """Routing function for paired/combinatorial demultiplexing on the
+    batch path: R1's last match routes paired demux, the (R1, R2)
+    match combination routes combinatorial demux (reference
+    steps.py:422-580 semantics). Keeps input order within every output
+    file by merging the masks of routes sharing a writer."""
+    from .io.chunks import assemble_window
+    from .steps import CombinatorialDemultiplexer
+
+    stage1 = next(s for s in stages1 if hasattr(s, "flat_adapters"))
+    names1 = [a.name for a in stage1.flat_adapters]
+    combinatorial = isinstance(demux, CombinatorialDemultiplexer)
+    if combinatorial:
+        stage2 = next(s for s in stages2 if hasattr(s, "flat_adapters"))
+        names2 = [a.name for a in stage2.flat_adapters]
+
+    def write_pair(writer, c1, ws1, we1, c2, ws2, we2, mask):
+        writer._writer1._file.write(assemble_window(c1, ws1, we1, mask))
+        writer._writer2._file.write(assemble_window(c2, ws2, we2, mask))
+        demux._statistics.add_histogram(
+            np.bincount((we1 - ws1)[mask]), side=1
+        )
+        demux._statistics.add_histogram(
+            np.bincount((we2 - ws2)[mask]), side=2
+        )
+
+    def flush(per_writer, c1, ws1, we1, c2, ws2, we2):
+        for writer, mask in per_writer.values():
+            if mask.any():
+                write_pair(writer, c1, ws1, we1, c2, ws2, we2, mask)
+
+    def merge(per_writer, writer, mask):
+        key = id(writer)
+        if key in per_writer:
+            per_writer[key] = (writer, per_writer[key][1] | mask)
+        else:
+            per_writer[key] = (writer, mask)
+
+    def route(c1, c2, ws1, we1, ws2, we2, keep, stats1, stats2):
+        g1 = stats1["last_adapter_gid"]
+        per_writer = {}
+        if not combinatorial:
+            for gid, name in enumerate(names1):
+                merge(per_writer, demux._writers[name], keep & (g1 == gid))
+            flush(per_writer, c1, ws1, we1, c2, ws2, we2)
+            untrimmed = keep & (g1 == -1)
+            if demux._untrimmed_writer is not None:
+                if untrimmed.any():
+                    write_pair(
+                        demux._untrimmed_writer,
+                        c1, ws1, we1, c2, ws2, we2, untrimmed,
+                    )
+            else:
+                demux._filtered += int(untrimmed.sum())
+            return
+        g2 = stats2["last_adapter_gid"]
+        span = len(names2) + 1
+        codes = (g1.astype(np.int64) + 1) * span + (g2 + 1)
+        for code in np.unique(codes[keep]):
+            a1, a2 = int(code) // span - 1, int(code) % span - 1
+            key = (
+                names1[a1] if a1 >= 0 else None,
+                names2[a2] if a2 >= 0 else None,
+            )
+            writer = demux._writers.get(key)
+            if writer is not None:  # unknown combos are dropped silently
+                merge(per_writer, writer, keep & (codes == code))
+        flush(per_writer, c1, ws1, we1, c2, ws2, we2)
+
+    return route
+
+
 def _pair_condition(t, chunk, ws, we, lengths, matched):
     from .batch_pipeline import filter_condition
 
@@ -888,17 +987,26 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
     if not native.AVAILABLE:
         return None  # the paired name check needs the native lib
 
+    from .steps import CombinatorialDemultiplexer, PairedDemultiplexer
+
     engine1 = BatchPipelineEngine(stages1)
     engine2 = BatchPipelineEngine(stages2)
     assemble1 = _stages_assembler(stages1)
     assemble2 = _stages_assembler(stages2)
-    if isinstance(sink.writer, InterleavedSequenceWriter):
-        inter_out = sink.writer._writer._file
-        out1 = out2 = None
+    demux = (
+        sink
+        if isinstance(sink, (PairedDemultiplexer, CombinatorialDemultiplexer))
+        else None
+    )
+    inter_out = out1 = out2 = None
+    if demux is None:
+        if isinstance(sink.writer, InterleavedSequenceWriter):
+            inter_out = sink.writer._writer._file
+        else:
+            out1 = sink.writer._writer1._file
+            out2 = sink.writer._writer2._file
     else:
-        inter_out = None
-        out1 = sink.writer._writer1._file
-        out2 = sink.writer._writer2._file
+        router = _paired_demux_router(demux, stages1, stages2)
     n = 0
     bp1 = 0
     bp2 = 0
@@ -1001,13 +1109,17 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
                         assemble2(c2, ws2, we2, newly, stats2)
                     )
             keep &= ~drop
-        if inter_out is not None:
+        if demux is not None:
+            router(c1, c2, ws1, we1, ws2, we2, keep, stats1, stats2)
+        elif inter_out is not None:
             interleave_write(inter_out, full, ws1, we1, ws2, we2, keep)
+            wl.add_histogram(np.bincount(len1[keep]), side=1)
+            wl.add_histogram(np.bincount(len2[keep]), side=2)
         else:
             out1.write(assemble1(c1, ws1, we1, keep, stats1))
             out2.write(assemble2(c2, ws2, we2, keep, stats2))
-        wl.add_histogram(np.bincount(len1[keep]), side=1)
-        wl.add_histogram(np.bincount(len2[keep]), side=2)
+            wl.add_histogram(np.bincount(len1[keep]), side=1)
+            wl.add_histogram(np.bincount(len2[keep]), side=2)
         bp1 += _apply_side_stats(stats1, stages1, cutters[0], None)
         bp2 += _apply_side_stats(stats2, stages2, cutters[1], None)
         n += stats1["n"]

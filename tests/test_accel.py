@@ -136,3 +136,84 @@ def test_fastpath_demux(tmp_path, monkeypatch):
             p.name: p.read_bytes() for p in sorted(d.iterdir())
         }
     assert outs["1"] == outs["0"]
+
+
+def _spy_engagement(monkeypatch):
+    """Record whether the batch path actually ran (guards against the
+    parity test passing trivially because both runs fell back)."""
+    import cutadapt_tpu.accel as accel_mod
+
+    state = {}
+    original = accel_mod.try_run_accelerated
+
+    def spy(pipeline, infiles, progress):
+        result = original(pipeline, infiles, progress)
+        state["engaged"] = result is not None
+        return result
+
+    monkeypatch.setattr(accel_mod, "try_run_accelerated", spy)
+    return state
+
+
+def _make_paired_demux_reads(tmp_path, barcodes1, barcodes2, n=700, seed=9):
+    rng = random.Random(seed)
+    p1 = tmp_path / "pd1.fastq"
+    p2 = tmp_path / "pd2.fastq"
+    with open(p1, "w") as f1, open(p2, "w") as f2:
+        for i in range(n):
+            for f, codes in ((f1, barcodes1), (f2, barcodes2)):
+                L = rng.randint(20, 70)
+                s = "".join(rng.choice("ACGT") for _ in range(L))
+                if rng.random() < 0.7:
+                    s = codes[rng.randrange(len(codes))] + s
+                f.write(f"@pd{i}\n{s}\n+\n{'I' * len(s)}\n")
+    return p1, p2
+
+
+@pytest.mark.parametrize("discard_untrimmed", [False, True])
+def test_fastpath_paired_demux(tmp_path, monkeypatch, discard_untrimmed):
+    spy = _spy_engagement(monkeypatch)
+    codes = ["ACGTACGTAC", "TTGACCGGAA"]
+    bc = tmp_path / "bc.fasta"
+    bc.write_text("".join(f">b{i}\n{b}\n" for i, b in enumerate(codes)))
+    p1, p2 = _make_paired_demux_reads(tmp_path, codes, ["AAAA"])
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        d = tmp_path / f"pdout-{env}"
+        d.mkdir()
+        argv = ["--quiet", "-g", f"^file:{bc}", "-e", "1", "--no-indels",
+                "-o", str(d / "{name}.1.fastq"),
+                "-p", str(d / "{name}.2.fastq")]
+        if discard_untrimmed:
+            argv.append("--discard-untrimmed")
+        main(argv + [str(p1), str(p2)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        outs[env] = {p.name: p.read_bytes() for p in sorted(d.iterdir())}
+    assert outs["1"] == outs["0"]
+
+
+def test_fastpath_combinatorial_demux(tmp_path, monkeypatch):
+    spy = _spy_engagement(monkeypatch)
+    codes1 = ["ACGTACGTAC", "TTGACCGGAA"]
+    codes2 = ["GGATCCATGC", "CCTTAAGGTT"]
+    b1 = tmp_path / "bc1.fasta"
+    b2 = tmp_path / "bc2.fasta"
+    b1.write_text("".join(f">x{i}\n{b}\n" for i, b in enumerate(codes1)))
+    b2.write_text("".join(f">y{i}\n{b}\n" for i, b in enumerate(codes2)))
+    p1, p2 = _make_paired_demux_reads(tmp_path, codes1, codes2, seed=10)
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        d = tmp_path / f"cdout-{env}"
+        d.mkdir()
+        main(["--quiet", "-g", f"^file:{b1}", "-G", f"^file:{b2}",
+              "-e", "1", "--no-indels",
+              "-o", str(d / "{name1}_{name2}.1.fastq"),
+              "-p", str(d / "{name1}_{name2}.2.fastq"),
+              str(p1), str(p2)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        outs[env] = {p.name: p.read_bytes() for p in sorted(d.iterdir())}
+    assert outs["1"] == outs["0"]
