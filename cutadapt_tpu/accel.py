@@ -231,15 +231,26 @@ def _translate_predicate(pred):
 
 def _translate_single(pipeline):
     """Map an eligible single-end host pipeline to (stages, filters,
-    cutter, sink_or_demux) or None. The final step may be a plain sink
-    or a Demultiplexer (all of whose writers must be FastqWriters)."""
-    from .batch_pipeline import FilterSpec
+    cutter, sink_or_demux, renamer) or None. The final step may be a
+    plain sink or a Demultiplexer (all of whose writers must be
+    FastqWriters)."""
+    from .batch_pipeline import CutStage, FilterSpec
+    from .modifiers import Renamer
     from .steps import Demultiplexer, SingleEndFilter, SingleEndSink
     from .io.fastq import FastqWriter
 
+    modifiers = list(pipeline._modifiers)
+    rename = None
+    if modifiers and type(modifiers[-1]) is Renamer:
+        rename = modifiers.pop()
+        used = {text for is_field, text in rename._parts if is_field}
+        if "match_sequence" in used:
+            # per-match byte ranges are not retained by the engine
+            return None
+
     stages = []
     cutter = None
-    for mod in pipeline._modifiers:
+    for mod in modifiers:
         t = _translate_modifier(mod, cutter is not None)
         if t is None:
             return None
@@ -247,6 +258,20 @@ def _translate_single(pipeline):
         if stage_cutter is not None:
             cutter = stage_cutter
         stages.append(stage)
+
+    if rename is not None:
+        if _transform_action(stages) is not None or _revcomp_stage(stages):
+            return None  # those assemblers read headers from the chunk
+        if {"cut_prefix", "cut_suffix"} & used:
+            # cut bytes are recovered from the original reads, which
+            # requires the cuts to run before any other stage
+            past_cuts = False
+            for s in stages:
+                if isinstance(s, CutStage):
+                    if past_cuts:
+                        return None
+                else:
+                    past_cuts = True
     rc_stage = _revcomp_stage(stages)
     if _transform_action(stages) is not None or rc_stage is not None:
         from .batch_pipeline import AdapterStage
@@ -294,7 +319,7 @@ def _translate_single(pipeline):
         filters.append(FilterSpec(t[0], t[1], step))
     if sink is None:
         return None
-    return stages, filters, cutter, sink
+    return stages, filters, cutter, sink, rename
 
 
 def _transform_action(stages):
@@ -391,6 +416,75 @@ def _apply_side_stats(stats, stages, cutter, written_lengths):
     return stats["total_bp"]
 
 
+def _rename_headers(chunk, rename, gids, adapter_names, cut_lengths):
+    """A ParsedChunk whose headers are the --rename template's output.
+
+    Built as original-buffer + new-headers concatenation so sequence/
+    quality offsets stay valid and every assembler works unchanged;
+    the header offsets point into the appended region. Field values
+    follow Renamer's per-read semantics (modifiers.py): {id}/{comment}
+    split the header on whitespace, {adapter_name} is the last match's
+    adapter (or 'no_adapter'), {cut_prefix}/{cut_suffix} are the bytes
+    the unconditional cuts removed, {rc} is empty (revcomp+rename runs
+    on the host path)."""
+    from .io.chunks import ParsedChunk
+
+    parts = [
+        (is_field, text if is_field else text.encode("latin-1"))
+        for is_field, text in rename._parts
+    ]
+    used = {text for is_field, text in rename._parts if is_field}
+    need_split = bool({"id", "comment"} & used)
+    need_cuts = bool({"cut_prefix", "cut_suffix"} & used)
+    names = [name.encode("latin-1") for name in adapter_names]
+    buf, hs, he = chunk.buf, chunk.head_start, chunk.head_end
+    ss, sl = chunk.seq_start, chunk.seq_len
+
+    new_heads = []
+    for i in range(chunk.n_records):
+        header = bytes(buf[hs[i] : he[i]])
+        values = {"header": header, "rc": b""}
+        if need_split:
+            fields = header.split(None, 1)
+            values["id"] = fields[0] if fields else b""
+            values["comment"] = fields[1] if len(fields) == 2 else b""
+        if "adapter_name" in used:
+            g = int(gids[i])
+            values["adapter_name"] = names[g] if g >= 0 else b"no_adapter"
+        if need_cuts:
+            start, end = 0, int(sl[i])
+            prefix = suffix = b""
+            for length in cut_lengths:
+                if length > 0:
+                    stop = min(start + length, end)
+                    prefix = bytes(buf[ss[i] + start : ss[i] + stop])
+                    start = stop
+                elif length < 0:
+                    begin = max(end + length, start)
+                    suffix = bytes(buf[ss[i] + begin : ss[i] + end])
+                    end = begin
+            values["cut_prefix"] = prefix
+            values["cut_suffix"] = suffix
+        new_heads.append(
+            b"".join(
+                values[text] if is_field else text
+                for is_field, text in parts
+            )
+        )
+
+    head_bytes = b"".join(new_heads)
+    lens = np.array([len(h) for h in new_heads], np.int64)
+    ends = np.cumsum(lens)
+    base = len(buf)
+    combined = np.concatenate(
+        [buf, np.frombuffer(head_bytes, np.uint8)]
+    )
+    return ParsedChunk(
+        combined, base + ends - lens, base + ends, ss, sl,
+        chunk.qual_start, has_cr=chunk.has_cr,
+    )
+
+
 def _activation_allowed(infile) -> bool:
     env = os.environ.get("CUTADAPT_TPU_BATCH")
     if env == "1":
@@ -477,7 +571,7 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
     translated = _translate_single(pipeline)
     if translated is None:
         return None
-    stages, filters, cutter, sink = translated
+    stages, filters, cutter, sink, rename = translated
     _setup_jax()
 
     from .io.chunks import parse_fastq_chunk
@@ -510,10 +604,29 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
 
     assemble = _stages_assembler(stages)
 
+    if rename is not None:
+        from .batch_pipeline import CutStage
+
+        adapter_stage = next(
+            (s for s in stages if hasattr(s, "flat_adapters")), None
+        )
+        rename_names = (
+            [a.name for a in adapter_stage.flat_adapters]
+            if adapter_stage is not None else []
+        )
+        rename_cuts = [
+            s.length for s in stages if isinstance(s, CutStage)
+        ]
+
     def emit(pending):
         nonlocal n, total_bp
         ws, we, keep, stats = engine.collect(pending)
         chunk = pending.parsed
+        if rename is not None:
+            chunk = _rename_headers(
+                chunk, rename, stats["last_adapter_gid"],
+                rename_names, rename_cuts,
+            )
         written_lengths = None
         if demux is None:
             out_file.write(assemble(chunk, ws, we, keep, stats))

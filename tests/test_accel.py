@@ -64,6 +64,10 @@ CONFIGS = [
      False),
     ("se_mask", ["-a", "a1=" + A3, "--action=mask"], False),
     ("se_revcomp", ["-a", "a1=" + A3, "--revcomp", "-m", "12"], False),
+    ("se_rename", ["-u", "3", "-u", "-2", "-a", "a1=" + A3,
+                   "--rename",
+                   "{id} bc={cut_prefix} tail={cut_suffix} "
+                   "ad={adapter_name} c={comment}"], False),
     ("pe_basic", ["-a", "a1=" + A3, "-A", "a2=" + A5, "-q", "12",
                   "-m", "15", "--pair-filter=both"], True),
     ("pe_pair_adapters", ["--pair-adapters", "-a", "a1=" + A3,
@@ -71,9 +75,28 @@ CONFIGS = [
 ]
 
 
+def _spy_engagement(monkeypatch):
+    """Record whether the batch path actually ran (guards against the
+    parity test passing trivially because both runs fell back)."""
+    import cutadapt_tpu.accel as accel_mod
+
+    state = {}
+    original = accel_mod.try_run_accelerated
+
+    def spy(pipeline, infiles, progress):
+        result = original(pipeline, infiles, progress)
+        state["engaged"] = result is not None
+        return result
+
+    monkeypatch.setattr(accel_mod, "try_run_accelerated", spy)
+    return state
+
+
+
 @pytest.mark.parametrize("name,args,paired", CONFIGS,
                          ids=[c[0] for c in CONFIGS])
 def test_fastpath_matches_host(tmp_path, monkeypatch, name, args, paired):
+    spy = _spy_engagement(monkeypatch)
     inputs = make_reads(tmp_path / "in.fastq", paired=paired)
     outs = {}
     reports = {}
@@ -86,6 +109,8 @@ def test_fastpath_matches_host(tmp_path, monkeypatch, name, args, paired):
         if paired:
             argv += ["-p", str(out2)]
         main(argv + [str(p) for p in inputs])
+        if env == "1":
+            assert spy.get("engaged"), f"batch path did not engage: {name}"
         data = out1.read_bytes()
         if paired:
             data += b"\x00" + out2.read_bytes()
@@ -137,22 +162,6 @@ def test_fastpath_demux(tmp_path, monkeypatch):
         }
     assert outs["1"] == outs["0"]
 
-
-def _spy_engagement(monkeypatch):
-    """Record whether the batch path actually ran (guards against the
-    parity test passing trivially because both runs fell back)."""
-    import cutadapt_tpu.accel as accel_mod
-
-    state = {}
-    original = accel_mod.try_run_accelerated
-
-    def spy(pipeline, infiles, progress):
-        result = original(pipeline, infiles, progress)
-        state["engaged"] = result is not None
-        return result
-
-    monkeypatch.setattr(accel_mod, "try_run_accelerated", spy)
-    return state
 
 
 def _make_paired_demux_reads(tmp_path, barcodes1, barcodes2, n=700, seed=9):
