@@ -229,15 +229,19 @@ def _translate_predicate(pred):
     return (pred.kind, pred.threshold)
 
 
-def _translate_single(pipeline):
+def _translate_single(pipeline, fasta: bool = False):
     """Map an eligible single-end host pipeline to (stages, filters,
     cutter, sink_or_demux, renamer) or None. The final step may be a
-    plain sink or a Demultiplexer (all of whose writers must be
-    FastqWriters)."""
+    plain sink or a Demultiplexer; every writer must be a Fastq- or
+    FastaWriter (FASTA input requires FASTA output — a FASTQ writer
+    would raise on the host path, which must stay in charge of that
+    error)."""
     from .batch_pipeline import CutStage, FilterSpec
     from .modifiers import Renamer
     from .steps import Demultiplexer, SingleEndFilter, SingleEndSink
-    from .io.fastq import FastqWriter
+    from .io.fastq import FastaWriter, FastqWriter
+
+    writer_classes = (FastaWriter,) if fasta else (FastqWriter, FastaWriter)
 
     modifiers = list(pipeline._modifiers)
     rename = None
@@ -276,15 +280,33 @@ def _translate_single(pipeline):
     if _transform_action(stages) is not None or rc_stage is not None:
         from .batch_pipeline import AdapterStage
 
+        if fasta:
+            return None  # fastq-only assemblers
         # later stages would see un-transformed / forward bytes
         if not isinstance(stages[-1], AdapterStage):
             return None
+    if fasta:
+        from .batch_pipeline import NextseqStage, QualityStage
+
+        # FASTA carries no qualities; the host path owns the error
+        if any(isinstance(s, (QualityStage, NextseqStage)) for s in stages):
+            return None
+
+    fastq_only_assembly = (
+        _transform_action(stages) is not None or rc_stage is not None
+    )
+
+    def writer_ok(w):
+        # transform/rc assembly rewrites FASTQ bytes natively
+        if fastq_only_assembly and not isinstance(w, FastqWriter):
+            return False
+        return isinstance(w, writer_classes)
 
     filters = []
     sink = None
     for step in pipeline._steps:
         if isinstance(step, SingleEndSink):
-            if sink is not None or not isinstance(step.writer, FastqWriter):
+            if sink is not None or not writer_ok(step.writer):
                 return None
             sink = step
             continue
@@ -296,19 +318,21 @@ def _translate_single(pipeline):
             writers = list(step._writers.values())
             if step._untrimmed_writer is not None:
                 writers.append(step._untrimmed_writer)
-            if not all(isinstance(w, FastqWriter) for w in writers):
+            if not all(writer_ok(w) for w in writers):
                 return None
             sink = step
             continue
         if sink is not None or not isinstance(step, SingleEndFilter):
             return None
-        if step._writer is not None and not isinstance(
-            step._writer, FastqWriter
-        ):
+        if step._writer is not None and not writer_ok(step._writer):
             return None
         t = _translate_predicate(step._predicate)
         if t is None:
             return None
+        if fasta and t[0] in (
+            "too_many_expected_errors", "too_high_average_error_rate",
+        ):
+            return None  # quality-based predicates need FASTQ
         if rc_stage is not None and t[0] in (
             "too_many_expected_errors", "too_high_average_error_rate",
             "too_many_n",
@@ -538,13 +562,19 @@ def _setup_mesh(jax) -> None:
     set_shard_mesh(Mesh(np.array(devices), ("reads",)))
 
 
-def _is_fastq(infile) -> bool:
+def _input_format(infile) -> Optional[str]:
+    """'fastq' / 'fasta' when the batch path can parse this input."""
     from .io.files import detect_file_format, FileFormat
 
     try:
-        return detect_file_format(infile) == FileFormat.FASTQ
+        detected = detect_file_format(infile)
     except Exception:
-        return False
+        return None
+    if detected == FileFormat.FASTQ:
+        return "fastq"
+    if detected == FileFormat.FASTA:
+        return "fasta"
+    return None
 
 
 def try_run_accelerated(pipeline, infiles, progress) -> Optional[Statistics]:
@@ -566,37 +596,47 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
     if infiles.interleaved or len(infiles._files) != 1:
         return None
     infile = infiles._files[0]
-    if not _activation_allowed(infile) or not _is_fastq(infile):
+    fmt = _input_format(infile)
+    if not _activation_allowed(infile) or fmt is None:
         return None
-    translated = _translate_single(pipeline)
+    fasta_in = fmt == "fasta"
+    translated = _translate_single(pipeline, fasta=fasta_in)
     if translated is None:
         return None
     stages, filters, cutter, sink, rename = translated
     _setup_jax()
 
-    from .io.chunks import parse_fastq_chunk
+    from .io.chunks import (
+        assemble_fasta_window,
+        assemble_window,
+        parse_fasta_chunk,
+        parse_fastq_chunk,
+    )
     from .batch_pipeline import BatchPipelineEngine
-    from .io.chunks import assemble_window
-    from .io.fastq import read_chunks
+    from .io.fastq import FastaWriter, read_chunks
 
     engine = BatchPipelineEngine(stages, filters)
 
     from .steps import Demultiplexer
 
+    def out_of(writer):
+        """(file, writes_fasta) for one record writer."""
+        return (writer._file, isinstance(writer, FastaWriter))
+
     demux = sink if isinstance(sink, Demultiplexer) else None
-    out_file = None if demux else sink.writer._file
+    out_file, out_fasta = (None, False) if demux else out_of(sink.writer)
     filter_files = [
-        f.step._writer._file if f.step._writer is not None else None
+        out_of(f.step._writer) if f.step._writer is not None else None
         for f in filters
     ]
     if demux is not None:
         # gid (flattened adapter position) -> output file
         stage = next(s for s in stages if hasattr(s, "flat_adapters"))
         demux_files = [
-            demux._writers[a.name]._file for a in stage.flat_adapters
+            out_of(demux._writers[a.name]) for a in stage.flat_adapters
         ]
         untrimmed_file = (
-            demux._untrimmed_writer._file
+            out_of(demux._untrimmed_writer)
             if demux._untrimmed_writer is not None else None
         )
     n = 0
@@ -618,6 +658,11 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
             s.length for s in stages if isinstance(s, CutStage)
         ]
 
+    def render(chunk, ws, we, mask, stats, writes_fasta):
+        if writes_fasta:
+            return assemble_fasta_window(chunk, ws, we, mask)
+        return assemble(chunk, ws, we, mask, stats)
+
     def emit(pending):
         nonlocal n, total_bp
         ws, we, keep, stats = engine.collect(pending)
@@ -629,7 +674,7 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
             )
         written_lengths = None
         if demux is None:
-            out_file.write(assemble(chunk, ws, we, keep, stats))
+            out_file.write(render(chunk, ws, we, keep, stats, out_fasta))
             written_lengths = sink._statistics
         else:
             gids = stats["last_adapter_gid"]
@@ -637,30 +682,33 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
             # merge gids sharing one output file (duplicate adapter
             # names) so records stay in input order within each file
             per_file = {}
-            for gid, ff in enumerate(demux_files):
+            for gid, out in enumerate(demux_files):
                 mask = keep & (gids == gid)
-                if id(ff) in per_file:
-                    per_file[id(ff)] = (ff, per_file[id(ff)][1] | mask)
+                if id(out[0]) in per_file:
+                    prev = per_file[id(out[0])]
+                    per_file[id(out[0])] = (out, prev[1] | mask)
                 else:
-                    per_file[id(ff)] = (ff, mask)
-            for ff, mask in per_file.values():
-                if mask.any():
-                    ff.write(assemble_window(chunk, ws, we, mask))
-                    dl.add_histogram(np.bincount((we - ws)[mask]))
-            untrimmed = keep & (gids == -1)
+                    per_file[id(out[0])] = (out, mask)
             if untrimmed_file is not None:
-                if untrimmed.any():
-                    untrimmed_file.write(
-                        assemble_window(chunk, ws, we, untrimmed)
-                    )
-                    dl.add_histogram(np.bincount((we - ws)[untrimmed]))
+                per_file.setdefault(
+                    id(untrimmed_file[0]), (untrimmed_file, None)
+                )
+                untr = keep & (gids == -1)
+                ff, mask = per_file[id(untrimmed_file[0])]
+                per_file[id(untrimmed_file[0])] = (
+                    ff, untr if mask is None else (mask | untr)
+                )
             else:
-                demux._filtered += int(untrimmed.sum())
+                demux._filtered += int((keep & (gids == -1)).sum())
+            for (ff, writes_fasta), mask in per_file.values():
+                if mask is not None and mask.any():
+                    ff.write(render(chunk, ws, we, mask, stats, writes_fasta))
+                    dl.add_histogram(np.bincount((we - ws)[mask]))
         # routed filter outputs (--too-short-output etc.): records a
         # filter dropped, in input order, with their state at drop time
-        for ff, newly in zip(filter_files, stats["filter_dropped_masks"]):
-            if ff is not None and newly.any():
-                ff.write(assemble(chunk, ws, we, newly, stats))
+        for out, newly in zip(filter_files, stats["filter_dropped_masks"]):
+            if out is not None and newly.any():
+                out[0].write(render(chunk, ws, we, newly, stats, out[1]))
         for f, count in zip(filters, stats.get("filter_counts", ())):
             f.step._filtered += count
         total_bp += _apply_side_stats(stats, stages, cutter, written_lengths)
@@ -668,12 +716,21 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
         if progress is not None:
             progress.update(stats["n"])
 
-    _pipelined_drive(
-        (parse_fastq_chunk(data)
-         for data in read_chunks(infile, CHUNK_RECORDS_BYTES)),
-        engine.submit,
-        emit,
-    )
+    if fasta_in:
+        def producer():
+            line = 0
+            for data in read_chunks(infile, CHUNK_RECORDS_BYTES):
+                yield parse_fasta_chunk(data, first_line=line)
+                line += int(
+                    (np.frombuffer(data, np.uint8) == 10).sum()
+                )
+        chunks_iter = producer()
+    else:
+        chunks_iter = (
+            parse_fastq_chunk(data)
+            for data in read_chunks(infile, CHUNK_RECORDS_BYTES)
+        )
+    _pipelined_drive(chunks_iter, engine.submit, emit)
     infiles.close()
     if progress is not None:
         progress.close()
@@ -1082,7 +1139,9 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         f1, f2 = infiles._files
     if not _activation_allowed(f1):
         return None
-    if not _is_fastq(f1) or (f2 is not None and not _is_fastq(f2)):
+    if _input_format(f1) != "fastq" or (
+        f2 is not None and _input_format(f2) != "fastq"
+    ):
         return None
     translated = _translate_paired(pipeline, interleaved_in)
     if translated is None:

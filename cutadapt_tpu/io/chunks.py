@@ -191,3 +191,117 @@ def assemble_window(chunk, win_start, win_stop, keep) -> bytes:
         has_cr=chunk.has_cr,
     )
     return _assemble_fastq_np(sub, (win_stop[idx] - win_start[idx]))
+
+
+_WS_TABLE = np.zeros(256, bool)
+for _b in b"\t\x0b\x0c\r ":
+    _WS_TABLE[_b] = True
+
+
+def parse_fasta_chunk(data, first_line: int = 0) -> ParsedChunk:
+    """Parse a record-aligned FASTA chunk into a ParsedChunk.
+
+    Semantics mirror the per-record FASTA reader (io/fastq.parse_fasta):
+    every line is whitespace-stripped at both ends, '#' lines are
+    comments, blank lines are ignored, sequences may span lines.
+    The multi-line sequences are compacted into a contiguous region
+    appended to the chunk buffer, so all window/assembly machinery
+    works unchanged; quality offsets alias the sequence (FASTA has
+    none — quality-dependent stages must not run).
+
+    first_line -- absolute line number of the chunk's first line, used
+    for error messages matching the streaming reader's.
+    """
+    from .records import FastaFormatError
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n_bytes = len(buf)
+    if n_bytes == 0:
+        empty64 = np.zeros(0, np.int64)
+        return ParsedChunk(buf, empty64, empty64, empty64,
+                           np.zeros(0, np.int32), empty64)
+    nl = np.flatnonzero(buf == NEWLINE)
+    if len(nl) == 0 or nl[-1] != n_bytes - 1:
+        nl = np.append(nl, n_bytes)
+    starts = np.empty_like(nl)
+    starts[0] = 0
+    starts[1:] = nl[:-1] + 1
+    ends = nl.copy()
+
+    # strip both line ends; only lines with edge whitespace need work
+    lo = starts.copy()
+    hi = ends.copy()
+    nonempty = hi > lo
+    edge_ws = nonempty.copy()
+    edge_ws[nonempty] = (
+        _WS_TABLE[buf[lo[nonempty]]] | _WS_TABLE[buf[hi[nonempty] - 1]]
+    )
+    for li in np.flatnonzero(edge_ws):
+        s, e = int(lo[li]), int(hi[li])
+        while s < e and _WS_TABLE[buf[s]]:
+            s += 1
+        while e > s and _WS_TABLE[buf[e - 1]]:
+            e -= 1
+        lo[li], hi[li] = s, e
+
+    blank = hi <= lo
+    first_ch = buf[np.minimum(lo, n_bytes - 1)]
+    is_comment = ~blank & (first_ch == ord("#"))
+    is_header = ~blank & (first_ch == ord(">"))
+    is_seq = ~blank & ~is_comment & ~is_header
+    record_of = np.cumsum(is_header) - 1
+    stray = is_seq & (record_of < 0)
+    if stray.any():
+        raise FastaFormatError(
+            "Expected '>' at beginning of record",
+            line=first_line + int(np.flatnonzero(stray)[0]),
+        )
+
+    header_lines = np.flatnonzero(is_header)
+    n_records = len(header_lines)
+    head_start = (lo[header_lines] + 1).astype(np.int64)
+    head_end = hi[header_lines].astype(np.int64)
+
+    seq_lines = np.flatnonzero(is_seq)
+    line_lens = (hi - lo)[seq_lines].astype(np.int64)
+    seq_len = np.bincount(
+        record_of[seq_lines], weights=line_lens, minlength=n_records
+    ).astype(np.int32)
+
+    total = int(line_lens.sum())
+    if total:
+        dst0 = np.cumsum(line_lens) - line_lens
+        reps = np.repeat(np.arange(len(seq_lines)), line_lens)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(dst0, line_lens)
+        compact = buf[lo[seq_lines][reps] + offs]
+    else:
+        compact = np.zeros(0, np.uint8)
+    seq_len64 = seq_len.astype(np.int64)
+    seq_start = n_bytes + np.cumsum(seq_len64) - seq_len64
+    combined = np.concatenate([buf, compact])
+    return ParsedChunk(
+        combined, head_start, head_end, seq_start, seq_len,
+        seq_start.copy(),
+    )
+
+
+def assemble_fasta_window(chunk, win_start, win_stop, keep) -> bytes:
+    """Assemble kept records as unwrapped FASTA ('>header\\nseq\\n')."""
+    idx = np.flatnonzero(keep)
+    head_len = (chunk.head_end - chunk.head_start)[idx]
+    seq_len = (win_stop[idx] - win_start[idx]).astype(np.int64)
+    rec_len = 1 + head_len + 1 + seq_len + 1
+    out = np.empty(int(rec_len.sum()), dtype=np.uint8)
+    pos = np.cumsum(rec_len) - rec_len
+    out[pos] = ord(">")
+    pos = pos + 1
+    _scatter_ranges(out, pos, chunk.head_start[idx], head_len, chunk.buf)
+    pos = pos + head_len
+    out[pos] = NEWLINE
+    pos = pos + 1
+    _scatter_ranges(
+        out, pos, chunk.seq_start[idx] + win_start[idx], seq_len, chunk.buf
+    )
+    pos = pos + seq_len
+    out[pos] = NEWLINE
+    return out.tobytes()

@@ -226,3 +226,47 @@ def test_fastpath_combinatorial_demux(tmp_path, monkeypatch):
             assert spy.get("engaged"), "batch path did not engage"
         outs[env] = {p.name: p.read_bytes() for p in sorted(d.iterdir())}
     assert outs["1"] == outs["0"]
+
+
+def test_fastpath_fasta_input(tmp_path, monkeypatch):
+    spy = _spy_engagement(monkeypatch)
+    rng = random.Random(12)
+    inp = tmp_path / "in.fasta"
+    with open(inp, "w") as f:
+        for i in range(500):
+            L = rng.randint(15, 80)
+            s = "".join(rng.choice("ACGT") for _ in range(L))
+            if rng.random() < 0.5 and L > 25:
+                p = rng.randint(5, L - 10)
+                s = (s[:p] + A3 + s[p:])[:L]
+            # wrap some sequences over multiple lines
+            if rng.random() < 0.3 and L > 30:
+                s = s[:20] + "\n" + s[20:]
+            f.write(f">f{i} c{i}\n{s}\n")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"o-{env}.fasta"
+        main(["--quiet", "-a", "a1=" + A3, "-m", "10", "--max-n", "2",
+              "-o", str(out), str(inp)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        outs[env] = out.read_bytes()
+    assert outs["1"] == outs["0"]
+    assert outs["1"].startswith(b">")
+
+
+def test_fastpath_fasta_output_from_fastq(tmp_path, monkeypatch):
+    spy = _spy_engagement(monkeypatch)
+    inputs = make_reads(tmp_path / "in.fastq")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"o-{env}.fasta"
+        main(["--quiet", "-a", "a1=" + A3, "-q", "10",
+              "-o", str(out)] + [str(p) for p in inputs])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        outs[env] = out.read_bytes()
+    assert outs["1"] == outs["0"]
+    assert outs["1"].startswith(b">")
