@@ -165,6 +165,28 @@ def main():
     process_chunk(chunks[0])
     log(f"warmup/compile: {time.perf_counter() - t0:.1f}s")
 
+    # on-hardware Pallas<->XLA parity across adapter kinds/flags
+    pallas_parity = "skipped"
+    if (
+        jax.default_backend() != "cpu"
+        and os.environ.get("CUTADAPT_TPU_PALLAS_VERIFY", "1") != "0"
+    ):
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(__file__), "tools")
+            )
+            import verify_pallas_tpu
+
+            t0 = time.perf_counter()
+            failures = verify_pallas_tpu.run(verbose=False)
+            log(f"pallas parity matrix: {time.perf_counter() - t0:.1f}s")
+            pallas_parity = (
+                "ok" if not failures else "FAIL: " + "; ".join(failures[:3])
+            )
+        except Exception as e:
+            pallas_parity = f"error: {type(e).__name__}"
+        log(f"pallas_parity: {pallas_parity}")
+
     # The device link's throughput fluctuates run to run; measure
     # several full passes and report the median.
     passes = int(os.environ.get("BENCH_PASSES", "3"))
@@ -194,6 +216,7 @@ def main():
                 "value": round(rps, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(rps / host_rps, 2),
+                "pallas_parity": pallas_parity,
             }
         )
     )

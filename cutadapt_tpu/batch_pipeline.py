@@ -1089,7 +1089,12 @@ class BatchPipelineEngine:
             events.append(
                 dict(task=t_i, reads=hit, removed=removed, errors=er,
                      as_front=as_front, adjacent=adjacent,
-                     sub=best_sub[hit])
+                     sub=best_sub[hit],
+                     # match geometry for side-channel writers: the
+                     # window the match was found in, plus its
+                     # window-relative [qs, qe) coordinates
+                     qs=qs, qe=qe,
+                     ws=win_start[hit].copy(), we=win_stop[hit].copy())
             )
             # apply the action's window update
             if stage.action == "retain":
