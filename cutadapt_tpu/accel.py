@@ -3,8 +3,8 @@ Accelerated execution path: route eligible pipelines through the
 batched TPU engine while producing byte-identical output and identical
 statistics to the per-read host pipeline.
 
-Eligible today (FASTQ in/out, plain or gzip; single-end, paired-end,
-and interleaved):
+Eligible today (FASTQ and FASTA in/out, plain or gzip; single-end,
+paired-end, and interleaved):
 
 - modifiers, in any order: -u cuts, -q quality trimming,
   --nextseq-trim, one AdapterCutter per side with any mix of adapter
@@ -12,13 +12,15 @@ and interleaved):
   IUPAC wildcards on either side, --no-indels, --times N, indexed
   anchored multi-adapter sets), every action (trim/retain/crop/mask/
   lowercase/--no-trim), --revcomp, --pair-adapters, --poly-a,
-  --length shortening
-- steps: length filters (-m/-M) with routed outputs, --discard-
-  trimmed/untrimmed (all pair-filter modes), --max-n/--max-ee/
-  --max-aer/--discard-casava, {name}-template demultiplexing, sinks
+  --length shortening, --rename (single-end)
+- steps: --rest-file and --info-file (single-end, non-linked), length
+  filters (-m/-M) with routed outputs, --discard-trimmed/untrimmed
+  (all pair-filter modes), --max-n/--max-ee/--max-aer/
+  --discard-casava, {name} / paired / combinatorial demultiplexing,
+  sinks
 
-Anything else (renaming, info/rest/wildcard files, BAM/FASTA I/O,
-paired revcomp, some transform+filter combinations) falls back to the
+Anything else (--wildcard-file, BAM input, paired revcomp, paired
+--rename, some transform+filter combinations) falls back to the
 per-read host pipeline. The engine updates the very same modifier/
 step statistics objects the host path would, so reports are
 identical; tests/test_accel.py asserts this per configuration, and
@@ -238,7 +240,13 @@ def _translate_single(pipeline, fasta: bool = False):
     error)."""
     from .batch_pipeline import CutStage, FilterSpec
     from .modifiers import Renamer
-    from .steps import Demultiplexer, SingleEndFilter, SingleEndSink
+    from .steps import (
+        Demultiplexer,
+        InfoFileWriter,
+        RestFileWriter,
+        SingleEndFilter,
+        SingleEndSink,
+    )
     from .io.fastq import FastaWriter, FastqWriter
 
     writer_classes = (FastaWriter,) if fasta else (FastqWriter, FastaWriter)
@@ -304,7 +312,31 @@ def _translate_single(pipeline, fasta: bool = False):
 
     filters = []
     sink = None
+    side = {"rest": None, "info": None}
     for step in pipeline._steps:
+        if isinstance(step, (RestFileWriter, InfoFileWriter)):
+            # side-channel rows come from match events: need plain
+            # (non-linked, non-rc, non-transform) matching, and they
+            # must run before any filter (reference step order)
+            if filters or sink is not None or fastq_only_assembly:
+                return None
+            if any(
+                t.kind == "linked"
+                for st in stages if hasattr(st, "tasks")
+                for t in st.tasks
+            ):
+                return None
+            if isinstance(step, InfoFileWriter):
+                if fasta:
+                    return None  # quality columns need FASTQ
+                if side["info"] is not None:
+                    return None
+                side["info"] = step._file
+            else:
+                if side["rest"] is not None:
+                    return None
+                side["rest"] = step._file
+            continue
         if isinstance(step, SingleEndSink):
             if sink is not None or not writer_ok(step.writer):
                 return None
@@ -343,7 +375,7 @@ def _translate_single(pipeline, fasta: bool = False):
         filters.append(FilterSpec(t[0], t[1], step))
     if sink is None:
         return None
-    return stages, filters, cutter, sink, rename
+    return stages, filters, cutter, sink, rename, side
 
 
 def _transform_action(stages):
@@ -438,6 +470,91 @@ def _apply_side_stats(stats, stages, cutter, written_lengths):
     if written_lengths is not None:
         written_lengths.add_histogram(stats["written_lengths"])
     return stats["total_bp"]
+
+
+def _emit_side_files(rest_fh, info_fh, chunk, stats, stage, final_ws,
+                     final_we):
+    """Write --rest-file / --info-file rows for one chunk from the
+    engine's match events (reference formats: steps.py RestFileWriter
+    and InfoFileWriter). Events carry each match's window and
+    window-relative coordinates; rows appear in read order, a read's
+    matches in round order, with the reference's exact field layout
+    (including the trailing is_rc column on match rows and the
+    4-column -1 rows for unmatched reads)."""
+    buf = chunk.buf
+    hs, he = chunk.head_start, chunk.head_end
+    ss, qo = chunk.seq_start, chunk.qual_start
+
+    def text(start, a, b):
+        return bytes(buf[start + a : start + b]).decode("latin-1")
+
+    matches_of = {}
+    for ev in stats.get("adapter_events", ()):
+        task = stage.tasks[ev["task"]]
+        reads = ev["reads"]
+        for j in range(len(reads)):
+            matches_of.setdefault(int(reads[j]), []).append((task, ev, j))
+
+    if rest_fh is not None:
+        for r, match_list in sorted(matches_of.items()):
+            task, ev, j = match_list[-1]
+            w0, w1 = int(ev["ws"][j]), int(ev["we"][j])
+            if ev["as_front"][j]:
+                lo, hi = w0, w0 + int(ev["qs"][j])
+            else:
+                lo, hi = w0 + int(ev["qe"][j]), w1
+            if hi > lo:
+                rest_fh.write(
+                    f"{text(ss[r], lo, hi)} {text(hs[r], 0, he[r] - hs[r])}\n"
+                )
+
+    if info_fh is not None:
+        seq_len = chunk.seq_len
+        rows = []
+        for r in range(chunk.n_records):
+            name = text(hs[r], 0, he[r] - hs[r])
+            match_list = matches_of.get(r)
+            if not match_list:
+                w0, w1 = int(final_ws[r]), int(final_we[r])
+                rows.append(
+                    f"{name}\t-1\t{text(ss[r], w0, w1)}"
+                    f"\t{text(qo[r], w0, w1)}\n"
+                )
+                continue
+            # The reference slices the ORIGINAL read with coordinates
+            # taken from the modified one (InfoFileWriter walks
+            # info.original_read through match.trimmed) — emulate that
+            # walk exactly, including its clipping.
+            lo, hi = 0, int(seq_len[r])
+            for task, ev, j in match_list:
+                rel_a, rel_b = int(ev["qs"][j]), int(ev["qe"][j])
+                a = min(lo + rel_a, hi)
+                b = min(lo + rel_b, hi)
+                adapter = task.adapters[int(ev["sub"][j])]
+                rows.append(
+                    "\t".join(
+                        (
+                            name,
+                            str(int(ev["errors"][j])),
+                            str(rel_a),
+                            str(rel_b),
+                            text(ss[r], lo, a),
+                            text(ss[r], a, b),
+                            text(ss[r], b, hi),
+                            adapter.name,
+                            text(qo[r], lo, a),
+                            text(qo[r], a, b),
+                            text(qo[r], b, hi),
+                            "",  # is_rc column (revcomp is host-path)
+                        )
+                    )
+                    + "\n"
+                )
+                if ev["as_front"][j]:
+                    lo = b
+                else:
+                    hi = a
+        info_fh.write("".join(rows))
 
 
 def _rename_headers(chunk, rename, gids, adapter_names, cut_lengths):
@@ -603,7 +720,7 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
     translated = _translate_single(pipeline, fasta=fasta_in)
     if translated is None:
         return None
-    stages, filters, cutter, sink, rename = translated
+    stages, filters, cutter, sink, rename, side = translated
     _setup_jax()
 
     from .io.chunks import (
@@ -663,6 +780,10 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
             return assemble_fasta_window(chunk, ws, we, mask)
         return assemble(chunk, ws, we, mask, stats)
 
+    side_stage = next(
+        (s for s in stages if hasattr(s, "flat_adapters")), None
+    )
+
     def emit(pending):
         nonlocal n, total_bp
         ws, we, keep, stats = engine.collect(pending)
@@ -671,6 +792,10 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
             chunk = _rename_headers(
                 chunk, rename, stats["last_adapter_gid"],
                 rename_names, rename_cuts,
+            )
+        if side["rest"] is not None or side["info"] is not None:
+            _emit_side_files(
+                side["rest"], side["info"], chunk, stats, side_stage, ws, we
             )
         written_lengths = None
         if demux is None:

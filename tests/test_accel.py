@@ -270,3 +270,25 @@ def test_fastpath_fasta_output_from_fastq(tmp_path, monkeypatch):
         outs[env] = out.read_bytes()
     assert outs["1"] == outs["0"]
     assert outs["1"].startswith(b">")
+
+
+def test_fastpath_rest_and_info_files(tmp_path, monkeypatch):
+    spy = _spy_engagement(monkeypatch)
+    inputs = make_reads(tmp_path / "in.fastq")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"o-{env}.fastq"
+        rest = tmp_path / f"rest-{env}.txt"
+        info = tmp_path / f"info-{env}.tsv"
+        main(["--quiet", "-u", "2", "-g", "g1=" + A5, "-a", "a1=" + A3,
+              "--times", "2",
+              "-r", str(rest), "--info-file", str(info),
+              "-o", str(out)] + [str(p) for p in inputs])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        outs[env] = (out.read_bytes(), rest.read_bytes(), info.read_bytes())
+    assert outs["1"][0] == outs["0"][0]
+    assert outs["1"][1] == outs["0"][1], "rest file differs"
+    assert outs["1"][2] == outs["0"][2], "info file differs"
+    assert outs["1"][2], "info file unexpectedly empty"
