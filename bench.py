@@ -236,9 +236,8 @@ def main():
                         n_records / (time.perf_counter() - t0)
                     )
                     logging.root.handlers.clear()
-                cli_rates.sort()
                 # first pass warms compile caches; median of the rest
-                warm = cli_rates[1:]
+                warm = sorted(cli_rates[1:])
                 cli_rps = warm[len(warm) // 2]
                 log(f"CLI surface: median {cli_rps:,.0f} reads/s")
             finally:

@@ -181,9 +181,9 @@ def _translate_modifier(mod, has_cutter):
     if isinstance(mod, Shortener):
         return ShortenStage(mod.length, mod), None
     if isinstance(mod, PolyATrimmer):
-        if mod.revcomp:
+        if not _nat.AVAILABLE:
             return None
-        return PolyAStage(mod), None
+        return PolyAStage(mod, revcomp=mod.revcomp), None
     if isinstance(mod, ReverseComplementer):
         from . import native
 
@@ -887,17 +887,38 @@ def _translate_paired(pipeline, interleaved=False):
             return isinstance(w._writer, FastqWriter)
         return False
 
-    from .batch_pipeline import adapter_kind, AdapterTask
-    from .modifiers import PairedAdapterCutter
+    from .batch_pipeline import AdapterStage, adapter_kind, AdapterTask
+    from .modifiers import PairedAdapterCutter, PairedReverseComplementer
 
     stages1, stages2 = [], []
     cutters = [None, None]
     pair_stage = None
+    rc_pair = None
+    post_stages = [[], []]  # host stages after the paired-revcomp swap
     for mod in pipeline._modifiers:
         if pair_stage is not None:
             return None  # --pair-adapters must be the last modifier
+        if isinstance(mod, PairedReverseComplementer):
+            if rc_pair is not None or cutters != [None, None] or interleaved:
+                return None
+            rc_stages = []
+            for c in (mod.adapter_cutter1, mod.adapter_cutter2):
+                if c is None:
+                    rc_stages.append(None)
+                    continue
+                if c.action != "trim":
+                    return None
+                tasks = _translate_tasks(c)
+                if tasks is None:
+                    return None
+                rc_stages.append(
+                    AdapterStage(tasks, times=c.times, modifier=c,
+                                 action="trim")
+                )
+            rc_pair = (rc_stages[0], rc_stages[1], mod)
+            continue
         if isinstance(mod, PairedAdapterCutter):
-            if cutters != [None, None]:
+            if cutters != [None, None] or rc_pair is not None:
                 return None
             if mod.action not in ("trim", None, "retain"):
                 return None
@@ -919,10 +940,18 @@ def _translate_paired(pipeline, interleaved=False):
         for side, m in enumerate((mod._modifier1, mod._modifier2)):
             if m is None:
                 continue
-            t = _translate_modifier(m, cutters[side] is not None)
+            t = _translate_modifier(
+                m, cutters[side] is not None or rc_pair is not None
+            )
             if t is None:
                 return None
             stage, stage_cutter = t
+            if rc_pair is not None:
+                # stages after the swap apply to the mixed output slots
+                if stage_cutter is not None:
+                    return None
+                post_stages[side].append(stage)
+                continue
             if stage_cutter is not None:
                 cutters[side] = stage_cutter
             (stages1 if side == 0 else stages2).append(stage)
@@ -947,7 +976,7 @@ def _translate_paired(pipeline, interleaved=False):
             sink = step
             continue
         if isinstance(step, (PairedDemultiplexer, CombinatorialDemultiplexer)):
-            if sink is not None or interleaved:
+            if sink is not None or interleaved or rc_pair is not None:
                 return None
             # routing needs adapter matches: R1 decides for paired
             # demux, both sides for combinatorial
@@ -1005,7 +1034,18 @@ def _translate_paired(pipeline, interleaved=False):
             for t in (t1, t2):
                 if t is not None and t[0] in content_kinds:
                     return None
-    return stages1, stages2, cutters, pair_filters, sink, pair_stage
+    if rc_pair is not None:
+        # content predicates on swapped slots would read the wrong
+        # side's bytes only if evaluation ignored the slot chunks —
+        # it does not (synthetic slots carry real bytes) — but the
+        # interleaved writer and transforms stay host-path
+        if any(
+            isinstance(w, InterleavedSequenceWriter)
+            for w in ([sink.writer] if hasattr(sink, "writer") else [])
+        ):
+            return None
+    return (stages1, stages2, cutters, pair_filters, sink, pair_stage,
+            rc_pair, post_stages)
 
 
 def _apply_match_windows(task, action, ws, we, hit, qs, qe):
@@ -1122,6 +1162,137 @@ def _pair_match(engines, chunks, windows, pair_stage):
                 if not asf:
                     end.record_adjacent(chr(adj) if adj else "")
     return matched
+
+
+def _select_paired_chunk(
+    chunk_a, off_a, chunk_b, off_b, combined, swap, suffix
+):
+    """A synthetic ParsedChunk over the concatenated pair buffers that
+    takes record i from chunk_b when swap[i] (R1/R2 exchange for the
+    paired reverse-complement modifier), appending `suffix` to the
+    headers of swapped records. off_a/off_b locate each source buffer
+    inside `combined`."""
+    from .io.chunks import ParsedChunk, _scatter_ranges
+
+    hs = np.where(swap, chunk_b.head_start + off_b, chunk_a.head_start + off_a)
+    he = np.where(swap, chunk_b.head_end + off_b, chunk_a.head_end + off_a)
+    ss = np.where(swap, chunk_b.seq_start + off_b, chunk_a.seq_start + off_a)
+    sl = np.where(swap, chunk_b.seq_len, chunk_a.seq_len).astype(np.int32)
+    qs = np.where(swap, chunk_b.qual_start + off_b, chunk_a.qual_start + off_a)
+    buf = combined
+    if suffix and swap.any():
+        sfx = np.frombuffer(suffix.encode("latin-1"), np.uint8)
+        base_len = he - hs
+        new_len = base_len + np.where(swap, len(sfx), 0)
+        ends = np.cumsum(new_len)
+        new_hs = ends - new_len
+        heads = np.empty(int(ends[-1]) if len(ends) else 0, np.uint8)
+        _scatter_ranges(heads, new_hs, hs, base_len, combined)
+        tail = new_hs + base_len
+        for k, byte in enumerate(sfx):
+            heads[(tail + k)[swap]] = byte
+        base = len(combined)
+        buf = np.concatenate([combined, heads])
+        hs, he = base + new_hs, base + ends
+    return ParsedChunk(buf, hs, he, ss, sl, qs)
+
+
+def _run_rc_pair(engines, rc_pair, chunks, windows):
+    """--revcomp on paired data: match (R1->cutter1, R2->cutter2) and
+    the swapped orientation, keep whichever scores strictly higher
+    (PairedReverseComplementer semantics, reference modifiers.py:
+    311-405). Returns per-slot synthetic chunks, windows and matched
+    masks; credits adapter/rc statistics for the winning orientation.
+    """
+    stage1, stage2, mod = rc_pair
+    c1, c2 = chunks
+    (ws1, we1), (ws2, we2) = windows
+    B = c1.n_records
+    engine = engines[0]
+
+    def run(stage, chunk, ws, we):
+        if stage is None:
+            return (
+                np.zeros(B, bool), [], ws.copy(), we.copy(),
+                np.zeros(B, np.int32),
+            )
+        ws, we = ws.copy(), we.copy()
+        width = engine._bucket_length(
+            int((we - ws).max()) if B else 0
+        )
+        gid = np.full(B, -1, np.int32)
+        score = np.zeros(B, np.int32)
+        matched, events = engine._run_rounds(
+            stage, chunk, ws, we, width, None, gid, score
+        )
+        return matched, events, ws, we, score
+
+    # orientation A: slots follow the physical sides; B: sides swapped
+    a1 = run(stage1, c1, ws1, we1)
+    a2 = run(stage2, c2, ws2, we2)
+    b1 = run(stage1, c2, ws2, we2)
+    b2 = run(stage2, c1, ws1, we1)
+    use_rc = (b1[4] + b2[4]) > (a1[4] + a2[4])
+
+    mod.reverse_complemented += int(use_rc.sum())
+    for stage, straight, swapped in ((stage1, a1, b1), (stage2, a2, b2)):
+        if stage is None:
+            continue
+        cutter = stage.modifier
+        matched = np.where(use_rc, swapped[0], straight[0])
+        cutter.with_adapters += int(matched.sum())
+        for run_result, mask in ((straight, ~use_rc), (swapped, use_rc)):
+            for ev in run_result[1]:
+                sel = mask[ev["reads"]]
+                if not sel.any():
+                    continue
+                for r, rem, err, asf, adj, sub in zip(
+                    ev["reads"][sel], ev["removed"][sel],
+                    ev["errors"][sel], ev["as_front"][sel],
+                    ev["adjacent"][sel], ev["sub"][sel],
+                ):
+                    task = stage.tasks[ev["task"]]
+                    astats = cutter.adapter_statistics[task.adapters[sub]]
+                    astats.reverse_complemented += int(use_rc[r])
+                    if asf:
+                        astats.front.record_removal(int(rem), int(err))
+                    else:
+                        astats.back.record_removal(int(rem), int(err))
+                        astats.back.record_adjacent(chr(adj) if adj else "")
+
+    combined = np.concatenate([c1.buf, c2.buf])
+    off2 = len(c1.buf)
+    suffix = mod._suffix or ""
+    slot1 = _select_paired_chunk(c1, 0, c2, off2, combined, use_rc, suffix)
+    slot2 = _select_paired_chunk(c2, off2, c1, 0, combined, use_rc, suffix)
+    out = (
+        slot1,
+        slot2,
+        np.where(use_rc, b1[2], a1[2]),
+        np.where(use_rc, b1[3], a1[3]),
+        np.where(use_rc, b2[2], a2[2]),
+        np.where(use_rc, b2[3], a2[3]),
+        np.where(use_rc, b1[0], a1[0]),
+        np.where(use_rc, b2[0], a2[0]),
+    )
+    return out
+
+
+def _apply_post_stages(engine, post_stages, chunk, ws, we):
+    """Host stages that run after the paired-revcomp swap, applied to
+    a (possibly source-mixed) output slot; folds their counters into
+    the modifier objects directly."""
+    stats = {}
+    for si, stage in enumerate(post_stages):
+        ws, we = engine._apply_host_stage(si, stage, chunk, ws, we, stats)
+    for si, trimmed in stats.get("quality_trimmed", {}).items():
+        post_stages[si].modifier.trimmed_bases += trimmed
+    for si, removed in stats.get("poly_a_removed", {}).items():
+        mod = post_stages[si].modifier
+        for length, count in enumerate(np.bincount(removed)):
+            if count:
+                mod.trimmed_bases[int(length)] += int(count)
+    return ws, we
 
 
 def _paired_demux_router(demux, stages1, stages2):
@@ -1271,7 +1442,8 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
     translated = _translate_paired(pipeline, interleaved_in)
     if translated is None:
         return None
-    stages1, stages2, cutters, pair_filters, sink, pair_stage = translated
+    (stages1, stages2, cutters, pair_filters, sink, pair_stage,
+     rc_pair, post_stages) = translated
     _setup_jax()
 
     from . import native
@@ -1371,6 +1543,17 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
             m1 = m2 = _pair_match(
                 (engine1, engine2), (c1, c2),
                 ((ws1, we1), (ws2, we2)), pair_stage,
+            )
+        elif rc_pair is not None:
+            (c1, c2, ws1, we1, ws2, we2, m1, m2) = _run_rc_pair(
+                (engine1, engine2), rc_pair, (c1, c2),
+                ((ws1, we1), (ws2, we2)),
+            )
+            ws1, we1 = _apply_post_stages(
+                engine1, post_stages[0], c1, ws1, we1
+            )
+            ws2, we2 = _apply_post_stages(
+                engine2, post_stages[1], c2, ws2, we2
             )
         len1 = we1 - ws1
         len2 = we2 - ws2

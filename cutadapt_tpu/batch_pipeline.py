@@ -1,12 +1,11 @@
 """
 Generalized batched (TPU) pipeline engine.
 
-Where :mod:`cutadapt_tpu.batch` handles the single flagship case
-(`-a ADAPTER`), this module executes a whole *pipeline* of eligible
-modifiers over read batches: unconditional cuts, quality/NextSeq
-trimming, multi-adapter 3'/5'/anywhere cutting (with `times` rounds),
-poly-A trimming, shortening, and the length/trimmed-state filters —
-with byte-identical semantics to the per-read host pipeline.
+Executes a whole *pipeline* of eligible modifiers over read batches:
+unconditional cuts, quality/NextSeq trimming, multi-adapter
+3'/5'/anywhere cutting (with `times` rounds), poly-A/poly-T trimming,
+shortening, and the length/content/trimmed-state filters — with
+byte-identical semantics to the per-read host pipeline.
 
 Design: each read carries a current window [win_start, win_stop) into
 its original bytes. Host stages (cuts, quality scans — memory-bound
@@ -486,8 +485,12 @@ class NextseqStage(Stage):
 
 
 class PolyAStage(Stage):
-    def __init__(self, modifier=None):
+    """--poly-a: A-tail trimming, or T-head trimming in revcomp mode
+    (the R2 side of paired data)."""
+
+    def __init__(self, modifier=None, revcomp: bool = False):
         self.modifier = modifier
+        self.revcomp = revcomp
 
 
 class NEndStage(Stage):
@@ -681,10 +684,15 @@ class BatchPipelineEngine:
         elif isinstance(stage, PolyAStage):
             idx = native.poly_a_trim(
                 chunk.buf, chunk.seq_start, win_start, win_stop,
+                revcomp=stage.revcomp,
             )
-            removed = (win_stop - win_start) - idx
-            stats.setdefault("poly_a_removed", {})[si] = removed
-            win_stop = win_start + idx
+            if stage.revcomp:  # poly-T head: idx = head length removed
+                stats.setdefault("poly_a_removed", {})[si] = idx
+                win_start = win_start + idx
+            else:
+                removed = (win_stop - win_start) - idx
+                stats.setdefault("poly_a_removed", {})[si] = removed
+                win_stop = win_start + idx
         elif isinstance(stage, NEndStage):
             rs, re_ = native.trim_n_ends(
                 chunk.buf, chunk.seq_start, win_start, win_stop

@@ -72,6 +72,12 @@ CONFIGS = [
                   "-m", "15", "--pair-filter=both"], True),
     ("pe_pair_adapters", ["--pair-adapters", "-a", "a1=" + A3,
                           "-A", "a2=" + A5], True),
+    ("pe_revcomp", ["-a", "a1=" + A3, "-A", "a2=" + A5, "--revcomp",
+                    "-q", "10", "-m", "12"], True),
+    ("pe_poly_a", ["-a", "a1=" + A3, "-A", "a2=" + A5, "--poly-a",
+                   "-m", "10"], True),
+    ("pe_revcomp_one_sided", ["-a", "a1=" + A3, "--revcomp",
+                              "--pair-filter=both"], True),
 ]
 
 
