@@ -13,15 +13,14 @@ paired-end, and interleaved):
   anchored multi-adapter sets), every action (trim/retain/crop/mask/
   lowercase/--no-trim), --revcomp, --pair-adapters, --poly-a,
   --length shortening, --rename (single-end)
-- steps: --rest-file and --info-file (single-end, non-linked), length
-  filters (-m/-M) with routed outputs, --discard-trimmed/untrimmed
-  (all pair-filter modes), --max-n/--max-ee/--max-aer/
-  --discard-casava, {name} / paired / combinatorial demultiplexing,
-  sinks
+- steps: --rest-file, --info-file and --wildcard-file (single-end,
+  non-linked), length filters (-m/-M) with routed outputs,
+  --discard-trimmed/untrimmed (all pair-filter modes), --max-n/
+  --max-ee/--max-aer/--discard-casava, {name} / paired /
+  combinatorial demultiplexing, sinks
 
-Anything else (--wildcard-file, BAM input, paired revcomp, paired
---rename, some transform+filter combinations) falls back to the
-per-read host pipeline. The engine updates the very same modifier/
+Anything else (BAM input, paired --rename, a few transform+filter
+combinations) falls back to the per-read host pipeline. The engine updates the very same modifier/
 step statistics objects the host path would, so reports are
 identical; tests/test_accel.py asserts this per configuration, and
 the whole golden suite passes with CUTADAPT_TPU_BATCH=1 forced.
@@ -246,6 +245,7 @@ def _translate_single(pipeline, fasta: bool = False):
         RestFileWriter,
         SingleEndFilter,
         SingleEndSink,
+        WildcardFileWriter,
     )
     from .io.fastq import FastaWriter, FastqWriter
 
@@ -312,9 +312,11 @@ def _translate_single(pipeline, fasta: bool = False):
 
     filters = []
     sink = None
-    side = {"rest": None, "info": None}
+    side = {"rest": None, "info": None, "wildcard": None}
     for step in pipeline._steps:
-        if isinstance(step, (RestFileWriter, InfoFileWriter)):
+        if isinstance(
+            step, (RestFileWriter, InfoFileWriter, WildcardFileWriter)
+        ):
             # side-channel rows come from match events: need plain
             # (non-linked, non-rc, non-transform) matching, and they
             # must run before any filter (reference step order)
@@ -329,13 +331,14 @@ def _translate_single(pipeline, fasta: bool = False):
             if isinstance(step, InfoFileWriter):
                 if fasta:
                     return None  # quality columns need FASTQ
-                if side["info"] is not None:
-                    return None
-                side["info"] = step._file
+                key = "info"
+            elif isinstance(step, WildcardFileWriter):
+                key = "wildcard"
             else:
-                if side["rest"] is not None:
-                    return None
-                side["rest"] = step._file
+                key = "rest"
+            if side[key] is not None:
+                return None
+            side[key] = step._file
             continue
         if isinstance(step, SingleEndSink):
             if sink is not None or not writer_ok(step.writer):
@@ -472,9 +475,10 @@ def _apply_side_stats(stats, stages, cutter, written_lengths):
     return stats["total_bp"]
 
 
-def _emit_side_files(rest_fh, info_fh, chunk, stats, stage, final_ws,
-                     final_we):
-    """Write --rest-file / --info-file rows for one chunk from the
+def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
+                     final_ws, final_we):
+    """Write --rest-file / --info-file / --wildcard-file rows for one
+    chunk from the
     engine's match events (reference formats: steps.py RestFileWriter
     and InfoFileWriter). Events carry each match's window and
     window-relative coordinates; rows appear in read order, a read's
@@ -507,6 +511,23 @@ def _emit_side_files(rest_fh, info_fh, chunk, stats, stage, final_ws,
                 rest_fh.write(
                     f"{text(ss[r], lo, hi)} {text(hs[r], 0, he[r] - hs[r])}\n"
                 )
+
+    if wildcard_fh is not None:
+        for r, match_list in sorted(matches_of.items()):
+            task, ev, j = match_list[-1]
+            adapter_seq = task.adapters[int(ev["sub"][j])].sequence
+            w0, w1 = int(ev["ws"][j]), int(ev["we"][j])
+            rel = int(ev["qs"][j])
+            astart, astop = int(ev["astart"][j]), int(ev["astop"][j])
+            window_len = w1 - w0
+            chars = [
+                chr(buf[ss[r] + w0 + rel + i])
+                for i in range(astop - astart)
+                if adapter_seq[astart + i] == "N" and rel + i < window_len
+            ]
+            wildcard_fh.write(
+                f"{''.join(chars)} {text(hs[r], 0, he[r] - hs[r])}\n"
+            )
 
     if info_fh is not None:
         seq_len = chunk.seq_len
@@ -732,7 +753,9 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
     from .batch_pipeline import BatchPipelineEngine
     from .io.fastq import FastaWriter, read_chunks
 
-    engine = BatchPipelineEngine(stages, filters)
+    engine = BatchPipelineEngine(
+        stages, filters, want_ref_coords=side["wildcard"] is not None
+    )
 
     from .steps import Demultiplexer
 
@@ -793,9 +816,10 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
                 chunk, rename, stats["last_adapter_gid"],
                 rename_names, rename_cuts,
             )
-        if side["rest"] is not None or side["info"] is not None:
+        if any(side.values()):
             _emit_side_files(
-                side["rest"], side["info"], chunk, stats, side_stage, ws, we
+                side["rest"], side["info"], side["wildcard"],
+                chunk, stats, side_stage, ws, we,
             )
         written_lengths = None
         if demux is None:

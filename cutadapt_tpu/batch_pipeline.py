@@ -85,10 +85,11 @@ def _make_locate_step(
     only; same bit-exact results, ~16x faster to compile); 'xla' the
     lax.scan formulation.
 
-    wide=True (XLA only) returns an unpacked (5, B) int32 of
-    [found, query_start, query_stop, errors, score] — used for long
-    reads whose coordinates would overflow the 14-bit packed fields
-    (window length >= 2**14).
+    wide=True (XLA only) returns an unpacked (7, B) int32 of
+    [found, query_start, query_stop, errors, score, ref_start,
+    ref_stop] — used for long reads whose coordinates would overflow
+    the 14-bit packed fields (window length >= 2**14) and whenever
+    adapter-side coordinates are needed (--wildcard-file).
 
     With a mesh, the dispatch is data-parallel over its devices: the
     XLA formulation shards through jit in/out shardings, the Pallas
@@ -142,6 +143,8 @@ def _make_locate_step(
                     out["query_stop"],
                     out["errors"],
                     out["score"],
+                    out["ref_start"],
+                    out["ref_stop"],
                 ]
             )
 
@@ -636,9 +639,13 @@ class BatchPipelineEngine:
         length_bucket: int = 64,
         min_dp_batch: int = 4096,
         max_dp_batch: int = 131072,
+        want_ref_coords: bool = False,
     ):
         self.stages = list(stages)
         self.filters = list(filters)
+        # adapter-side [astart, astop) spans are only carried by the
+        # wide result format (--wildcard-file needs them)
+        self.want_ref_coords = want_ref_coords
         self.length_bucket = length_bucket
         self.min_dp_batch = min_dp_batch
         self.max_dp_batch = max_dp_batch
@@ -824,7 +831,9 @@ class BatchPipelineEngine:
             return sel, futures
         # windows >= 2**14 bp would overflow the packed 14-bit
         # coordinate fields: use the unpacked wide result format
-        wide = int(c_lens.max()) >= (1 << _QS_BITS)
+        wide = (
+            int(c_lens.max()) >= (1 << _QS_BITS) or self.want_ref_coords
+        )
         off = 0
         for size in self._dp_sizes(len(sel)):
             take = min(size, len(sel) - off)
@@ -848,7 +857,7 @@ class BatchPipelineEngine:
     def _fetch_windows(self, task, sel, futures, lens):
         """Fetch one task's results; returns arrays over `sel`'s
         positions with coordinates mirrored to forward orientation."""
-        f, qs, qe, er, sc, _ = self._fetch_task(len(sel), futures)
+        f, qs, qe, er, sc, _, _, _ = self._fetch_task(len(sel), futures)
         if task.reverse and not task.comparer:
             L = lens[sel]
             qs, qe = L - qe, L - qs
@@ -923,6 +932,8 @@ class BatchPipelineEngine:
         errors = np.zeros(n_cand, np.int32)
         score = np.zeros(n_cand, np.int32)
         sub = np.zeros(n_cand, np.int32)
+        astart = np.zeros(n_cand, np.int32)
+        astop = np.zeros(n_cand, np.int32)
         for fut in futures:
             if fut[0] == "host":  # comparer/index result, complete
                 if len(fut) == 7:  # indexed: carries sub-adapter ids
@@ -940,6 +951,8 @@ class BatchPipelineEngine:
                     arr[1, :count], arr[2, :count],
                     arr[3, :count], arr[4, :count],
                 )
+                astart[off : off + count] = arr[5, :count]
+                astop[off : off + count] = arr[6, :count]
             else:
                 f, qs, qe, er, sc = _unpack_result(arr[:, :count])
             found[off : off + count] = f
@@ -947,7 +960,7 @@ class BatchPipelineEngine:
             qstop[off : off + count] = qe
             errors[off : off + count] = er
             score[off : off + count] = sc
-        return found, qstart, qstop, errors, score, sub
+        return found, qstart, qstop, errors, score, sub, astart, astop
 
     def _adapter_round(self, stage, chunk, subset, win_start, win_stop,
                        width, dispatched=None, last_gid=None,
@@ -968,6 +981,8 @@ class BatchPipelineEngine:
         best_errors = np.zeros(B, np.int32)
         best_qstart = np.zeros(B, np.int32)
         best_qstop = np.zeros(B, np.int32)
+        best_astart = np.zeros(B, np.int32)
+        best_astop = np.zeros(B, np.int32)
         best_task = np.full(B, -1, np.int32)
         best_sub = np.zeros(B, np.int32)
         linked_results = {}
@@ -981,17 +996,30 @@ class BatchPipelineEngine:
                 linked_results[t_i] = res
                 cand = subset
                 f, er, sc = res["found"], res["errors"], res["score"]
-                qs = qe = np.zeros(len(subset), np.int32)  # unused
+                qs = qe = as_ = ae = np.zeros(len(subset), np.int32)
             else:
                 _, sel, futures = disp
                 if len(sel) == 0:
                     continue
                 cand = subset[sel]
                 lens = (win_stop[cand] - win_start[cand]).astype(np.int32)
-                f, qs, qe, er, sc, sub = self._fetch_task(len(sel), futures)
+                f, qs, qe, er, sc, sub, as_, ae = self._fetch_task(
+                    len(sel), futures
+                )
                 if task.reverse and not task.comparer:
                     # mirror reversed coordinates to forward orientation
                     qs, qe = lens - qe, lens - qs
+                    m_len = len(task.spec.reference)
+                    as_, ae = m_len - ae, m_len - as_
+                if task.comparer:
+                    # anchored comparers always report the full span
+                    as_ = np.zeros_like(qs)
+                    ae = np.full_like(qs, len(task.cmp_ref))
+                elif task.indexed:
+                    as_ = np.zeros_like(qs)
+                    ae = np.array(
+                        [len(a.sequence) for a in task.adapters], np.int32
+                    )[sub]
             better = f & (
                 ~best_found[cand]
                 | (sc > best_score[cand])
@@ -1003,6 +1031,8 @@ class BatchPipelineEngine:
             best_errors[upd] = er[better]
             best_qstart[upd] = qs[better]
             best_qstop[upd] = qe[better]
+            best_astart[upd] = as_[better]
+            best_astop[upd] = ae[better]
             best_task[upd] = t_i
             best_sub[upd] = sub[better] if sub is not None else 0
 
@@ -1099,9 +1129,11 @@ class BatchPipelineEngine:
                      as_front=as_front, adjacent=adjacent,
                      sub=best_sub[hit],
                      # match geometry for side-channel writers: the
-                     # window the match was found in, plus its
-                     # window-relative [qs, qe) coordinates
+                     # window the match was found in, its window-
+                     # relative [qs, qe) read coordinates, and the
+                     # adapter-side [astart, astop) alignment span
                      qs=qs, qe=qe,
+                     astart=best_astart[hit], astop=best_astop[hit],
                      ws=win_start[hit].copy(), we=win_stop[hit].copy())
             )
             # apply the action's window update

@@ -298,3 +298,35 @@ def test_fastpath_rest_and_info_files(tmp_path, monkeypatch):
     assert outs["1"][1] == outs["0"][1], "rest file differs"
     assert outs["1"][2] == outs["0"][2], "info file differs"
     assert outs["1"][2], "info file unexpectedly empty"
+
+
+def test_fastpath_wildcard_file(tmp_path, monkeypatch):
+    spy = _spy_engagement(monkeypatch)
+    rng = random.Random(15)
+    wc_adapter = "AGNNCGGANGAGC"
+    inp = tmp_path / "in.fastq"
+    with open(inp, "w") as f:
+        for i in range(500):
+            L = rng.randint(20, 80)
+            s = "".join(rng.choice("ACGT") for _ in range(L))
+            if rng.random() < 0.5 and L > 25:
+                concrete = "".join(
+                    rng.choice("ACGT") if c == "N" else c
+                    for c in wc_adapter
+                )
+                p = rng.randint(5, L - 10)
+                s = (s[:p] + concrete + s[p:])[:L]
+            f.write(f"@w{i}\n{s}\n+\n{'I' * len(s)}\n")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"o-{env}.fastq"
+        wc = tmp_path / f"wc-{env}.txt"
+        main(["--quiet", "-a", "wca=" + wc_adapter, "-g", "g1=^TTTTGGGG",
+              "--wildcard-file", str(wc), "-o", str(out), str(inp)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        outs[env] = (out.read_bytes(), wc.read_bytes())
+    assert outs["1"][0] == outs["0"][0]
+    assert outs["1"][1] == outs["0"][1], "wildcard file differs"
+    assert outs["1"][1], "wildcard file unexpectedly empty"
