@@ -368,6 +368,10 @@ def _translate_single(pipeline, fasta: bool = False):
             "too_many_expected_errors", "too_high_average_error_rate",
         ):
             return None  # quality-based predicates need FASTQ
+        if rename is not None and t[0] == "casava_filtered":
+            # the casava predicate reads headers, which --rename edits
+            # before the filters run on the host path
+            return None
         if rc_stage is not None and t[0] in (
             "too_many_expected_errors", "too_high_average_error_rate",
             "too_many_n",
@@ -647,6 +651,118 @@ def _rename_headers(chunk, rename, gids, adapter_names, cut_lengths):
     )
 
 
+def _paired_rename_headers(
+    chunks, rename, gids_pair, names_pair, cuts_pair
+):
+    """Renamed header chunks for both sides of a pair under
+    PairedEndRenamer semantics (reference modifiers.py:700-803):
+    {rn} is the read number, {r1.x}/{r2.x} address a specific side,
+    bare fields default to the side being renamed, and the renamed
+    IDs of a pair must still match (InvalidTemplate otherwise)."""
+    from .io.chunks import ParsedChunk
+    from .io.records import record_names_match
+    from .modifiers import InvalidTemplate
+
+    parts = [
+        (is_field, text if is_field else text.encode("latin-1"))
+        for is_field, text in rename._parts
+    ]
+    used = {text for is_field, text in rename._parts if is_field}
+    plain_used = {field.split(".", 1)[-1] for field in used}
+    need_split = bool({"id", "comment"} & plain_used) or True  # id check
+    need_cuts = bool({"cut_prefix", "cut_suffix"} & plain_used)
+
+    def side_values(chunk, i, gids, names, cuts):
+        buf = chunk.buf
+        header = bytes(
+            buf[chunk.head_start[i] : chunk.head_end[i]]
+        )
+        values = {"header": header}
+        if need_split:
+            fields = header.split(None, 1)
+            values["id"] = fields[0] if fields else b""
+            values["comment"] = fields[1] if len(fields) == 2 else b""
+        if "adapter_name" in plain_used:
+            g = int(gids[i])
+            values["adapter_name"] = (
+                names[g].encode("latin-1") if g >= 0 else b"no_adapter"
+            )
+        if need_cuts:
+            ss = int(chunk.seq_start[i])
+            start, end = 0, int(chunk.seq_len[i])
+            prefix = suffix = b""
+            for length in cuts:
+                if length > 0:
+                    stop = min(start + length, end)
+                    prefix = bytes(buf[ss + start : ss + stop])
+                    start = stop
+                elif length < 0:
+                    begin = max(end + length, start)
+                    suffix = bytes(buf[ss + begin : ss + end])
+                    end = begin
+            values["cut_prefix"] = prefix
+            values["cut_suffix"] = suffix
+        return values
+
+    n = chunks[0].n_records
+    new_heads = ([], [])
+    for i in range(n):
+        sides = tuple(
+            side_values(chunks[k], i, gids_pair[k], names_pair[k],
+                        cuts_pair[k])
+            for k in (0, 1)
+        )
+
+        def render(rn):
+            out = []
+            for is_field, text in parts:
+                if not is_field:
+                    out.append(text)
+                    continue
+                prefix, dot, key = text.partition(".")
+                if dot and prefix in ("r1", "r2"):
+                    out.append(sides[0 if prefix == "r1" else 1][key])
+                elif text == "rn":
+                    out.append(str(rn).encode())
+                else:
+                    out.append(sides[rn - 1][text])
+            return b"".join(out)
+
+        name1, name2 = render(1), render(2)
+        if not record_names_match(
+            name1.decode("latin-1"), name2.decode("latin-1")
+        ):
+            new_id1 = name1.split(None, 1)[0].decode("latin-1") if name1 else ""
+            new_id2 = name2.split(None, 1)[0].decode("latin-1") if name2 else ""
+            old_id = sides[0]["id"].decode("latin-1")
+            raise InvalidTemplate(
+                "After renaming R1 and R2, their IDs are no longer "
+                f"identical: '{new_id1}' != '{new_id2}'. "
+                f"Original read ID: '{old_id}'. "
+            )
+        new_heads[0].append(name1)
+        new_heads[1].append(name2)
+
+    out_chunks = []
+    for k in (0, 1):
+        chunk = chunks[k]
+        blob = b"".join(new_heads[k])
+        lens = np.array([len(h) for h in new_heads[k]], np.int64)
+        ends = np.cumsum(lens)
+        base = len(chunk.buf)
+        combined = np.concatenate(
+            [chunk.buf, np.frombuffer(blob, np.uint8)]
+        )
+        out_chunks.append(
+            ParsedChunk(
+                combined, base + ends - lens, base + ends,
+                chunk.seq_start, chunk.seq_len, chunk.qual_start,
+                has_cr=chunk.has_cr,
+            )
+        )
+    return out_chunks[0], out_chunks[1]
+
+
 def _activation_allowed(infile) -> bool:
     env = os.environ.get("CUTADAPT_TPU_BATCH")
     if env == "1":
@@ -912,14 +1028,29 @@ def _translate_paired(pipeline, interleaved=False):
         return False
 
     from .batch_pipeline import AdapterStage, adapter_kind, AdapterTask
-    from .modifiers import PairedAdapterCutter, PairedReverseComplementer
+    from .modifiers import (
+        PairedAdapterCutter,
+        PairedEndRenamer,
+        PairedReverseComplementer,
+    )
+
+    modifiers = list(pipeline._modifiers)
+    rename = None
+    if modifiers and type(modifiers[-1]) is PairedEndRenamer:
+        rename = modifiers.pop()
+        rename_fields = {
+            text.split(".", 1)[-1]
+            for is_field, text in rename._parts if is_field
+        }
+        if "match_sequence" in rename_fields:
+            return None  # per-match byte ranges not retained pairwise
 
     stages1, stages2 = [], []
     cutters = [None, None]
     pair_stage = None
     rc_pair = None
     post_stages = [[], []]  # host stages after the paired-revcomp swap
-    for mod in pipeline._modifiers:
+    for mod in modifiers:
         if pair_stage is not None:
             return None  # --pair-adapters must be the last modifier
         if isinstance(mod, PairedReverseComplementer):
@@ -1068,8 +1199,31 @@ def _translate_paired(pipeline, interleaved=False):
             for w in ([sink.writer] if hasattr(sink, "writer") else [])
         ):
             return None
+    if rename is not None:
+        if rc_pair is not None or interleaved:
+            return None
+        if any(
+            _transform_action(st) is not None or _revcomp_stage(st)
+            for st in (stages1, stages2)
+        ):
+            return None
+        if any(t[0] == "casava_filtered"
+               for _, t1, t2, _m in pair_filters
+               for t in (t1, t2) if t is not None):
+            return None
+        if {"cut_prefix", "cut_suffix"} & rename_fields:
+            from .batch_pipeline import CutStage
+
+            for st in (stages1, stages2):
+                past_cuts = False
+                for stage in st:
+                    if isinstance(stage, CutStage):
+                        if past_cuts:
+                            return None
+                    else:
+                        past_cuts = True
     return (stages1, stages2, cutters, pair_filters, sink, pair_stage,
-            rc_pair, post_stages)
+            rc_pair, post_stages, rename)
 
 
 def _apply_match_windows(task, action, ws, we, hit, qs, qe):
@@ -1467,7 +1621,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
     if translated is None:
         return None
     (stages1, stages2, cutters, pair_filters, sink, pair_stage,
-     rc_pair, post_stages) = translated
+     rc_pair, post_stages, rename) = translated
     _setup_jax()
 
     from . import native
@@ -1504,6 +1658,23 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
     bp1 = 0
     bp2 = 0
     wl = sink._statistics
+
+    if rename is not None:
+        from .batch_pipeline import CutStage
+
+        rename_names = []
+        rename_cuts = []
+        for st in (stages1, stages2):
+            stage = next(
+                (x for x in st if hasattr(x, "flat_adapters")), None
+            )
+            rename_names.append(
+                [a.name for a in stage.flat_adapters]
+                if stage is not None else []
+            )
+            rename_cuts.append(
+                [x.length for x in st if isinstance(x, CutStage)]
+            )
 
     def check_names(p1, p2):
         from .io.records import record_names_match
@@ -1578,6 +1749,12 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
             )
             ws2, we2 = _apply_post_stages(
                 engine2, post_stages[1], c2, ws2, we2
+            )
+        if rename is not None:
+            c1, c2 = _paired_rename_headers(
+                (c1, c2), rename,
+                (stats1["last_adapter_gid"], stats2["last_adapter_gid"]),
+                rename_names, rename_cuts,
             )
         len1 = we1 - ws1
         len2 = we2 - ws2

@@ -330,3 +330,23 @@ def test_fastpath_wildcard_file(tmp_path, monkeypatch):
     assert outs["1"][0] == outs["0"][0]
     assert outs["1"][1] == outs["0"][1], "wildcard file differs"
     assert outs["1"][1], "wildcard file unexpectedly empty"
+
+
+def test_fastpath_paired_rename(tmp_path, monkeypatch):
+    spy = _spy_engagement(monkeypatch)
+    inputs = make_reads(tmp_path / "in.fastq", paired=True)
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out1 = tmp_path / f"o1-{env}.fastq"
+        out2 = tmp_path / f"o2-{env}.fastq"
+        main(["--quiet", "-u", "2", "-a", "a1=" + A3, "-A", "a2=" + A5,
+              "--rename",
+              "{id} r{rn} a1={r1.adapter_name} a2={r2.adapter_name} "
+              "p={cut_prefix} own={adapter_name}",
+              "-o", str(out1), "-p", str(out2)]
+             + [str(p) for p in inputs])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        outs[env] = out1.read_bytes() + b"\x00" + out2.read_bytes()
+    assert outs["1"] == outs["0"]
