@@ -256,9 +256,6 @@ def _translate_single(pipeline, fasta: bool = False):
     if modifiers and type(modifiers[-1]) is Renamer:
         rename = modifiers.pop()
         used = {text for is_field, text in rename._parts if is_field}
-        if "match_sequence" in used:
-            # per-match byte ranges are not retained by the engine
-            return None
 
     stages = []
     cutter = None
@@ -274,6 +271,12 @@ def _translate_single(pipeline, fasta: bool = False):
     if rename is not None:
         if _transform_action(stages) is not None or _revcomp_stage(stages):
             return None  # those assemblers read headers from the chunk
+        if "match_sequence" in used and any(
+            t.kind == "linked"
+            for st in stages if hasattr(st, "tasks")
+            for t in st.tasks
+        ):
+            return None  # linked events carry no match geometry
         if {"cut_prefix", "cut_suffix"} & used:
             # cut bytes are recovered from the original reads, which
             # requires the cuts to run before any other stage
@@ -582,7 +585,8 @@ def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
         info_fh.write("".join(rows))
 
 
-def _rename_headers(chunk, rename, gids, adapter_names, cut_lengths):
+def _rename_headers(chunk, rename, gids, adapter_names, cut_lengths,
+                    match_geometry=None):
     """A ParsedChunk whose headers are the --rename template's output.
 
     Built as original-buffer + new-headers concatenation so sequence/
@@ -610,6 +614,11 @@ def _rename_headers(chunk, rename, gids, adapter_names, cut_lengths):
     for i in range(chunk.n_records):
         header = bytes(buf[hs[i] : he[i]])
         values = {"header": header, "rc": b""}
+        if "match_sequence" in used:
+            has, a, b = match_geometry
+            values["match_sequence"] = (
+                bytes(buf[ss[i] + a[i] : ss[i] + b[i]]) if has[i] else b""
+            )
         if need_split:
             fields = header.split(None, 1)
             values["id"] = fields[0] if fields else b""
@@ -651,8 +660,23 @@ def _rename_headers(chunk, rename, gids, adapter_names, cut_lengths):
     )
 
 
+def _last_match_geometry(stats, n_records):
+    """Per-read absolute [a, b) window coordinates of the LAST adapter
+    match (later rounds overwrite earlier ones) plus a has-match mask,
+    for the {match_sequence} rename field."""
+    has = np.zeros(n_records, bool)
+    a = np.zeros(n_records, np.int32)
+    b = np.zeros(n_records, np.int32)
+    for ev in stats.get("adapter_events", ()):
+        reads = ev["reads"]
+        has[reads] = True
+        a[reads] = ev["ws"] + ev["qs"]
+        b[reads] = ev["ws"] + ev["qe"]
+    return has, a, b
+
+
 def _paired_rename_headers(
-    chunks, rename, gids_pair, names_pair, cuts_pair
+    chunks, rename, gids_pair, names_pair, cuts_pair, geometry_pair
 ):
     """Renamed header chunks for both sides of a pair under
     PairedEndRenamer semantics (reference modifiers.py:700-803):
@@ -672,12 +696,18 @@ def _paired_rename_headers(
     need_split = bool({"id", "comment"} & plain_used) or True  # id check
     need_cuts = bool({"cut_prefix", "cut_suffix"} & plain_used)
 
-    def side_values(chunk, i, gids, names, cuts):
+    def side_values(chunk, i, gids, names, cuts, geometry):
         buf = chunk.buf
         header = bytes(
             buf[chunk.head_start[i] : chunk.head_end[i]]
         )
         values = {"header": header}
+        if "match_sequence" in plain_used:
+            has, a, b = geometry
+            ss0 = int(chunk.seq_start[i])
+            values["match_sequence"] = (
+                bytes(buf[ss0 + a[i] : ss0 + b[i]]) if has[i] else b""
+            )
         if need_split:
             fields = header.split(None, 1)
             values["id"] = fields[0] if fields else b""
@@ -709,7 +739,7 @@ def _paired_rename_headers(
     for i in range(n):
         sides = tuple(
             side_values(chunks[k], i, gids_pair[k], names_pair[k],
-                        cuts_pair[k])
+                        cuts_pair[k], geometry_pair[k])
             for k in (0, 1)
         )
 
@@ -931,6 +961,7 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
             chunk = _rename_headers(
                 chunk, rename, stats["last_adapter_gid"],
                 rename_names, rename_cuts,
+                _last_match_geometry(stats, chunk.n_records),
             )
         if any(side.values()):
             _emit_side_files(
@@ -1042,8 +1073,6 @@ def _translate_paired(pipeline, interleaved=False):
             text.split(".", 1)[-1]
             for is_field, text in rename._parts if is_field
         }
-        if "match_sequence" in rename_fields:
-            return None  # per-match byte ranges not retained pairwise
 
     stages1, stages2 = [], []
     cutters = [None, None]
@@ -1205,6 +1234,13 @@ def _translate_paired(pipeline, interleaved=False):
         if any(
             _transform_action(st) is not None or _revcomp_stage(st)
             for st in (stages1, stages2)
+        ):
+            return None
+        if "match_sequence" in rename_fields and any(
+            t.kind == "linked"
+            for st in (stages1, stages2)
+            for x in st if hasattr(x, "tasks")
+            for t in x.tasks
         ):
             return None
         if any(t[0] == "casava_filtered"
@@ -1755,6 +1791,10 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
                 (c1, c2), rename,
                 (stats1["last_adapter_gid"], stats2["last_adapter_gid"]),
                 rename_names, rename_cuts,
+                (
+                    _last_match_geometry(stats1, c1.n_records),
+                    _last_match_geometry(stats2, c2.n_records),
+                ),
             )
         len1 = we1 - ws1
         len2 = we2 - ws2

@@ -67,7 +67,8 @@ CONFIGS = [
     ("se_rename", ["-u", "3", "-u", "-2", "-a", "a1=" + A3,
                    "--rename",
                    "{id} bc={cut_prefix} tail={cut_suffix} "
-                   "ad={adapter_name} c={comment}"], False),
+                   "ad={adapter_name} m={match_sequence} c={comment}"],
+     False),
     ("pe_basic", ["-a", "a1=" + A3, "-A", "a2=" + A5, "-q", "12",
                   "-m", "15", "--pair-filter=both"], True),
     ("pe_pair_adapters", ["--pair-adapters", "-a", "a1=" + A3,
