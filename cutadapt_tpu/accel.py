@@ -3,8 +3,8 @@ Accelerated execution path: route eligible pipelines through the
 batched TPU engine while producing byte-identical output and identical
 statistics to the per-read host pipeline.
 
-Eligible today (FASTQ and FASTA in/out, plain or gzip; single-end,
-paired-end, and interleaved):
+Eligible today (FASTQ/FASTA in and out, BAM in, plain or gzip;
+single-end, paired-end, and interleaved):
 
 - modifiers, in any order: -u cuts, -q quality trimming,
   --nextseq-trim, one AdapterCutter per side with any mix of adapter
@@ -19,8 +19,8 @@ paired-end, and interleaved):
   --max-ee/--max-aer/--discard-casava, {name} / paired /
   combinatorial demultiplexing, sinks
 
-Anything else (BAM input, paired --rename, a few transform+filter
-combinations) falls back to the per-read host pipeline. The engine updates the very same modifier/
+Anything else (a few transform/filter/rename combinations noted at
+their gates) falls back to the per-read host pipeline. The engine updates the very same modifier/
 step statistics objects the host path would, so reports are
 identical; tests/test_accel.py asserts this per configuration, and
 the whole golden suite passes with CUTADAPT_TPU_BATCH=1 forced.
@@ -858,6 +858,8 @@ def _input_format(infile) -> Optional[str]:
         return "fastq"
     if detected == FileFormat.FASTA:
         return "fasta"
+    if detected == FileFormat.BAM:
+        return "bam"
     return None
 
 
@@ -893,6 +895,7 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
     from .io.chunks import (
         assemble_fasta_window,
         assemble_window,
+        parse_bam_chunk,
         parse_fasta_chunk,
         parse_fastq_chunk,
     )
@@ -1021,6 +1024,21 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
                     (np.frombuffer(data, np.uint8) == 10).sum()
                 )
         chunks_iter = producer()
+    elif fmt == "bam":
+        # qualities may be absent per record (0xFF); that is an error
+        # exactly when some output actually needs them
+        fasta_outputs = [f[1] for f in filter_files if f is not None]
+        if demux is None:
+            fasta_outputs.append(out_fasta)
+        else:
+            fasta_outputs += [writes for _, writes in demux_files]
+            if untrimmed_file is not None:
+                fasta_outputs.append(untrimmed_file[1])
+        quals_required = not all(fasta_outputs) or side["info"] is not None
+        chunks_iter = (
+            parse_bam_chunk(data, quals_required)
+            for data in read_chunks(infile, CHUNK_RECORDS_BYTES)
+        )
     else:
         chunks_iter = (
             parse_fastq_chunk(data)

@@ -305,3 +305,104 @@ def assemble_fasta_window(chunk, win_start, win_stop, keep) -> bytes:
     pos = pos + seq_len
     out[pos] = NEWLINE
     return out.tobytes()
+
+
+_BAM_CODES = np.frombuffer(b"=ACMGRSVTWYHKDBN", np.uint8)
+_BAM_NIBBLES = np.zeros((256, 2), np.uint8)
+for _b in range(256):
+    _BAM_NIBBLES[_b, 0] = _BAM_CODES[_b >> 4]
+    _BAM_NIBBLES[_b, 1] = _BAM_CODES[_b & 0xF]
+
+
+def parse_bam_chunk(data, quals_required: bool = True) -> ParsedChunk:
+    """Parse a chunk of raw BAM alignment records (no header) into a
+    ParsedChunk with decoded ASCII sequences and phred+33 qualities.
+
+    Semantics mirror the streaming reader (io/fastq.parse_bam_records):
+    4-bit sequence codes decode through '=ACMGRSVTWYHKDBN',
+    reverse-strand records (flag 0x10) are reverse-complemented with
+    reversed qualities, and a leading 0xFF quality byte means the
+    record has no qualities — an error when the output needs them
+    (quals_required), mirroring the FASTQ writer's message."""
+    import struct
+
+    from .records import BamFormatError, reverse_complement
+
+    raw = np.frombuffer(data, np.uint8)
+    view = bytes(data) if not isinstance(data, (bytes, bytearray)) else data
+    n_bytes = len(raw)
+
+    names = []  # (start, length) into raw
+    seqs = []  # (packed_start, l_seq)
+    quals = []  # start of raw phred bytes
+    offset = 0
+    unpack = struct.unpack_from
+    while offset < n_bytes:
+        if offset + 4 > n_bytes:
+            raise BamFormatError("Truncated BAM record", line=None)
+        (block_size,) = unpack("<i", view, offset)
+        start = offset + 4
+        if start + block_size > n_bytes:
+            raise BamFormatError("Truncated BAM record", line=None)
+        l_read_name = view[start + 8]
+        (n_cigar_op,) = unpack("<H", view, start + 12)
+        (flag,) = unpack("<H", view, start + 14)
+        (l_seq,) = unpack("<i", view, start + 16)
+        pos = start + 32
+        names.append((pos, l_read_name - 1))
+        pos += l_read_name + n_cigar_op * 4
+        seqs.append((pos, l_seq))
+        pos += (l_seq + 1) // 2
+        quals.append(pos)
+        offset = start + block_size
+
+    n_records = len(names)
+    name_start = np.array([n[0] for n in names], np.int64)
+    name_len = np.array([n[1] for n in names], np.int64)
+    seq_len = np.array([s[1] for s in seqs], np.int64)
+
+    # output layout: [headers][sequences][qualities]
+    head_start = np.cumsum(name_len) - name_len
+    head_end = head_start + name_len
+    seq_base = int(head_end[-1]) if n_records else 0
+    seq_start = seq_base + np.cumsum(seq_len) - seq_len
+    qual_base = seq_base + int(seq_len.sum())
+    qual_start = qual_base + (seq_start - seq_base)
+    out = np.empty(qual_base + int(seq_len.sum()), np.uint8)
+
+    _scatter_ranges(out, head_start, name_start, name_len, raw)
+    for i in range(n_records):
+        p0, l_seq = seqs[i]
+        decoded = _BAM_NIBBLES[
+            raw[p0 : p0 + (l_seq + 1) // 2]
+        ].reshape(-1)[:l_seq]
+        q0 = quals[i]
+        qraw = raw[q0 : q0 + l_seq]
+        if l_seq and qraw[0] == 0xFF:
+            if quals_required:
+                name = bytes(raw[names[i][0] : sum(names[i])]).decode(
+                    "latin-1"
+                )
+                raise ValueError(
+                    f"Record {name!r} has no qualities, cannot be "
+                    "written to FASTQ"
+                )
+            qbytes = np.full(l_seq, ord("I"), np.uint8)  # placeholder
+        else:
+            qbytes = qraw + 33
+        (flag,) = unpack("<H", view, names[i][0] - 32 + 14)
+        if flag & 16:  # stored reverse-complemented
+            decoded = np.frombuffer(
+                reverse_complement(
+                    decoded.tobytes().decode("latin-1")
+                ).encode("latin-1"),
+                np.uint8,
+            )
+            qbytes = qbytes[::-1]
+        out[seq_start[i] : seq_start[i] + l_seq] = decoded
+        out[qual_start[i] : qual_start[i] + l_seq] = qbytes
+
+    return ParsedChunk(
+        out, head_start, head_end, seq_start,
+        seq_len.astype(np.int32), qual_start,
+    )

@@ -351,3 +351,51 @@ def test_fastpath_paired_rename(tmp_path, monkeypatch):
             assert spy.get("engaged"), "batch path did not engage"
         outs[env] = out1.read_bytes() + b"\x00" + out2.read_bytes()
     assert outs["1"] == outs["0"]
+
+
+def test_fastpath_bam_input(tmp_path, monkeypatch):
+    spy = _spy_engagement(monkeypatch)
+    import struct
+
+    def bam_record(name, seq, quals, flag=0):
+        codes = "=ACMGRSVTWYHKDBN"
+        packed = bytearray()
+        for i in range(0, len(seq), 2):
+            hi = codes.index(seq[i])
+            lo = codes.index(seq[i + 1]) if i + 1 < len(seq) else 0
+            packed.append((hi << 4) | lo)
+        body = (
+            struct.pack(
+                "<iiBBHHHiiii", -1, -1, len(name) + 1, 0, 0, 0, flag,
+                len(seq), -1, -1, 0,
+            )
+            + name.encode() + b"\x00" + bytes(packed)
+            + bytes(q - 33 for q in quals.encode())
+        )
+        return struct.pack("<i", len(body)) + body
+
+    rng = random.Random(33)
+    records = b""
+    for i in range(400):
+        L = rng.randint(20, 80)
+        s = "".join(rng.choice("ACGT") for _ in range(L))
+        if rng.random() < 0.5 and L > 25:
+            p = rng.randint(5, L - 10)
+            s = (s[:p] + A3 + s[p:])[:L]
+        q = "".join(chr(rng.randint(35, 72)) for _ in range(len(s)))
+        records += bam_record(f"b{i}", s, q, flag=16 if i % 5 == 0 else 0)
+    header = b"BAM\x01" + struct.pack("<i", 0) + struct.pack("<i", 0)
+    inp = tmp_path / "in.bam"
+    inp.write_bytes(header + records)
+
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"o-{env}.fastq"
+        main(["--quiet", "-a", "a1=" + A3, "-q", "10", "-m", "10",
+              "-o", str(out), str(inp)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        outs[env] = out.read_bytes()
+    assert outs["1"] == outs["0"]
+    assert outs["1"].startswith(b"@")
