@@ -784,6 +784,136 @@ class BatchPipelineEngine:
             enc[:take] = e
         return enc
 
+    def _dispatch_stage(self, stage, chunk, subset, win_start, win_stop,
+                        width):
+        """Dispatch all of a stage's tasks, sharing one upload of the
+        candidate windows between DP tasks that can read the same
+        encoding (same wildcard flags and orientation).
+
+        Rationale: per-task dispatch uploads each task's candidate
+        subset separately; with n adapters that is n transfers of
+        nearly the same bytes over a link where transfers are the
+        scarce resource. Grouped tasks instead take the union of their
+        prefilter candidates, encode once with the shared unpacked
+        byte LUT, place the batch on device once, and run each task's
+        kernel against the resident array — correct because the
+        prefilter is one-sided (a prefilter-rejected read can never
+        align, so running the DP on another task's candidates only
+        produces found=False). CUTADAPT_TPU_SHARED_UPLOAD=0 disables.
+        """
+        tasks = stage.tasks
+        per_task = lambda: [
+            self._dispatch_task(t, chunk, subset, win_start, win_stop,
+                                width)
+            for t in tasks
+        ]
+        if (
+            os.environ.get("CUTADAPT_TPU_SHARED_UPLOAD", "1") == "0"
+            or _ACTIVE_MESH is not None
+        ):
+            return per_task()
+        groups = {}
+        for i, t in enumerate(tasks):
+            if t.comparer or t.indexed or t.kind == "linked":
+                continue
+            key = (
+                t.spec.wildcard_ref, t.spec.wildcard_query, t.reverse
+            )
+            groups.setdefault(key, []).append(i)
+        if not any(len(members) > 1 for members in groups.values()):
+            return per_task()
+
+        import jax
+
+        from .ops.tables import ACGT_LUT, IUPAC_LUT, UPPER_LUT
+
+        disp = [None] * len(tasks)
+        starts = (
+            chunk.seq_start[subset] + win_start[subset]
+        ).astype(np.int64)
+        lens = (win_stop[subset] - win_start[subset]).astype(np.int32)
+        n = len(starts)
+        for (wc_ref, wc_query, reverse), members in groups.items():
+            if len(members) < 2:
+                continue
+            union = np.zeros(n, bool)
+            for i in members:
+                t = tasks[i]
+                if t.pf_tables is not None and native.AVAILABLE:
+                    union |= native.kmer_prefilter(
+                        chunk.buf, starts, lens, t.pf_tables,
+                        reverse=t.reverse,
+                    ).astype(bool)
+                else:
+                    union[:] = True
+                    break
+            sel = np.flatnonzero(union)
+            if len(sel) == 0:
+                for i in members:
+                    disp[i] = ("single", sel, [])
+                continue
+            if wc_query:
+                lut = IUPAC_LUT
+            elif wc_ref:
+                lut = ACGT_LUT
+            else:
+                lut = UPPER_LUT
+            c_starts, c_lens = starts[sel], lens[sel]
+            wide = int(c_lens.max()) >= (1 << _QS_BITS)
+            futures = {i: [] for i in members}
+            off = 0
+            for size in self._dp_sizes(len(sel)):
+                take = min(size, len(sel) - off)
+                if take <= 0:
+                    break
+                enc = np.zeros((size, width), np.uint8)
+                if native.AVAILABLE:
+                    native.pad_encode(
+                        chunk.buf, c_starts, c_lens,
+                        np.arange(off, off + take, dtype=np.int64),
+                        width, lut, pack4=False, out=enc, reverse=reverse,
+                    )
+                else:
+                    from .io.chunks import pad_rows
+
+                    raw = pad_rows(
+                        chunk.buf, c_starts[off : off + take],
+                        c_lens[off : off + take], width,
+                    )
+                    if reverse:
+                        rev = np.zeros_like(raw)
+                        for pos, (row, ln) in enumerate(
+                            zip(raw, c_lens[off : off + take])
+                        ):
+                            rev[pos, :ln] = row[:ln][::-1]
+                        raw = rev
+                    enc[:take] = lut[raw]
+                sub_len = np.zeros(size, np.int32)
+                sub_len[:take] = c_lens[off : off + take]
+                dev_enc = jax.device_put(enc)
+                dev_len = jax.device_put(sub_len)
+                for i in members:
+                    fut = _make_locate_step(
+                        tasks[i].spec, False, "xla",
+                        wide or self.want_ref_coords, None,
+                    )(dev_enc, dev_len)
+                    try:
+                        fut.copy_to_host_async()
+                    except Exception:
+                        pass
+                    futures[i].append(
+                        (off, take, fut, wide or self.want_ref_coords)
+                    )
+                off += size
+            for i in members:
+                disp[i] = ("single", sel, futures[i])
+        for i, t in enumerate(tasks):
+            if disp[i] is None:
+                disp[i] = self._dispatch_task(
+                    t, chunk, subset, win_start, win_stop, width
+                )
+        return disp
+
     def _dispatch_task(self, task, chunk, subset, win_start, win_stop, width):
         """Prefilter + encode + dispatch for `subset` (read indices)
         over their current windows. Returns ('single', sel, futures)
@@ -970,11 +1100,9 @@ class BatchPipelineEngine:
         in place."""
         B = chunk.n_records
         if dispatched is None:
-            dispatched = [
-                self._dispatch_task(t, chunk, subset, win_start, win_stop,
-                                    width)
-                for t in stage.tasks
-            ]
+            dispatched = self._dispatch_stage(
+                stage, chunk, subset, win_start, win_stop, width
+            )
         # combine: best score, then fewer errors, then first adapter
         best_found = np.zeros(B, bool)
         best_score = np.zeros(B, np.int32)
@@ -1195,23 +1323,17 @@ class BatchPipelineEngine:
                 full = parsed.seq_len.astype(np.int32)
                 rc_ws = full - win_stop
                 rc_we = full - win_start
-                fwd_disp = [
-                    self._dispatch_task(t, parsed, subset, win_start,
-                                        win_stop, width)
-                    for t in stage.tasks
-                ]
-                rc_disp = [
-                    self._dispatch_task(t, rc_chunk, subset, rc_ws, rc_we,
-                                        width)
-                    for t in stage.tasks
-                ]
+                fwd_disp = self._dispatch_stage(
+                    stage, parsed, subset, win_start, win_stop, width
+                )
+                rc_disp = self._dispatch_stage(
+                    stage, rc_chunk, subset, rc_ws, rc_we, width
+                )
                 dp_futures = (rc_chunk, rc_ws, rc_we, fwd_disp, rc_disp)
             else:
-                dp_futures = [
-                    self._dispatch_task(t, parsed, subset, win_start,
-                                        win_stop, width)
-                    for t in stage.tasks
-                ]
+                dp_futures = self._dispatch_stage(
+                    stage, parsed, subset, win_start, win_stop, width
+                )
         post = (
             self.stages[pos + 1 :] if self._adapter_pos is not None else []
         )
