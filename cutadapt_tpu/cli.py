@@ -1091,7 +1091,9 @@ def warn_if_en_dashes(args):
 
 
 def estimate_compression_threads(cores: int) -> Optional[int]:
-    return max(0, min(cores - 1, 4))
+    # at least one background thread: deflate then overlaps with the
+    # device path's transfer waits even in single-core mode
+    return min(max(cores - 1, 1), 4)
 
 
 def is_any_output_stdout(args) -> bool:
