@@ -19,8 +19,9 @@ single-end, paired-end, and interleaved):
   --max-ee/--max-aer/--discard-casava, {name} / paired /
   combinatorial demultiplexing, sinks
 
-Anything else (a few transform/filter/rename combinations noted at
-their gates) falls back to the per-read host pipeline. The engine updates the very same modifier/
+The remaining host-only combinations are noted at their gates
+(e.g. name edits with casava filtering, zero-cap with expected-error
+filters, transform actions with non-FASTQ outputs). The engine updates the very same modifier/
 step statistics objects the host path would, so reports are
 identical; tests/test_accel.py asserts this per configuration, and
 the whole golden suite passes with CUTADAPT_TPU_BATCH=1 forced.
@@ -238,7 +239,13 @@ def _translate_single(pipeline, fasta: bool = False):
     would raise on the host path, which must stay in charge of that
     error)."""
     from .batch_pipeline import CutStage, FilterSpec
-    from .modifiers import Renamer
+    from .modifiers import (
+        LengthTagModifier,
+        PrefixSuffixAdder,
+        Renamer,
+        SuffixRemover,
+        ZeroCapper,
+    )
     from .steps import (
         Demultiplexer,
         InfoFileWriter,
@@ -253,9 +260,34 @@ def _translate_single(pipeline, fasta: bool = False):
 
     modifiers = list(pipeline._modifiers)
     rename = None
+    used = set()
     if modifiers and type(modifiers[-1]) is Renamer:
         rename = modifiers.pop()
         used = {text for is_field, text in rename._parts if is_field}
+
+    # trailing name/quality edit modifiers (the CLI emits them after
+    # every window-modifying stage; enforce that ordering here)
+    edit_types = (SuffixRemover, LengthTagModifier, PrefixSuffixAdder,
+                  ZeroCapper)
+    split = next(
+        (k for k, mod in enumerate(modifiers)
+         if isinstance(mod, edit_types)),
+        len(modifiers),
+    )
+    name_edits = []
+    zero_cap = None
+    for mod in modifiers[split:]:
+        if isinstance(mod, SuffixRemover):
+            name_edits.append(("strip", mod.suffix))
+        elif isinstance(mod, LengthTagModifier):
+            name_edits.append(("lentag", mod))
+        elif isinstance(mod, PrefixSuffixAdder):
+            name_edits.append(("presuf", mod.prefix, mod.suffix))
+        elif isinstance(mod, ZeroCapper):
+            zero_cap = mod.quality_base
+        else:
+            return None  # window stage after a name edit
+    modifiers = modifiers[:split]
 
     stages = []
     cutter = None
@@ -268,9 +300,10 @@ def _translate_single(pipeline, fasta: bool = False):
             cutter = stage_cutter
         stages.append(stage)
 
-    if rename is not None:
+    if rename is not None or name_edits or zero_cap is not None:
         if _transform_action(stages) is not None or _revcomp_stage(stages):
-            return None  # those assemblers read headers from the chunk
+            return None  # those assemblers rebuild bytes from the chunk
+    if rename is not None:
         if "match_sequence" in used and any(
             t.kind == "linked"
             for st in stages if hasattr(st, "tasks")
@@ -332,8 +365,8 @@ def _translate_single(pipeline, fasta: bool = False):
             ):
                 return None
             if isinstance(step, InfoFileWriter):
-                if fasta:
-                    return None  # quality columns need FASTQ
+                if fasta or zero_cap is not None:
+                    return None  # quality columns must match the host
                 key = "info"
             elif isinstance(step, WildcardFileWriter):
                 key = "wildcard"
@@ -371,9 +404,14 @@ def _translate_single(pipeline, fasta: bool = False):
             "too_many_expected_errors", "too_high_average_error_rate",
         ):
             return None  # quality-based predicates need FASTQ
-        if rename is not None and t[0] == "casava_filtered":
-            # the casava predicate reads headers, which --rename edits
-            # before the filters run on the host path
+        if (rename is not None or name_edits) and t[0] == "casava_filtered":
+            # the casava predicate reads headers, which the name edits
+            # change before the filters run on the host path
+            return None
+        if zero_cap is not None and t[0] in (
+            "too_many_expected_errors", "too_high_average_error_rate",
+        ):
+            # the host path caps qualities before these filters test
             return None
         if rc_stage is not None and t[0] in (
             "too_many_expected_errors", "too_high_average_error_rate",
@@ -385,7 +423,8 @@ def _translate_single(pipeline, fasta: bool = False):
         filters.append(FilterSpec(t[0], t[1], step))
     if sink is None:
         return None
-    return stages, filters, cutter, sink, rename, side
+    return (stages, filters, cutter, sink, rename, side, name_edits,
+            zero_cap)
 
 
 def _transform_action(stages):
@@ -585,78 +624,152 @@ def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
         info_fh.write("".join(rows))
 
 
-def _rename_headers(chunk, rename, gids, adapter_names, cut_lengths,
-                    match_geometry=None):
-    """A ParsedChunk whose headers are the --rename template's output.
-
-    Built as original-buffer + new-headers concatenation so sequence/
-    quality offsets stay valid and every assembler works unchanged;
-    the header offsets point into the appended region. Field values
-    follow Renamer's per-read semantics (modifiers.py): {id}/{comment}
-    split the header on whitespace, {adapter_name} is the last match's
-    adapter (or 'no_adapter'), {cut_prefix}/{cut_suffix} are the bytes
-    the unconditional cuts removed, {rc} is empty (revcomp+rename runs
-    on the host path)."""
-    from .io.chunks import ParsedChunk
-
-    parts = [
-        (is_field, text if is_field else text.encode("latin-1"))
-        for is_field, text in rename._parts
-    ]
-    used = {text for is_field, text in rename._parts if is_field}
-    need_split = bool({"id", "comment"} & used)
-    need_cuts = bool({"cut_prefix", "cut_suffix"} & used)
-    names = [name.encode("latin-1") for name in adapter_names]
-    buf, hs, he = chunk.buf, chunk.head_start, chunk.head_end
+def _make_name_editor(edits, rename, chunk, stats, adapter_names,
+                      cut_lengths, final_ws, final_we):
+    """Per-read header-edit function for the trailing name modifiers
+    (SuffixRemover, LengthTagModifier, PrefixSuffixAdder) and the
+    --rename template, with host-path semantics and ordering."""
+    buf = chunk.buf
     ss, sl = chunk.seq_start, chunk.seq_len
+    gids = stats["last_adapter_gid"]
+    names = [name.encode("latin-1") for name in adapter_names]
+    final_len = (final_we - final_ws).astype(np.int64)
 
-    new_heads = []
-    for i in range(chunk.n_records):
-        header = bytes(buf[hs[i] : he[i]])
-        values = {"header": header, "rc": b""}
-        if "match_sequence" in used:
-            has, a, b = match_geometry
-            values["match_sequence"] = (
-                bytes(buf[ss[i] + a[i] : ss[i] + b[i]]) if has[i] else b""
-            )
-        if need_split:
+    def adapter_name_of(i):
+        g = int(gids[i])
+        return names[g] if g >= 0 else b"no_adapter"
+
+    steps = []
+    for op in edits:
+        if op[0] == "strip":
+            suffix = op[1].encode("latin-1")
+
+            def step(i, header, _sfx=suffix):
+                if _sfx and header.endswith(_sfx):
+                    return header[: -len(_sfx)]
+                return header
+
+        elif op[0] == "lentag":
+            mod = op[1]
+            tag = mod.length_tag
+
+            def step(i, header, _mod=mod, _tag=tag):
+                text = header.decode("latin-1")
+                if _tag in text:
+                    text = _mod.regex.sub(
+                        f"{_tag}{int(final_len[i])}", text
+                    )
+                return text.encode("latin-1")
+
+        else:  # presuf
+            prefix, suffix = op[1], op[2]
+
+            def step(i, header, _pre=prefix, _suf=suffix):
+                name = adapter_name_of(i).decode("latin-1")
+                return (
+                    _pre.replace("{name}", name).encode("latin-1")
+                    + header
+                    + _suf.replace("{name}", name).encode("latin-1")
+                )
+
+        steps.append(step)
+
+    if rename is not None:
+        parts = [
+            (is_field, text if is_field else text.encode("latin-1"))
+            for is_field, text in rename._parts
+        ]
+        used = {text for is_field, text in rename._parts if is_field}
+        geometry = (
+            _last_match_geometry(stats, chunk.n_records)
+            if "match_sequence" in used else None
+        )
+        need_cuts = bool({"cut_prefix", "cut_suffix"} & used)
+
+        def render(i, header):
+            values = {"header": header, "rc": b""}
+            if geometry is not None:
+                has, a, b = geometry
+                values["match_sequence"] = (
+                    bytes(buf[ss[i] + a[i] : ss[i] + b[i]])
+                    if has[i] else b""
+                )
             fields = header.split(None, 1)
             values["id"] = fields[0] if fields else b""
             values["comment"] = fields[1] if len(fields) == 2 else b""
-        if "adapter_name" in used:
-            g = int(gids[i])
-            values["adapter_name"] = names[g] if g >= 0 else b"no_adapter"
-        if need_cuts:
-            start, end = 0, int(sl[i])
-            prefix = suffix = b""
-            for length in cut_lengths:
-                if length > 0:
-                    stop = min(start + length, end)
-                    prefix = bytes(buf[ss[i] + start : ss[i] + stop])
-                    start = stop
-                elif length < 0:
-                    begin = max(end + length, start)
-                    suffix = bytes(buf[ss[i] + begin : ss[i] + end])
-                    end = begin
-            values["cut_prefix"] = prefix
-            values["cut_suffix"] = suffix
-        new_heads.append(
-            b"".join(
+            if "adapter_name" in used:
+                values["adapter_name"] = adapter_name_of(i)
+            if need_cuts:
+                start, end = 0, int(sl[i])
+                cut_prefix = cut_suffix = b""
+                for length in cut_lengths:
+                    if length > 0:
+                        stop = min(start + length, end)
+                        cut_prefix = bytes(buf[ss[i] + start : ss[i] + stop])
+                        start = stop
+                    elif length < 0:
+                        begin = max(end + length, start)
+                        cut_suffix = bytes(buf[ss[i] + begin : ss[i] + end])
+                        end = begin
+                values["cut_prefix"] = cut_prefix
+                values["cut_suffix"] = cut_suffix
+            return b"".join(
                 values[text] if is_field else text
                 for is_field, text in parts
             )
-        )
 
+        steps.append(render)
+
+    def edit(i, header):
+        for step in steps:
+            header = step(i, header)
+        return header
+
+    return edit
+
+
+def _edit_headers(chunk, editor):
+    """A ParsedChunk whose headers are rewritten by `editor`, appended
+    to the original buffer so sequence/quality offsets stay valid and
+    every assembler works unchanged."""
+    from .io.chunks import ParsedChunk
+
+    buf, hs, he = chunk.buf, chunk.head_start, chunk.head_end
+    new_heads = [
+        editor(i, bytes(buf[hs[i] : he[i]]))
+        for i in range(chunk.n_records)
+    ]
     head_bytes = b"".join(new_heads)
     lens = np.array([len(h) for h in new_heads], np.int64)
     ends = np.cumsum(lens)
     base = len(buf)
-    combined = np.concatenate(
-        [buf, np.frombuffer(head_bytes, np.uint8)]
-    )
+    combined = np.concatenate([buf, np.frombuffer(head_bytes, np.uint8)])
     return ParsedChunk(
-        combined, base + ends - lens, base + ends, ss, sl,
-        chunk.qual_start, has_cr=chunk.has_cr,
+        combined, base + ends - lens, base + ends, chunk.seq_start,
+        chunk.seq_len, chunk.qual_start, has_cr=chunk.has_cr,
+    )
+
+
+def _zero_cap_chunk(chunk, quality_base):
+    """A ParsedChunk whose quality bytes below `quality_base` are
+    raised to it (ZeroCapper), leaving all other bytes untouched."""
+    from .io.chunks import ParsedChunk
+
+    lut = np.arange(256, dtype=np.uint8)
+    lut[:quality_base] = quality_base
+    buf = chunk.buf.copy()
+    lens = chunk.seq_len.astype(np.int64)
+    total = int(lens.sum())
+    if total:
+        reps = np.repeat(np.arange(chunk.n_records), lens)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        idx = chunk.qual_start[reps] + offs
+        buf[idx] = lut[buf[idx]]
+    return ParsedChunk(
+        buf, chunk.head_start, chunk.head_end, chunk.seq_start,
+        chunk.seq_len, chunk.qual_start, has_cr=chunk.has_cr,
     )
 
 
@@ -889,7 +1002,8 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
     translated = _translate_single(pipeline, fasta=fasta_in)
     if translated is None:
         return None
-    stages, filters, cutter, sink, rename, side = translated
+    (stages, filters, cutter, sink, rename, side, name_edits,
+     zero_cap) = translated
     _setup_jax()
 
     from .io.chunks import (
@@ -933,7 +1047,7 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
 
     assemble = _stages_assembler(stages)
 
-    if rename is not None:
+    if rename is not None or name_edits:
         from .batch_pipeline import CutStage
 
         adapter_stage = next(
@@ -960,11 +1074,15 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
         nonlocal n, total_bp
         ws, we, keep, stats = engine.collect(pending)
         chunk = pending.parsed
-        if rename is not None:
-            chunk = _rename_headers(
-                chunk, rename, stats["last_adapter_gid"],
-                rename_names, rename_cuts,
-                _last_match_geometry(stats, chunk.n_records),
+        if zero_cap is not None:
+            chunk = _zero_cap_chunk(chunk, zero_cap)
+        if rename is not None or name_edits:
+            chunk = _edit_headers(
+                chunk,
+                _make_name_editor(
+                    name_edits, rename, chunk, stats, rename_names,
+                    rename_cuts, ws, we,
+                ),
             )
         if any(side.values()):
             _emit_side_files(
@@ -1078,10 +1196,17 @@ def _translate_paired(pipeline, interleaved=False):
 
     from .batch_pipeline import AdapterStage, adapter_kind, AdapterTask
     from .modifiers import (
+        LengthTagModifier,
         PairedAdapterCutter,
         PairedEndRenamer,
         PairedReverseComplementer,
+        PrefixSuffixAdder,
+        SuffixRemover,
+        ZeroCapper,
     )
+
+    edit_types = (SuffixRemover, LengthTagModifier, PrefixSuffixAdder,
+                  ZeroCapper)
 
     modifiers = list(pipeline._modifiers)
     rename = None
@@ -1097,6 +1222,8 @@ def _translate_paired(pipeline, interleaved=False):
     pair_stage = None
     rc_pair = None
     post_stages = [[], []]  # host stages after the paired-revcomp swap
+    side_edits = [[], []]  # trailing per-side name edits
+    zero_caps = [None, None]
     for mod in modifiers:
         if pair_stage is not None:
             return None  # --pair-adapters must be the last modifier
@@ -1142,6 +1269,18 @@ def _translate_paired(pipeline, interleaved=False):
         for side, m in enumerate((mod._modifier1, mod._modifier2)):
             if m is None:
                 continue
+            if isinstance(m, edit_types):
+                if isinstance(m, SuffixRemover):
+                    side_edits[side].append(("strip", m.suffix))
+                elif isinstance(m, LengthTagModifier):
+                    side_edits[side].append(("lentag", m))
+                elif isinstance(m, PrefixSuffixAdder):
+                    side_edits[side].append(("presuf", m.prefix, m.suffix))
+                else:
+                    zero_caps[side] = m.quality_base
+                continue
+            if side_edits[side] or zero_caps[side] is not None:
+                return None  # window stage after a name edit
             t = _translate_modifier(
                 m, cutters[side] is not None or rc_pair is not None
             )
@@ -1246,6 +1385,28 @@ def _translate_paired(pipeline, interleaved=False):
             for w in ([sink.writer] if hasattr(sink, "writer") else [])
         ):
             return None
+    any_edits = any(side_edits) or any(z is not None for z in zero_caps)
+    if any_edits:
+        if rc_pair is not None or interleaved or rename is not None:
+            return None
+        if any(
+            _transform_action(st) is not None or _revcomp_stage(st)
+            for st in (stages1, stages2)
+        ):
+            return None
+        if any(side_edits) and any(
+            t[0] == "casava_filtered"
+            for _, t1, t2, _m in pair_filters
+            for t in (t1, t2) if t is not None
+        ):
+            return None
+        if any(z is not None for z in zero_caps) and any(
+            t[0] in ("too_many_expected_errors",
+                     "too_high_average_error_rate")
+            for _, t1, t2, _m in pair_filters
+            for t in (t1, t2) if t is not None
+        ):
+            return None
     if rename is not None:
         if rc_pair is not None or interleaved:
             return None
@@ -1277,7 +1438,7 @@ def _translate_paired(pipeline, interleaved=False):
                     else:
                         past_cuts = True
     return (stages1, stages2, cutters, pair_filters, sink, pair_stage,
-            rc_pair, post_stages, rename)
+            rc_pair, post_stages, rename, side_edits, zero_caps)
 
 
 def _apply_match_windows(task, action, ws, we, hit, qs, qe):
@@ -1675,7 +1836,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
     if translated is None:
         return None
     (stages1, stages2, cutters, pair_filters, sink, pair_stage,
-     rc_pair, post_stages, rename) = translated
+     rc_pair, post_stages, rename, side_edits, zero_caps) = translated
     _setup_jax()
 
     from . import native
@@ -1713,7 +1874,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
     bp2 = 0
     wl = sink._statistics
 
-    if rename is not None:
+    if rename is not None or any(side_edits):
         from .batch_pipeline import CutStage
 
         rename_names = []
@@ -1804,6 +1965,26 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
             ws2, we2 = _apply_post_stages(
                 engine2, post_stages[1], c2, ws2, we2
             )
+        if zero_caps[0] is not None:
+            c1 = _zero_cap_chunk(c1, zero_caps[0])
+        if zero_caps[1] is not None:
+            c2 = _zero_cap_chunk(c2, zero_caps[1])
+        if any(side_edits):
+            edited = []
+            for side, (chunk_s, stats_s, ws_s, we_s) in enumerate(
+                ((c1, stats1, ws1, we1), (c2, stats2, ws2, we2))
+            ):
+                if side_edits[side]:
+                    chunk_s = _edit_headers(
+                        chunk_s,
+                        _make_name_editor(
+                            side_edits[side], None, chunk_s, stats_s,
+                            rename_names[side], rename_cuts[side],
+                            ws_s, we_s,
+                        ),
+                    )
+                edited.append(chunk_s)
+            c1, c2 = edited
         if rename is not None:
             c1, c2 = _paired_rename_headers(
                 (c1, c2), rename,

@@ -77,6 +77,12 @@ CONFIGS = [
                     "-q", "10", "-m", "12"], True),
     ("pe_poly_a", ["-a", "a1=" + A3, "-A", "a2=" + A5, "--poly-a",
                    "-m", "10"], True),
+    ("se_name_edits", ["-a", "a1=" + A3, "--strip-suffix", "/1",
+                       "-x", "pre_{name}_", "-y", "_post",
+                       "--length-tag", "length=", "-z"], False),
+    ("pe_name_edits", ["-a", "a1=" + A3, "-A", "a2=" + A5,
+                       "-y", " ad={name}", "--zero-cap", "-m", "10"],
+     True),
     ("pe_revcomp_one_sided", ["-a", "a1=" + A3, "--revcomp",
                               "--pair-filter=both"], True),
 ]
