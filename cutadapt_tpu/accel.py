@@ -34,6 +34,7 @@ amortizes. jax imports lazily so small runs never pay for it.
 import os
 import queue
 import threading
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
@@ -118,6 +119,37 @@ def _pipelined_drive(producer, submit, emit, depth: int = 2) -> None:
         reader.join()
     if failures:
         raise failures[0]
+
+
+@dataclass
+class SingleTranslation:
+    """An eligible single-end pipeline, translated for the engine."""
+
+    stages: list
+    filters: list
+    cutter: object
+    sink: object  # SingleEndSink or Demultiplexer
+    rename: object  # trailing Renamer, if any
+    side: dict  # rest/info/wildcard text files
+    name_edits: list  # trailing name-edit ops, in order
+    zero_cap: object  # ZeroCapper quality base, if any
+
+
+@dataclass
+class PairedTranslation:
+    """An eligible paired-end pipeline, translated for the engine."""
+
+    stages1: list
+    stages2: list
+    cutters: list
+    pair_filters: list
+    sink: object
+    pair_stage: object  # --pair-adapters construct, if any
+    rc_pair: object  # paired --revcomp construct, if any
+    post_stages: list  # host stages after the revcomp swap, per slot
+    rename: object  # trailing PairedEndRenamer, if any
+    side_edits: list  # trailing per-side name-edit ops
+    zero_caps: list  # per-side ZeroCapper quality bases
 
 
 def _translate_tasks(cutter):
@@ -423,8 +455,9 @@ def _translate_single(pipeline, fasta: bool = False):
         filters.append(FilterSpec(t[0], t[1], step))
     if sink is None:
         return None
-    return (stages, filters, cutter, sink, rename, side, name_edits,
-            zero_cap)
+    return SingleTranslation(
+        stages, filters, cutter, sink, rename, side, name_edits, zero_cap
+    )
 
 
 def _transform_action(stages):
@@ -1002,8 +1035,11 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
     translated = _translate_single(pipeline, fasta=fasta_in)
     if translated is None:
         return None
-    (stages, filters, cutter, sink, rename, side, name_edits,
-     zero_cap) = translated
+    stages, filters, cutter = (
+        translated.stages, translated.filters, translated.cutter
+    )
+    sink, rename, side = translated.sink, translated.rename, translated.side
+    name_edits, zero_cap = translated.name_edits, translated.zero_cap
     _setup_jax()
 
     from .io.chunks import (
@@ -1437,8 +1473,10 @@ def _translate_paired(pipeline, interleaved=False):
                             return None
                     else:
                         past_cuts = True
-    return (stages1, stages2, cutters, pair_filters, sink, pair_stage,
-            rc_pair, post_stages, rename, side_edits, zero_caps)
+    return PairedTranslation(
+        stages1, stages2, cutters, pair_filters, sink, pair_stage,
+        rc_pair, post_stages, rename, side_edits, zero_caps,
+    )
 
 
 def _apply_match_windows(task, action, ws, we, hit, qs, qe):
@@ -1835,8 +1873,12 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
     translated = _translate_paired(pipeline, interleaved_in)
     if translated is None:
         return None
-    (stages1, stages2, cutters, pair_filters, sink, pair_stage,
-     rc_pair, post_stages, rename, side_edits, zero_caps) = translated
+    stages1, stages2 = translated.stages1, translated.stages2
+    cutters, pair_filters = translated.cutters, translated.pair_filters
+    sink, pair_stage = translated.sink, translated.pair_stage
+    rc_pair, post_stages = translated.rc_pair, translated.post_stages
+    rename = translated.rename
+    side_edits, zero_caps = translated.side_edits, translated.zero_caps
     _setup_jax()
 
     from . import native
