@@ -28,7 +28,7 @@ MultipleAdapters.match_to at adapters.py:1265-1286.
 
 import os
 from functools import lru_cache
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

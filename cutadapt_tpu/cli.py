@@ -85,11 +85,7 @@ from cutadapt_tpu.predicates import (
 )
 from cutadapt_tpu.qualtrim import HasNoQualities
 from cutadapt_tpu.report import Statistics, full_report, minimal_report
-from cutadapt_tpu.runners import (
-    ParallelPipelineRunner,
-    SerialPipelineRunner,
-    make_runner,
-)
+from cutadapt_tpu.runners import SerialPipelineRunner, make_runner
 from cutadapt_tpu.steps import (
     CombinatorialDemultiplexer,
     Demultiplexer,

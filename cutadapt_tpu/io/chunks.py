@@ -18,8 +18,6 @@ runners.py:116-126); parsing accepts the same record shapes as dnaio's
 FASTQ parser (CRLF, missing final newline, '+' comment lines).
 """
 
-from typing import Optional
-
 import numpy as np
 
 from .. import native

@@ -30,7 +30,6 @@ from .adapters import (
     IndexedSuffixAdapters,
     Match,
     MultipleAdapters,
-    SingleAdapter,
     remainder,
 )
 from .info import ModificationInfo

@@ -24,7 +24,6 @@ mergeable-Statistics reduction contract (report.py:81-126) with XLA
 collectives instead of pickled objects over pipes.
 """
 
-from functools import partial
 from typing import Optional, Sequence
 
 import numpy as np
