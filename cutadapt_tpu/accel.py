@@ -11,8 +11,10 @@ single-end, paired-end, and interleaved):
   types (regular/anywhere/non-internal/anchored/rightmost/linked,
   IUPAC wildcards on either side, --no-indels, --times N, indexed
   anchored multi-adapter sets), every action (trim/retain/crop/mask/
-  lowercase/--no-trim), --revcomp, --pair-adapters, --poly-a,
-  --length shortening, --rename (single-end)
+  lowercase/--no-trim), --revcomp (single and paired), --pair-adapters,
+  --poly-a (both orientations), --length shortening, --trim-n,
+  --rename single and paired (incl. {match_sequence}), --strip-suffix,
+  -x/-y with {name}, --length-tag, --zero-cap
 - steps: --rest-file, --info-file and --wildcard-file (single-end,
   non-linked), length filters (-m/-M) with routed outputs,
   --discard-trimmed/untrimmed (all pair-filter modes), --max-n/
@@ -21,10 +23,12 @@ single-end, paired-end, and interleaved):
 
 The remaining host-only combinations are noted at their gates
 (e.g. name edits with casava filtering, zero-cap with expected-error
-filters, transform actions with non-FASTQ outputs). The engine updates the very same modifier/
-step statistics objects the host path would, so reports are
-identical; tests/test_accel.py asserts this per configuration, and
-the whole golden suite passes with CUTADAPT_TPU_BATCH=1 forced.
+filters, transform actions with non-FASTQ outputs). The engine
+updates the very same modifier/step statistics objects the host path
+would, so reports are identical; tests/test_accel.py asserts this per
+configuration (plus tools/fuzz_parity.py over randomized configs),
+and the whole golden suite passes with CUTADAPT_TPU_BATCH=1 forced
+(tests/test_batch_forced.py keeps that true in CI).
 
 Activation policy: CUTADAPT_TPU_BATCH=1 forces it on, =0 off; auto
 mode activates for inputs large enough that device compile time

@@ -62,7 +62,12 @@ def random_args(rng, paired):
     if rng.random() < 0.15: args += ["--length", "60"]
     if rng.random() < 0.2: args += ["--rename", "{id} a={adapter_name} m={match_sequence}"]
     elif rng.random() < 0.2: args += ["-y", "_{name}", "-z"]
-    if rng.random() < 0.15 and not paired: args += ["--revcomp"]
+    if rng.random() < 0.15: args += ["--revcomp"]
+    if rng.random() < 0.2 and not paired:
+        which = rng.random()
+        if which < 0.4: args += ["-r", "REST"]
+        elif which < 0.8: args += ["--info-file", "INFO"]
+        else: args += ["--wildcard-file", "WC"]
     return args
 
 failures = 0
@@ -80,7 +85,12 @@ for it in range(N):
             o1 = os.path.join(tmp, f"o1-{env}")
             o2 = os.path.join(tmp, f"o2-{env}")
             rep = os.path.join(tmp, f"r-{env}.json")
-            argv = ["--quiet", "--json", rep] + args + ["-o", o1]
+            argv = ["--quiet", "--json", rep]
+            side_paths = {}
+            for flagged in ("REST", "INFO", "WC"):
+                if flagged in args:
+                    side_paths[flagged] = os.path.join(tmp, f"{flagged}-{env}")
+            argv += [side_paths.get(a, a) for a in args] + ["-o", o1]
             if paired:
                 argv += ["-p", o2]
             try:
@@ -97,6 +107,9 @@ for it in range(N):
             data = open(o1, "rb").read()
             if paired:
                 data += b"\x00" + open(o2, "rb").read()
+            for path in side_paths.values():
+                if os.path.exists(path):
+                    data += b"\x01" + open(path, "rb").read()
             r = json.load(open(rep)); r["command_line_arguments"] = None
             outs[env] = ("ok", data, json.dumps(r, sort_keys=True))
         if outs["1"] != outs["0"]:
