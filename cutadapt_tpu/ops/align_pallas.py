@@ -155,7 +155,16 @@ def make_pallas_locate(
             elems = (kk, cc)
             d = 1
             fills = (INF_COST, 3, 0, 0, 0)
-            while d < m:
+            # Band-limited ladder: every in-column link costs at least
+            # del_cost (or INF at match rows), so any chain longer
+            # than k+1 links is already over the error budget and can
+            # never be part of an accepted alignment — and a truncated
+            # running sum still counts >= k+2 links' worth of cost for
+            # deeper rows, so no dead path can masquerade as live.
+            # ceil(log2(k+2)) passes instead of ceil(log2(m)): ~3x
+            # less ladder work for the flagship m=33, k=3.
+            limit = min(m, k + 2) if del_cost >= 1 else m
+            while d < limit:
                 top = pos <= d  # rows that fall off the shift
                 shifted_k = tuple(
                     jnp.where(top, f, pltpu.roll(a, d, 0))
