@@ -22,8 +22,8 @@ single-end, paired-end, and interleaved):
   combinatorial demultiplexing, sinks
 
 The remaining host-only combinations are noted at their gates
-(e.g. name edits with casava filtering, zero-cap with expected-error
-filters, transform actions with non-FASTQ outputs). The engine
+(e.g. zero-cap with --info-file, transform actions with non-FASTQ
+outputs, linked adapters with side files). The engine
 updates the very same modifier/step statistics objects the host path
 would, so reports are identical; tests/test_accel.py asserts this per
 configuration (plus tools/fuzz_parity.py over randomized configs),
@@ -440,15 +440,6 @@ def _translate_single(pipeline, fasta: bool = False):
             "too_many_expected_errors", "too_high_average_error_rate",
         ):
             return None  # quality-based predicates need FASTQ
-        if (rename is not None or name_edits) and t[0] == "casava_filtered":
-            # the casava predicate reads headers, which the name edits
-            # change before the filters run on the host path
-            return None
-        if zero_cap is not None and t[0] in (
-            "too_many_expected_errors", "too_high_average_error_rate",
-        ):
-            # the host path caps qualities before these filters test
-            return None
         if rc_stage is not None and t[0] in (
             "too_many_expected_errors", "too_high_average_error_rate",
             "too_many_n",
@@ -788,26 +779,10 @@ def _edit_headers(chunk, editor):
 
 
 def _zero_cap_chunk(chunk, quality_base):
-    """A ParsedChunk whose quality bytes below `quality_base` are
-    raised to it (ZeroCapper), leaving all other bytes untouched."""
-    from .io.chunks import ParsedChunk
+    """ZeroCapper as a chunk transform (io.chunks.zero_cap_chunk)."""
+    from .io.chunks import zero_cap_chunk
 
-    lut = np.arange(256, dtype=np.uint8)
-    lut[:quality_base] = quality_base
-    buf = chunk.buf.copy()
-    lens = chunk.seq_len.astype(np.int64)
-    total = int(lens.sum())
-    if total:
-        reps = np.repeat(np.arange(chunk.n_records), lens)
-        offs = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(lens) - lens, lens
-        )
-        idx = chunk.qual_start[reps] + offs
-        buf[idx] = lut[buf[idx]]
-    return ParsedChunk(
-        buf, chunk.head_start, chunk.head_end, chunk.seq_start,
-        chunk.seq_len, chunk.qual_start, has_cr=chunk.has_cr,
-    )
+    return zero_cap_chunk(chunk, quality_base)
 
 
 def _last_match_geometry(stats, n_records):
@@ -1057,7 +1032,8 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
     from .io.fastq import FastaWriter, read_chunks
 
     engine = BatchPipelineEngine(
-        stages, filters, want_ref_coords=side["wildcard"] is not None
+        stages, filters, want_ref_coords=side["wildcard"] is not None,
+        qual_cap_base=zero_cap,
     )
 
     from .steps import Demultiplexer
@@ -1100,6 +1076,21 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
         rename_cuts = [
             s.length for s in stages if isinstance(s, CutStage)
         ]
+        if any(f.kind == "casava_filtered" for f in filters):
+            # host order is modifiers before steps, so the casava
+            # filter must read the EDITED headers: hand the engine a
+            # hook that edits before its filter pass (emit() then
+            # picks the edited chunk up from stats)
+            def _prefilter_edit(chunk, stats, ws, we):
+                return _edit_headers(
+                    chunk,
+                    _make_name_editor(
+                        name_edits, rename, chunk, stats, rename_names,
+                        rename_cuts, ws, we,
+                    ),
+                )
+
+            engine.pre_filter_edit = _prefilter_edit
 
     def render(chunk, ws, we, mask, stats, writes_fasta):
         if writes_fasta:
@@ -1113,17 +1104,19 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
     def emit(pending):
         nonlocal n, total_bp
         ws, we, keep, stats = engine.collect(pending)
-        chunk = pending.parsed
+        chunk = stats.pop("edited_chunk", None)
+        if chunk is None:
+            chunk = pending.parsed
+            if rename is not None or name_edits:
+                chunk = _edit_headers(
+                    chunk,
+                    _make_name_editor(
+                        name_edits, rename, chunk, stats, rename_names,
+                        rename_cuts, ws, we,
+                    ),
+                )
         if zero_cap is not None:
             chunk = _zero_cap_chunk(chunk, zero_cap)
-        if rename is not None or name_edits:
-            chunk = _edit_headers(
-                chunk,
-                _make_name_editor(
-                    name_edits, rename, chunk, stats, rename_names,
-                    rename_cuts, ws, we,
-                ),
-            )
         if any(side.values()):
             _emit_side_files(
                 side["rest"], side["info"], side["wildcard"],
@@ -1434,19 +1427,10 @@ def _translate_paired(pipeline, interleaved=False):
             for st in (stages1, stages2)
         ):
             return None
-        if any(side_edits) and any(
-            t[0] == "casava_filtered"
-            for _, t1, t2, _m in pair_filters
-            for t in (t1, t2) if t is not None
-        ):
-            return None
-        if any(z is not None for z in zero_caps) and any(
-            t[0] in ("too_many_expected_errors",
-                     "too_high_average_error_rate")
-            for _, t1, t2, _m in pair_filters
-            for t in (t1, t2) if t is not None
-        ):
-            return None
+        # (zero-cap + expected-error filters and name edits + casava
+        # need no gates here: the paired drive caps and edits each
+        # side's chunk before the pair filters are evaluated, matching
+        # the host's modifier-then-step order)
     if rename is not None:
         if rc_pair is not None or interleaved:
             return None
@@ -1461,10 +1445,6 @@ def _translate_paired(pipeline, interleaved=False):
             for x in st if hasattr(x, "tasks")
             for t in x.tasks
         ):
-            return None
-        if any(t[0] == "casava_filtered"
-               for _, t1, t2, _m in pair_filters
-               for t in (t1, t2) if t is not None):
             return None
         if {"cut_prefix", "cut_suffix"} & rename_fields:
             from .batch_pipeline import CutStage

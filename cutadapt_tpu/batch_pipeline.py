@@ -640,12 +640,21 @@ class BatchPipelineEngine:
         min_dp_batch: int = 4096,
         max_dp_batch: int = 131072,
         want_ref_coords: bool = False,
+        qual_cap_base: Optional[int] = None,
     ):
         self.stages = list(stages)
         self.filters = list(filters)
         # adapter-side [astart, astop) spans are only carried by the
         # wide result format (--wildcard-file needs them)
         self.want_ref_coords = want_ref_coords
+        # a trailing ZeroCapper runs before the filter steps on the
+        # host, so expected-error filters must see capped qualities
+        self.qual_cap_base = qual_cap_base
+        # optional (chunk, stats, ws, we) -> chunk header-edit hook:
+        # name-edit modifiers run before the filter steps on the host,
+        # so a casava filter must see the edited headers; the edited
+        # chunk is handed back to the caller via stats["edited_chunk"]
+        self.pre_filter_edit = None
         self.length_bucket = length_bucket
         self.min_dp_batch = min_dp_batch
         self.max_dp_batch = max_dp_batch
@@ -1465,13 +1474,26 @@ class BatchPipelineEngine:
             )
         # filters (first matching filter claims the read, like the
         # host step order)
+        if self.pre_filter_edit is not None:
+            chunk = self.pre_filter_edit(chunk, stats, win_start, win_stop)
+            stats["edited_chunk"] = chunk
         keep = np.ones(B, bool)
         filter_counts = []
         filter_dropped = []
         lengths = win_stop - win_start
+        capped = None
         for f in self.filters:
+            fchunk = chunk
+            if self.qual_cap_base is not None and f.kind in (
+                "too_many_expected_errors", "too_high_average_error_rate"
+            ):
+                if capped is None:
+                    from .io.chunks import zero_cap_chunk
+
+                    capped = zero_cap_chunk(chunk, self.qual_cap_base)
+                fchunk = capped
             drop = filter_condition(
-                f.kind, f.threshold, chunk, win_start, win_stop,
+                f.kind, f.threshold, fchunk, win_start, win_stop,
                 lengths, matched_any,
             )
             newly = drop & keep

@@ -117,6 +117,27 @@ def pad_rows(
     return out
 
 
+def zero_cap_chunk(chunk: ParsedChunk, quality_base: int) -> ParsedChunk:
+    """A ParsedChunk whose quality bytes below `quality_base` are
+    raised to it (ZeroCapper), leaving all other bytes untouched."""
+    lut = np.arange(256, dtype=np.uint8)
+    lut[:quality_base] = quality_base
+    buf = chunk.buf.copy()
+    lens = chunk.seq_len.astype(np.int64)
+    total = int(lens.sum())
+    if total:
+        reps = np.repeat(np.arange(chunk.n_records), lens)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        idx = chunk.qual_start[reps] + offs
+        buf[idx] = lut[buf[idx]]
+    return ParsedChunk(
+        buf, chunk.head_start, chunk.head_end, chunk.seq_start,
+        chunk.seq_len, chunk.qual_start, has_cr=chunk.has_cr,
+    )
+
+
 def _scatter_ranges(out, dst_starts, src_starts, lens, src_buf):
     """out[dst_starts[i] : +lens[i]] = src_buf[src_starts[i] : +lens[i]]."""
     lens = lens.astype(np.int64)

@@ -135,6 +135,101 @@ def test_fastpath_matches_host(tmp_path, monkeypatch, name, args, paired):
     assert reports["1"] == reports["0"], name
 
 
+@pytest.mark.parametrize("paired", [False, True], ids=["se", "pe"])
+def test_fastpath_zerocap_expected_errors(tmp_path, monkeypatch, paired):
+    """--zero-cap runs before --max-ee/--max-aer on the host; the
+    batch path must evaluate those filters on capped qualities (some
+    quality bytes here are below '!', which would make the filters
+    raise without capping)."""
+    spy = _spy_engagement(monkeypatch)
+    rng = random.Random(11)
+    paths = [tmp_path / "z1.fastq"] + ([tmp_path / "z2.fastq"] if paired else [])
+    for pi, p in enumerate(paths):
+        with open(p, "w") as f:
+            for i in range(500):
+                L = rng.randint(20, 80)
+                s = "".join(rng.choice("ACGT") for _ in range(L))
+                if rng.random() < 0.5 and L > 25:
+                    pos = rng.randint(5, L - 10)
+                    a = A5 if pi else A3
+                    s = (s[:pos] + a + s[pos:])[:L]
+                q = "".join(chr(rng.randint(20, 72)) for _ in s)
+                f.write(f"@z{i}\n{s}\n+\n{q}\n")
+    args = ["-a", "a1=" + A3, "--zero-cap",
+            "--max-expected-errors", "6", "--max-average-error-rate", "0.2"]
+    if paired:
+        args += ["-A", "a2=" + A5, "--pair-filter=any"]
+    outs = {}
+    reports = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out1 = tmp_path / f"zo1-{env}.fastq"
+        rep = tmp_path / f"zrep-{env}.json"
+        argv = ["--quiet", "--json", str(rep)] + args + ["-o", str(out1)]
+        if paired:
+            argv += ["-p", str(tmp_path / f"zo2-{env}.fastq")]
+        main(argv + [str(p) for p in paths])
+        if env == "1":
+            assert spy.get("engaged")
+        data = out1.read_bytes()
+        if paired:
+            data += b"\x00" + (tmp_path / f"zo2-{env}.fastq").read_bytes()
+        outs[env] = data
+        r = json.load(open(rep))
+        r["command_line_arguments"] = None
+        reports[env] = r
+    assert outs["1"] == outs["0"]
+    assert reports["1"] == reports["0"]
+
+
+@pytest.mark.parametrize("paired", [False, True], ids=["se", "pe"])
+def test_fastpath_casava_with_name_edits(tmp_path, monkeypatch, paired):
+    """Name edits run before --discard-casava on the host (modifiers
+    precede steps), and here they replace the casava comment — the
+    batch path must evaluate the filter on the edited headers, where
+    nothing looks casava-filtered anymore."""
+    spy = _spy_engagement(monkeypatch)
+    rng = random.Random(13)
+    paths = [tmp_path / "c1.fastq"] + ([tmp_path / "c2.fastq"] if paired else [])
+    for pi, p in enumerate(paths):
+        with open(p, "w") as f:
+            for i in range(400):
+                L = rng.randint(25, 70)
+                s = "".join(rng.choice("ACGT") for _ in range(L))
+                if rng.random() < 0.4:
+                    pos = rng.randint(5, L - 10)
+                    a = A5 if pi else A3
+                    s = (s[:pos] + a + s[pos:])[:L]
+                flag = "Y" if i % 2 else "N"
+                f.write(f"@c{i} 1:{flag}:0:ATCACG\n{s}\n+\n{'I' * len(s)}\n")
+    if paired:
+        args = ["-a", "a1=" + A3, "-A", "a2=" + A5,
+                "--rename", "{id} k={adapter_name}", "--discard-casava"]
+    else:
+        args = ["-a", "a1=" + A3, "-x", "pre ", "--discard-casava"]
+    outs = {}
+    reports = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out1 = tmp_path / f"co1-{env}.fastq"
+        rep = tmp_path / f"crep-{env}.json"
+        argv = ["--quiet", "--json", str(rep)] + args + ["-o", str(out1)]
+        if paired:
+            argv += ["-p", str(tmp_path / f"co2-{env}.fastq")]
+        main(argv + [str(p) for p in paths])
+        if env == "1":
+            assert spy.get("engaged")
+        data = out1.read_bytes()
+        if paired:
+            data += b"\x00" + (tmp_path / f"co2-{env}.fastq").read_bytes()
+        outs[env] = data
+        r = json.load(open(rep))
+        r["command_line_arguments"] = None
+        reports[env] = r
+    assert outs["1"] == outs["0"]
+    assert reports["1"] == reports["0"]
+
+
 def test_fastpath_interleaved(tmp_path, monkeypatch):
     inputs = make_reads(tmp_path / "il.fastq", interleaved=True)
     outs = {}
