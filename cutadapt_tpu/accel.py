@@ -22,8 +22,8 @@ single-end, paired-end, and interleaved):
   combinatorial demultiplexing, sinks
 
 The remaining host-only combinations are noted at their gates
-(e.g. zero-cap with --info-file, transform actions with non-FASTQ
-outputs, linked adapters with side files). The engine
+(e.g. transform actions with non-FASTQ outputs, linked adapters with
+side files, side files after a filter step). The engine
 updates the very same modifier/step statistics objects the host path
 would, so reports are identical; tests/test_accel.py asserts this per
 configuration (plus tools/fuzz_parity.py over randomized configs),
@@ -154,6 +154,7 @@ class PairedTranslation:
     rename: object  # trailing PairedEndRenamer, if any
     side_edits: list  # trailing per-side name-edit ops
     zero_caps: list  # per-side ZeroCapper quality bases
+    side: dict  # side-channel files: rest/info/wildcard (R1), info2 (R2)
 
 
 def _translate_tasks(cutter):
@@ -401,8 +402,8 @@ def _translate_single(pipeline, fasta: bool = False):
             ):
                 return None
             if isinstance(step, InfoFileWriter):
-                if fasta or zero_cap is not None:
-                    return None  # quality columns must match the host
+                if fasta:
+                    return None  # info rows include quality columns
                 key = "info"
             elif isinstance(step, WildcardFileWriter):
                 key = "wildcard"
@@ -550,7 +551,7 @@ def _apply_side_stats(stats, stages, cutter, written_lengths):
 
 
 def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
-                     final_ws, final_we):
+                     final_ws, final_we, precap_chunk=None):
     """Write --rest-file / --info-file / --wildcard-file rows for one
     chunk from the
     engine's match events (reference formats: steps.py RestFileWriter
@@ -558,13 +559,22 @@ def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
     window-relative coordinates; rows appear in read order, a read's
     matches in round order, with the reference's exact field layout
     (including the trailing is_rc column on match rows and the
-    4-column -1 rows for unmatched reads)."""
+    4-column -1 rows for unmatched reads).
+
+    With --zero-cap, match rows slice info.original_read on the host —
+    captured before the trailing ZeroCapper ran — while unmatched -1
+    rows show the current (capped) read: `precap_chunk` supplies the
+    uncapped quality bytes for the match rows (same offsets)."""
     buf = chunk.buf
+    match_qual_buf = (precap_chunk or chunk).buf
     hs, he = chunk.head_start, chunk.head_end
     ss, qo = chunk.seq_start, chunk.qual_start
 
     def text(start, a, b):
         return bytes(buf[start + a : start + b]).decode("latin-1")
+
+    def qtext(start, a, b):
+        return bytes(match_qual_buf[start + a : start + b]).decode("latin-1")
 
     matches_of = {}
     for ev in stats.get("adapter_events", ()):
@@ -637,9 +647,9 @@ def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
                             text(ss[r], a, b),
                             text(ss[r], b, hi),
                             adapter.name,
-                            text(qo[r], lo, a),
-                            text(qo[r], a, b),
-                            text(qo[r], b, hi),
+                            qtext(qo[r], lo, a),
+                            qtext(qo[r], a, b),
+                            qtext(qo[r], b, hi),
                             "",  # is_rc column (revcomp is host-path)
                         )
                     )
@@ -1115,12 +1125,13 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
                         rename_cuts, ws, we,
                     ),
                 )
+        precap = chunk
         if zero_cap is not None:
             chunk = _zero_cap_chunk(chunk, zero_cap)
         if any(side.values()):
             _emit_side_files(
                 side["rest"], side["info"], side["wildcard"],
-                chunk, stats, side_stage, ws, we,
+                chunk, stats, side_stage, ws, we, precap_chunk=precap,
             )
         written_lengths = None
         if demux is None:
@@ -1339,11 +1350,73 @@ def _translate_paired(pipeline, interleaved=False):
         if has_special and (interleaved or not isinstance(st[-1], AdapterStage)):
             return None
 
-    from .steps import CombinatorialDemultiplexer, PairedDemultiplexer
+    from .steps import (
+        CombinatorialDemultiplexer,
+        InfoFileWriter,
+        PairedDemultiplexer,
+        PairedInfoFileWriter,
+        PairedSingleEndStep,
+        RestFileWriter,
+        WildcardFileWriter,
+    )
+
+    def _linked_on(st):
+        return any(
+            t.kind == "linked"
+            for x in st if hasattr(x, "tasks")
+            for t in x.tasks
+        )
 
     pair_filters = []  # (step, kind1/None, thr1, kind2/None, thr2, mode)
     sink = None
+    side_files = {"rest": None, "info": None, "wildcard": None, "info2": None}
     for step in pipeline._steps:
+        inner = step._step if isinstance(step, PairedSingleEndStep) else None
+        if isinstance(
+            inner, (RestFileWriter, InfoFileWriter, WildcardFileWriter)
+        ) or isinstance(step, PairedInfoFileWriter):
+            # side-channel rows come from R1 (and R2 for --info-file
+            # with two files) match events: reference step order puts
+            # them before any filter, and they need plain (non-linked,
+            # non-rc, non-transform, non-pair-adapters) matching on
+            # the sides they read (_pair_match records no events)
+            if pair_filters or sink is not None or rc_pair is not None:
+                return None
+            if pair_stage is not None:
+                return None
+            if (
+                _transform_action(stages1) is not None
+                or _revcomp_stage(stages1) is not None
+                or _linked_on(stages1)
+            ):
+                return None
+            if isinstance(step, PairedInfoFileWriter):
+                if (
+                    _transform_action(stages2) is not None
+                    or _revcomp_stage(stages2) is not None
+                    or _linked_on(stages2)
+                ):
+                    return None
+                if (
+                    side_files["info"] is not None
+                    or side_files["info2"] is not None
+                ):
+                    return None
+                side_files["info"] = step._info_writer1._file
+                side_files["info2"] = step._info_writer2._file
+            elif isinstance(inner, InfoFileWriter):
+                if side_files["info"] is not None:
+                    return None
+                side_files["info"] = inner._file
+            elif isinstance(inner, WildcardFileWriter):
+                if side_files["wildcard"] is not None:
+                    return None
+                side_files["wildcard"] = inner._file
+            else:
+                if side_files["rest"] is not None:
+                    return None
+                side_files["rest"] = inner._file
+            continue
         if isinstance(step, PairedEndSink):
             if sink is not None or not writer_ok(step.writer):
                 return None
@@ -1459,7 +1532,7 @@ def _translate_paired(pipeline, interleaved=False):
                         past_cuts = True
     return PairedTranslation(
         stages1, stages2, cutters, pair_filters, sink, pair_stage,
-        rc_pair, post_stages, rename, side_edits, zero_caps,
+        rc_pair, post_stages, rename, side_edits, zero_caps, side_files,
     )
 
 
@@ -1863,6 +1936,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
     rc_pair, post_stages = translated.rc_pair, translated.post_stages
     rename = translated.rename
     side_edits, zero_caps = translated.side_edits, translated.zero_caps
+    side_files = translated.side
     _setup_jax()
 
     from . import native
@@ -1877,10 +1951,18 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
 
     from .steps import CombinatorialDemultiplexer, PairedDemultiplexer
 
-    engine1 = BatchPipelineEngine(stages1)
+    engine1 = BatchPipelineEngine(
+        stages1, want_ref_coords=side_files["wildcard"] is not None
+    )
     engine2 = BatchPipelineEngine(stages2)
     assemble1 = _stages_assembler(stages1)
     assemble2 = _stages_assembler(stages2)
+    side_stage1 = next(
+        (s for s in stages1 if hasattr(s, "flat_adapters")), None
+    )
+    side_stage2 = next(
+        (s for s in stages2 if hasattr(s, "flat_adapters")), None
+    )
     demux = (
         sink
         if isinstance(sink, (PairedDemultiplexer, CombinatorialDemultiplexer))
@@ -1991,6 +2073,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
             ws2, we2 = _apply_post_stages(
                 engine2, post_stages[1], c2, ws2, we2
             )
+        precap1, precap2 = c1, c2
         if zero_caps[0] is not None:
             c1 = _zero_cap_chunk(c1, zero_caps[0])
         if zero_caps[1] is not None:
@@ -2021,6 +2104,19 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
                     _last_match_geometry(stats2, c2.n_records),
                 ),
             )
+        if any(side_files.values()):
+            # reference step order: side-channel writers run before
+            # the filters, so every pair gets its rows
+            _emit_side_files(
+                side_files["rest"], side_files["info"],
+                side_files["wildcard"], c1, stats1, side_stage1,
+                ws1, we1, precap_chunk=precap1,
+            )
+            if side_files["info2"] is not None:
+                _emit_side_files(
+                    None, side_files["info2"], None, c2, stats2,
+                    side_stage2, ws2, we2, precap_chunk=precap2,
+                )
         len1 = we1 - ws1
         len2 = we2 - ws2
         keep = np.ones(c1.n_records, bool)

@@ -678,11 +678,12 @@ class BatchPipelineEngine:
             else:
                 win_stop = np.maximum(win_stop + n, win_start)
         elif isinstance(stage, QualityStage):
+            # both passes always run, like the host's
+            # quality_trim_index: a cutoff of 0 still trims bytes
+            # below the quality base (negative scores)
             rs, re_ = native.quality_trim(
                 chunk.buf, chunk.qual_start, win_start, win_stop,
-                stage.cutoff_front if stage.cutoff_front else -1,
-                stage.cutoff_back if stage.cutoff_back else -1,
-                stage.base,
+                stage.cutoff_front, stage.cutoff_back, stage.base,
             )
             trimmed = (win_stop - win_start) - (re_ - rs)
             stats.setdefault("quality_trimmed", {})[si] = int(trimmed.sum())

@@ -230,6 +230,73 @@ def test_fastpath_casava_with_name_edits(tmp_path, monkeypatch, paired):
     assert reports["1"] == reports["0"]
 
 
+def _write_lowq_reads(paths, seed=29, n=500):
+    """Reads whose quality bytes dip below '!' (negative phred):
+    these exercise the host's exact BWA-trim arithmetic (a cutoff of
+    0 still trims negative scores) and ZeroCapper interactions."""
+    rng = random.Random(seed)
+    for pi, p in enumerate(paths):
+        with open(p, "w") as f:
+            for i in range(n):
+                L = rng.randint(25, 80)
+                s = "".join(rng.choice("ACGT") for _ in range(L))
+                if rng.random() < 0.5:
+                    pos = rng.randint(5, L - 10)
+                    a = A5 if pi else A3
+                    s = (s[:pos] + a + s[pos:])[:L]
+                q = "".join(chr(rng.randint(20, 72)) for _ in s)
+                f.write(f"@L{i}\n{s}\n+\n{q}\n")
+
+
+def test_fastpath_quality_trim_negative_scores(tmp_path, monkeypatch):
+    """-q runs BOTH BWA passes on the host, and the implicit front
+    cutoff of 0 still trims quality bytes below the base (negative
+    scores); the batch path must not treat cutoff 0 as disabled."""
+    spy = _spy_engagement(monkeypatch)
+    inp = tmp_path / "lq.fastq"
+    _write_lowq_reads([inp])
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"lqo-{env}.fastq"
+        main(["--quiet", "-q", "10", "-a", "a1=" + A3,
+              "-o", str(out), str(inp)])
+        if env == "1":
+            assert spy.get("engaged")
+        outs[env] = out.read_bytes()
+    assert outs["1"] == outs["0"]
+
+
+def test_fastpath_paired_side_files(tmp_path, monkeypatch):
+    """--rest-file / --info-file / --info-file-paired / --wildcard-file
+    on the paired batch path (R1 rows, plus R2 rows for the paired
+    info file), with quality trimming and a length filter behind."""
+    spy = _spy_engagement(monkeypatch)
+    p1, p2 = tmp_path / "s1.fastq", tmp_path / "s2.fastq"
+    _write_lowq_reads([p1, p2], seed=31)
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        files = {
+            k: tmp_path / f"{k}-{env}" for k in
+            ("o1", "o2", "rest", "info", "info2", "wild")
+        }
+        main(["--quiet", "-b", "b1=AGNNCGGANGAGC", "-A", "a2=" + A5,
+              "-q", "10", "-m", "20",
+              "-r", str(files["rest"]),
+              "--info-file", str(files["info"]),
+              "--info-file-paired", str(files["info2"]),
+              "--wildcard-file", str(files["wild"]),
+              "-o", str(files["o1"]), "-p", str(files["o2"]),
+              str(p1), str(p2)])
+        if env == "1":
+            assert spy.get("engaged")
+        outs[env] = {k: f.read_bytes() for k, f in files.items()}
+    for k in outs["1"]:
+        assert outs["1"][k] == outs["0"][k], f"{k} differs"
+    assert outs["1"]["info"] and outs["1"]["info2"]
+
+
 def test_fastpath_interleaved(tmp_path, monkeypatch):
     inputs = make_reads(tmp_path / "il.fastq", interleaved=True)
     outs = {}
@@ -400,6 +467,38 @@ def test_fastpath_rest_and_info_files(tmp_path, monkeypatch):
     assert outs["1"][1] == outs["0"][1], "rest file differs"
     assert outs["1"][2] == outs["0"][2], "info file differs"
     assert outs["1"][2], "info file unexpectedly empty"
+
+
+def test_fastpath_info_file_with_zero_cap(tmp_path, monkeypatch):
+    """--zero-cap + --info-file: the host writes match rows from
+    info.original_read (quals captured BEFORE the cap) but -1 rows
+    from the current, capped read; sub-'!' quality bytes here make
+    that distinction visible."""
+    spy = _spy_engagement(monkeypatch)
+    rng = random.Random(17)
+    inp = tmp_path / "in.fastq"
+    with open(inp, "w") as f:
+        for i in range(400):
+            L = rng.randint(25, 80)
+            s = "".join(rng.choice("ACGT") for _ in range(L))
+            if rng.random() < 0.5:
+                p = rng.randint(5, L - 10)
+                s = (s[:p] + A3 + s[p:])[:L]
+            q = "".join(chr(rng.randint(20, 72)) for _ in s)
+            f.write(f"@q{i}\n{s}\n+\n{q}\n")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"qo-{env}.fastq"
+        info = tmp_path / f"qinfo-{env}.tsv"
+        main(["--quiet", "-a", "a1=" + A3, "--zero-cap",
+              "--info-file", str(info), "-o", str(out), str(inp)])
+        if env == "1":
+            assert spy.get("engaged")
+        outs[env] = (out.read_bytes(), info.read_bytes())
+    assert outs["1"][0] == outs["0"][0]
+    assert outs["1"][1] == outs["0"][1], "info file differs"
+    assert outs["1"][1], "info file unexpectedly empty"
 
 
 def test_fastpath_wildcard_file(tmp_path, monkeypatch):

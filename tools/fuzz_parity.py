@@ -23,6 +23,10 @@ AW = "ANGATNACGGA"
 
 def make_input(tmp, rng, paired):
     paths = []
+    # occasionally emit quality bytes below '!' (negative phred):
+    # they exercise the exact BWA-trim arithmetic and ZeroCapper
+    qual_lo = 20 if rng.random() < 0.2 else 33
+    casava = rng.random() < 0.25  # casava-style comments for --discard-casava
     for side, ad in enumerate([A3, A5][: 2 if paired else 1]):
         p = os.path.join(tmp, f"in{side}.fastq")
         with open(p, "w") as f:
@@ -32,8 +36,9 @@ def make_input(tmp, rng, paired):
                 if rng.random() < 0.5 and L > 24:
                     pos = rng.randint(0, L - 20)
                     s = (s[:pos] + ad + s[pos:])[:L]
-                q = "".join(chr(rng.randint(33, 74)) for _ in s)
-                f.write(f"@f{i} c{i}\n{s}\n+\n{q}\n")
+                q = "".join(chr(rng.randint(qual_lo, 74)) for _ in s)
+                com = f"1:{'Y' if i % 2 else 'N'}:0:AT" if casava else f"c{i}"
+                f.write(f"@f{i} {com}\n{s}\n+\n{q}\n")
         paths.append(p)
     return paths
 
@@ -63,11 +68,17 @@ def random_args(rng, paired):
     if rng.random() < 0.2: args += ["--rename", "{id} a={adapter_name} m={match_sequence}"]
     elif rng.random() < 0.2: args += ["-y", "_{name}", "-z"]
     if rng.random() < 0.15: args += ["--revcomp"]
-    if rng.random() < 0.2 and not paired:
+    if rng.random() < 0.2:
         which = rng.random()
         if which < 0.4: args += ["-r", "REST"]
-        elif which < 0.8: args += ["--info-file", "INFO"]
+        elif which < 0.8:
+            args += ["--info-file", "INFO"]
+            if paired and rng.random() < 0.5:
+                args += ["--info-file-paired", "INFO2"]
         else: args += ["--wildcard-file", "WC"]
+    if rng.random() < 0.1: args += ["--zero-cap"]
+    if rng.random() < 0.1: args += ["--max-ee", "8"]
+    if rng.random() < 0.1: args += ["--discard-casava"]
     return args
 
 failures = 0
@@ -87,7 +98,7 @@ for it in range(N):
             rep = os.path.join(tmp, f"r-{env}.json")
             argv = ["--quiet", "--json", rep]
             side_paths = {}
-            for flagged in ("REST", "INFO", "WC"):
+            for flagged in ("REST", "INFO", "INFO2", "WC"):
                 if flagged in args:
                     side_paths[flagged] = os.path.join(tmp, f"{flagged}-{env}")
             argv += [side_paths.get(a, a) for a in args] + ["-o", o1]
