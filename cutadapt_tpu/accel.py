@@ -15,11 +15,11 @@ single-end, paired-end, and interleaved):
   --poly-a (both orientations), --length shortening, --trim-n,
   --rename single and paired (incl. {match_sequence}), --strip-suffix,
   -x/-y with {name}, --length-tag, --zero-cap
-- steps: --rest-file, --info-file and --wildcard-file (single-end,
-  non-linked), length filters (-m/-M) with routed outputs,
-  --discard-trimmed/untrimmed (all pair-filter modes), --max-n/
-  --max-ee/--max-aer/--discard-casava, {name} / paired /
-  combinatorial demultiplexing, sinks
+- steps: --rest-file, --info-file (+ --info-file-paired) and
+  --wildcard-file (single and paired, non-linked), length filters
+  (-m/-M) with routed outputs, --discard-trimmed/untrimmed (all
+  pair-filter modes), --max-n/--max-ee/--max-aer/--discard-casava,
+  {name} / paired / combinatorial demultiplexing, sinks
 
 The remaining host-only combinations are noted at their gates
 (e.g. transform actions with non-FASTQ outputs, linked adapters with
@@ -361,8 +361,8 @@ def _translate_single(pipeline, fasta: bool = False):
     if _transform_action(stages) is not None or rc_stage is not None:
         from .batch_pipeline import AdapterStage
 
-        if fasta:
-            return None  # fastq-only assemblers
+        if fasta and rc_stage is not None:
+            return None  # the rc assembler is fastq-only
         # later stages would see un-transformed / forward bytes
         if not isinstance(stages[-1], AdapterStage):
             return None
@@ -378,8 +378,9 @@ def _translate_single(pipeline, fasta: bool = False):
     )
 
     def writer_ok(w):
-        # transform/rc assembly rewrites FASTQ bytes natively
-        if fastq_only_assembly and not isinstance(w, FastqWriter):
+        # rc assembly rebuilds FASTQ bytes natively; the transform
+        # actions have both a FASTQ (native) and a FASTA assembler
+        if rc_stage is not None and not isinstance(w, FastqWriter):
             return False
         return isinstance(w, writer_classes)
 
@@ -1102,8 +1103,19 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
 
             engine.pre_filter_edit = _prefilter_edit
 
+    transform_mode = {"mask": 1, "lowercase": 2}.get(
+        _transform_action(stages)
+    )
+
     def render(chunk, ws, we, mask, stats, writes_fasta):
         if writes_fasta:
+            if transform_mode is not None:
+                from .io.chunks import assemble_fasta_transform
+
+                rs, re_ = stats["remainder"]
+                return assemble_fasta_transform(
+                    chunk, ws, we, rs, re_, mask, transform_mode
+                )
             return assemble_fasta_window(chunk, ws, we, mask)
         return assemble(chunk, ws, we, mask, stats)
 
@@ -1218,9 +1230,12 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
 # --- paired-end --------------------------------------------------------------
 
 
-def _translate_paired(pipeline, interleaved=False):
+def _translate_paired(pipeline, interleaved=False, fasta=False):
     """Map an eligible paired-end pipeline to per-side stage lists plus
-    pair filters, or None."""
+    pair filters, or None. With FASTA input (`fasta`), outputs must be
+    FASTA too (a FASTQ writer would raise on the host path, which must
+    stay in charge of that error) and quality-reading stages/filters
+    keep the pipeline on the host."""
     from .modifiers import PairedEndModifierWrapper
     from .steps import PairedEndFilter, PairedEndSink
     from .io.fastq import (
@@ -1230,9 +1245,13 @@ def _translate_paired(pipeline, interleaved=False):
     )
 
     def writer_ok(w):
+        from .io.fastq import FastaWriter
+
+        sub_classes = (FastaWriter,) if fasta else (FastqWriter, FastaWriter)
         if isinstance(w, PairedSequenceWriter):
-            return isinstance(w._writer1, FastqWriter) and isinstance(
-                w._writer2, FastqWriter
+            return all(
+                isinstance(x, sub_classes)
+                for x in (w._writer1, w._writer2)
             )
         if isinstance(w, InterleavedSequenceWriter) and interleaved:
             return isinstance(w._writer, FastqWriter)
@@ -1349,6 +1368,17 @@ def _translate_paired(pipeline, interleaved=False):
         )
         if has_special and (interleaved or not isinstance(st[-1], AdapterStage)):
             return None
+    if fasta:
+        from .batch_pipeline import NextseqStage, QualityStage
+
+        # FASTA carries no qualities; the host path owns the error
+        if any(
+            isinstance(s, (QualityStage, NextseqStage))
+            for st in (stages1, stages2) for s in st
+        ):
+            return None
+        if any(z is not None for z in zero_caps):
+            return None
 
     from .steps import (
         CombinatorialDemultiplexer,
@@ -1391,6 +1421,8 @@ def _translate_paired(pipeline, interleaved=False):
             ):
                 return None
             if isinstance(step, PairedInfoFileWriter):
+                if fasta:
+                    return None  # info rows include quality columns
                 if (
                     _transform_action(stages2) is not None
                     or _revcomp_stage(stages2) is not None
@@ -1405,7 +1437,7 @@ def _translate_paired(pipeline, interleaved=False):
                 side_files["info"] = step._info_writer1._file
                 side_files["info2"] = step._info_writer2._file
             elif isinstance(inner, InfoFileWriter):
-                if side_files["info"] is not None:
+                if fasta or side_files["info"] is not None:
                     return None
                 side_files["info"] = inner._file
             elif isinstance(inner, WildcardFileWriter):
@@ -1467,6 +1499,13 @@ def _translate_paired(pipeline, interleaved=False):
             return None
         if t1 is None and t2 is None:
             return None
+        if fasta and any(
+            t is not None and t[0] in (
+                "too_many_expected_errors", "too_high_average_error_rate",
+            )
+            for t in (t1, t2)
+        ):
+            return None  # quality-based predicates need FASTQ
         pair_filters.append((step, t1, t2, step._pair_filter_mode))
     if sink is None:
         return None
@@ -1493,7 +1532,7 @@ def _translate_paired(pipeline, interleaved=False):
             return None
     any_edits = any(side_edits) or any(z is not None for z in zero_caps)
     if any_edits:
-        if rc_pair is not None or interleaved or rename is not None:
+        if rc_pair is not None or rename is not None:
             return None
         if any(
             _transform_action(st) is not None or _revcomp_stage(st)
@@ -1505,7 +1544,7 @@ def _translate_paired(pipeline, interleaved=False):
         # side's chunk before the pair filters are evaluated, matching
         # the host's modifier-then-step order)
     if rename is not None:
-        if rc_pair is not None or interleaved:
+        if rc_pair is not None:
             return None
         if any(
             _transform_action(st) is not None or _revcomp_stage(st)
@@ -1650,6 +1689,35 @@ def _pair_match(engines, chunks, windows, pair_stage):
                 if not asf:
                     end.record_adjacent(chr(adj) if adj else "")
     return matched
+
+
+def _interleave_chunks(c1, c2):
+    """A synthetic ParsedChunk alternating the records of two
+    same-length chunks (R1 in even, R2 in odd slots). Used by the
+    interleaved writer when caps/edits replaced the per-side chunks,
+    so the originally-parsed combined chunk no longer has the bytes
+    to write."""
+    from .io.chunks import ParsedChunk
+
+    off = len(c1.buf)
+    buf = np.concatenate([c1.buf, c2.buf])
+    n = c1.n_records
+
+    def ilv(a1, a2, shift=0):
+        out = np.empty(2 * n, a1.dtype)
+        out[0::2] = a1
+        out[1::2] = a2 + shift
+        return out
+
+    return ParsedChunk(
+        buf,
+        ilv(c1.head_start, c2.head_start, off),
+        ilv(c1.head_end, c2.head_end, off),
+        ilv(c1.seq_start, c2.seq_start, off),
+        ilv(c1.seq_len, c2.seq_len),
+        ilv(c1.qual_start, c2.qual_start, off),
+        has_cr=c1.has_cr or c2.has_cr,
+    )
 
 
 def _select_paired_chunk(
@@ -1800,14 +1868,21 @@ def _paired_demux_router(demux, stages1, stages2):
         names2 = [a.name for a in stage2.flat_adapters]
 
     def write_pair(writer, c1, ws1, we1, c2, ws2, we2, mask):
-        writer._writer1._file.write(assemble_window(c1, ws1, we1, mask))
-        writer._writer2._file.write(assemble_window(c2, ws2, we2, mask))
-        demux._statistics.add_histogram(
-            np.bincount((we1 - ws1)[mask]), side=1
-        )
-        demux._statistics.add_histogram(
-            np.bincount((we2 - ws2)[mask]), side=2
-        )
+        from .io.chunks import assemble_fasta_window
+        from .io.fastq import FastaWriter
+
+        for w, c, ws, we, side in (
+            (writer._writer1, c1, ws1, we1, 1),
+            (writer._writer2, c2, ws2, we2, 2),
+        ):
+            asm = (
+                assemble_fasta_window
+                if isinstance(w, FastaWriter) else assemble_window
+            )
+            w._file.write(asm(c, ws, we, mask))
+            demux._statistics.add_histogram(
+                np.bincount((we - ws)[mask]), side=side
+            )
 
     def flush(per_writer, c1, ws1, we1, c2, ws2, we2):
         for writer, mask in per_writer.values():
@@ -1923,11 +1998,14 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         f1, f2 = infiles._files
     if not _activation_allowed(f1):
         return None
-    if _input_format(f1) != "fastq" or (
-        f2 is not None and _input_format(f2) != "fastq"
-    ):
+    fmt1 = _input_format(f1)
+    if interleaved_in:
+        if fmt1 != "fastq":
+            return None
+    elif fmt1 not in ("fastq", "fasta") or _input_format(f2) != fmt1:
         return None
-    translated = _translate_paired(pipeline, interleaved_in)
+    fasta_in = fmt1 == "fasta"
+    translated = _translate_paired(pipeline, interleaved_in, fasta=fasta_in)
     if translated is None:
         return None
     stages1, stages2 = translated.stages1, translated.stages2
@@ -1968,6 +2046,32 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         if isinstance(sink, (PairedDemultiplexer, CombinatorialDemultiplexer))
         else None
     )
+    any_inter_filter = any(
+        step.writer is not None
+        and isinstance(step.writer, InterleavedSequenceWriter)
+        for step, _t1, _t2, _m in pair_filters
+    )
+
+    from .io.chunks import assemble_fasta_transform, assemble_fasta_window
+    from .io.fastq import FastaWriter
+
+    def make_render(stages_s, assemble_s, writes_fasta):
+        """Per-side record renderer for one output (FASTQ via the
+        stage assembler; FASTA plain or with the transform action)."""
+        if not writes_fasta:
+            return assemble_s
+        tm = {"mask": 1, "lowercase": 2}.get(_transform_action(stages_s))
+        if tm is None:
+            return lambda c, ws, we, m, st: assemble_fasta_window(
+                c, ws, we, m
+            )
+
+        def fn(c, ws, we, m, st):
+            rs, re_ = st["remainder"]
+            return assemble_fasta_transform(c, ws, we, rs, re_, m, tm)
+
+        return fn
+
     inter_out = out1 = out2 = None
     if demux is None:
         if isinstance(sink.writer, InterleavedSequenceWriter):
@@ -1975,8 +2079,28 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         else:
             out1 = sink.writer._writer1._file
             out2 = sink.writer._writer2._file
+            render1 = make_render(
+                stages1, assemble1,
+                isinstance(sink.writer._writer1, FastaWriter),
+            )
+            render2 = make_render(
+                stages2, assemble2,
+                isinstance(sink.writer._writer2, FastaWriter),
+            )
     else:
         router = _paired_demux_router(demux, stages1, stages2)
+    filter_renders = [
+        (
+            make_render(stages1, assemble1,
+                        isinstance(step.writer._writer1, FastaWriter)),
+            make_render(stages2, assemble2,
+                        isinstance(step.writer._writer2, FastaWriter)),
+        )
+        if step.writer is not None
+        and not isinstance(step.writer, InterleavedSequenceWriter)
+        else None
+        for step, _t1, _t2, _m in pair_filters
+    ]
     n = 0
     bp1 = 0
     bp2 = 0
@@ -2104,6 +2228,12 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
                     _last_match_geometry(stats2, c2.n_records),
                 ),
             )
+        if (inter_out is not None or any_inter_filter) and (
+            c1 is not pend1.parsed or c2 is not pend2.parsed
+        ):
+            # caps/edits/rename replaced the per-side chunks: rebuild
+            # the combined chunk the interleaved writer slices from
+            full = _interleave_chunks(c1, c2)
         if any(side_files.values()):
             # reference step order: side-channel writers run before
             # the filters, so every pair gets its rows
@@ -2120,7 +2250,9 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         len1 = we1 - ws1
         len2 = we2 - ws2
         keep = np.ones(c1.n_records, bool)
-        for step, t1, t2, mode in pair_filters:
+        for (step, t1, t2, mode), renders in zip(
+            pair_filters, filter_renders
+        ):
             if t2 is None:
                 drop = _pair_condition(t1, c1, ws1, we1, len1, m1)
             elif t1 is None:
@@ -2145,10 +2277,10 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
                     )
                 else:
                     step.writer._writer1._file.write(
-                        assemble1(c1, ws1, we1, newly, stats1)
+                        renders[0](c1, ws1, we1, newly, stats1)
                     )
                     step.writer._writer2._file.write(
-                        assemble2(c2, ws2, we2, newly, stats2)
+                        renders[1](c2, ws2, we2, newly, stats2)
                     )
             keep &= ~drop
         if demux is not None:
@@ -2158,8 +2290,8 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
             wl.add_histogram(np.bincount(len1[keep]), side=1)
             wl.add_histogram(np.bincount(len2[keep]), side=2)
         else:
-            out1.write(assemble1(c1, ws1, we1, keep, stats1))
-            out2.write(assemble2(c2, ws2, we2, keep, stats2))
+            out1.write(render1(c1, ws1, we1, keep, stats1))
+            out2.write(render2(c2, ws2, we2, keep, stats2))
             wl.add_histogram(np.bincount(len1[keep]), side=1)
             wl.add_histogram(np.bincount(len2[keep]), side=2)
         bp1 += _apply_side_stats(stats1, stages1, cutters[0], None)
@@ -2176,6 +2308,16 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
                     _slice_parsed(full, slice(1, None, 2)),
                     full,
                 )
+        elif fasta_in:
+            from .io.chunks import parse_fasta_chunk
+
+            lines = [0, 0]
+            for d1, d2 in read_paired_chunks(f1, f2, CHUNK_RECORDS_BYTES):
+                p1 = parse_fasta_chunk(d1, first_line=lines[0])
+                p2 = parse_fasta_chunk(d2, first_line=lines[1])
+                lines[0] += int((np.frombuffer(d1, np.uint8) == 10).sum())
+                lines[1] += int((np.frombuffer(d2, np.uint8) == 10).sum())
+                yield p1, p2, None
         else:
             for d1, d2 in read_paired_chunks(f1, f2, CHUNK_RECORDS_BYTES):
                 yield parse_fastq_chunk(d1), parse_fastq_chunk(d2), None

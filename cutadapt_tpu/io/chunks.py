@@ -326,6 +326,57 @@ def assemble_fasta_window(chunk, win_start, win_stop, keep) -> bytes:
     return out.tobytes()
 
 
+_TO_UPPER = np.arange(256, dtype=np.uint8)
+_TO_UPPER[ord("a"):ord("z") + 1] -= 32
+_TO_LOWER = np.arange(256, dtype=np.uint8)
+_TO_LOWER[ord("A"):ord("Z") + 1] += 32
+
+
+def assemble_fasta_transform(
+    chunk, win_start, win_stop, rem_start, rem_stop, keep, mode
+) -> bytes:
+    """assemble_fasta_window with the mask/lowercase adapter-action
+    transform: records keep their full [win_start, win_stop) extent,
+    positions outside the remainder interval [rem_start, rem_stop)
+    become 'N' (mode 1, 'mask') or lowercase with the remainder
+    uppercased (mode 2, 'lowercase') — the FASTA-output counterpart of
+    native assemble_fastq_transform (reference modifiers.py:163-189)."""
+    idx = np.flatnonzero(keep)
+    head_len = (chunk.head_end - chunk.head_start)[idx]
+    seq_len = (win_stop[idx] - win_start[idx]).astype(np.int64)
+    rec_len = 1 + head_len + 1 + seq_len + 1
+    out = np.empty(int(rec_len.sum()), dtype=np.uint8)
+    pos = np.cumsum(rec_len) - rec_len
+    out[pos] = ord(">")
+    pos = pos + 1
+    _scatter_ranges(out, pos, chunk.head_start[idx], head_len, chunk.buf)
+    pos = pos + head_len
+    out[pos] = NEWLINE
+    pos = pos + 1
+    _scatter_ranges(
+        out, pos, chunk.seq_start[idx] + win_start[idx], seq_len, chunk.buf
+    )
+    total = int(seq_len.sum())
+    if total:
+        reps = np.repeat(np.arange(len(idx)), seq_len)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(seq_len) - seq_len, seq_len
+        )
+        in_read = win_start[idx][reps] + offs
+        inside = (in_read >= rem_start[idx][reps]) & (
+            in_read < rem_stop[idx][reps]
+        )
+        oidx = pos[reps] + offs
+        if mode == 1:
+            out[oidx[~inside]] = ord("N")
+        else:
+            out[oidx[inside]] = _TO_UPPER[out[oidx[inside]]]
+            out[oidx[~inside]] = _TO_LOWER[out[oidx[~inside]]]
+    pos = pos + seq_len
+    out[pos] = NEWLINE
+    return out.tobytes()
+
+
 _BAM_CODES = np.frombuffer(b"=ACMGRSVTWYHKDBN", np.uint8)
 _BAM_NIBBLES = np.zeros((256, 2), np.uint8)
 for _b in range(256):

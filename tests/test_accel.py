@@ -297,15 +297,23 @@ def test_fastpath_paired_side_files(tmp_path, monkeypatch):
     assert outs["1"]["info"] and outs["1"]["info2"]
 
 
-def test_fastpath_interleaved(tmp_path, monkeypatch):
+@pytest.mark.parametrize("extra", [
+    [],
+    ["-y", " s{name}", "--zero-cap"],
+    ["--rename", "{id} k={adapter_name}"],
+], ids=["plain", "edits", "rename"])
+def test_fastpath_interleaved(tmp_path, monkeypatch, extra):
+    spy = _spy_engagement(monkeypatch)
     inputs = make_reads(tmp_path / "il.fastq", interleaved=True)
     outs = {}
     for env in ("1", "0"):
         monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
         out = tmp_path / f"o-{env}.fastq"
         main(["--quiet", "--interleaved", "-a", "a1=" + A3,
-              "-A", "a2=" + A5, "-q", "10",
-              "-o", str(out)] + [str(p) for p in inputs])
+              "-A", "a2=" + A5, "-q", "10"] + extra +
+             ["-o", str(out)] + [str(p) for p in inputs])
+        if env == "1":
+            assert spy.get("engaged")
         outs[env] = out.read_bytes()
     assert outs["1"] == outs["0"]
 
@@ -499,6 +507,98 @@ def test_fastpath_info_file_with_zero_cap(tmp_path, monkeypatch):
     assert outs["1"][0] == outs["0"][0]
     assert outs["1"][1] == outs["0"][1], "info file differs"
     assert outs["1"][1], "info file unexpectedly empty"
+
+
+@pytest.mark.parametrize("action,fasta_in", [
+    ("mask", False), ("lowercase", False), ("mask", True),
+], ids=["mask", "lowercase", "mask-fasta-in"])
+def test_fastpath_transform_fasta_out(tmp_path, monkeypatch, action, fasta_in):
+    """--action=mask/lowercase with FASTA output (and FASTA input):
+    the numpy FASTA transform assembler mirrors the native FASTQ one."""
+    spy = _spy_engagement(monkeypatch)
+    rng = random.Random(19)
+    inp = tmp_path / ("in.fasta" if fasta_in else "in.fastq")
+    with open(inp, "w") as f:
+        for i in range(400):
+            L = rng.randint(25, 80)
+            s = "".join(rng.choice("ACGTacgt") for _ in range(L))
+            if rng.random() < 0.5:
+                p = rng.randint(5, L - 10)
+                s = (s[:p] + A3 + s[p:])[:L]
+            if fasta_in:
+                f.write(f">t{i}\n{s}\n")
+            else:
+                f.write(f"@t{i}\n{s}\n+\n{'I' * len(s)}\n")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"to-{env}.fasta"
+        main(["--quiet", "-a", "a1=" + A3, f"--action={action}",
+              "-o", str(out), str(inp)])
+        if env == "1":
+            assert spy.get("engaged")
+        outs[env] = out.read_bytes()
+    assert outs["1"] == outs["0"]
+    assert (b"N" * 10 in outs["1"]) if action == "mask" else True
+
+
+@pytest.mark.parametrize("case", ["plain", "mixed", "lowercase", "revcomp"])
+def test_fastpath_paired_fasta_output(tmp_path, monkeypatch, case):
+    """Paired FASTQ input with FASTA outputs (per-side formats can
+    differ), including the transform action and paired --revcomp."""
+    spy = _spy_engagement(monkeypatch)
+    inputs = make_reads(tmp_path / "pf.fastq", paired=True)
+    extra = {
+        "plain": ["-q", "10"],
+        "mixed": [],
+        "lowercase": ["--action=lowercase"],
+        "revcomp": ["--revcomp"],
+    }[case]
+    ext2 = "fastq" if case == "mixed" else "fasta"
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        o1 = tmp_path / f"pf1-{env}.fasta"
+        o2 = tmp_path / f"pf2-{env}.{ext2}"
+        main(["--quiet", "-a", "a1=" + A3, "-A", "a2=" + A5] + extra +
+             ["-o", str(o1), "-p", str(o2)] + [str(p) for p in inputs])
+        if env == "1":
+            assert spy.get("engaged")
+        outs[env] = o1.read_bytes() + b"\x00" + o2.read_bytes()
+    assert outs["1"] == outs["0"]
+
+
+def test_fastpath_paired_fasta_input(tmp_path, monkeypatch):
+    """Paired FASTA input (multi-line records included) through the
+    batch path; outputs must be FASTA, quality options stay host-side."""
+    spy = _spy_engagement(monkeypatch)
+    rng = random.Random(21)
+    p1, p2 = tmp_path / "f1.fasta", tmp_path / "f2.fasta"
+    for pi, p in enumerate((p1, p2)):
+        with open(p, "w") as f:
+            for i in range(400):
+                L = rng.randint(25, 80)
+                s = "".join(rng.choice("ACGT") for _ in range(L))
+                if rng.random() < 0.5:
+                    pos = rng.randint(5, L - 10)
+                    a = A5 if pi else A3
+                    s = (s[:pos] + a + s[pos:])[:L]
+                if rng.random() < 0.3:
+                    mid = L // 2
+                    f.write(f">r{i} c\n{s[:mid]}\n{s[mid:]}\n")
+                else:
+                    f.write(f">r{i} c\n{s}\n")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        o1 = tmp_path / f"fo1-{env}.fasta"
+        o2 = tmp_path / f"fo2-{env}.fasta"
+        main(["--quiet", "-a", "a1=" + A3, "-A", "a2=" + A5, "-m", "20",
+              "-o", str(o1), "-p", str(o2), str(p1), str(p2)])
+        if env == "1":
+            assert spy.get("engaged")
+        outs[env] = o1.read_bytes() + b"\x00" + o2.read_bytes()
+    assert outs["1"] == outs["0"]
 
 
 def test_fastpath_wildcard_file(tmp_path, monkeypatch):
