@@ -338,8 +338,12 @@ def _translate_single(pipeline, fasta: bool = False):
         stages.append(stage)
 
     if rename is not None or name_edits or zero_cap is not None:
-        if _transform_action(stages) is not None or _revcomp_stage(stages):
-            return None  # those assemblers rebuild bytes from the chunk
+        # the rc assembler appends its " rc" suffix at write time, so
+        # host edit-after-rc ordering cannot be reproduced; the
+        # transform assemblers read headers/quals from the edited and
+        # capped chunk and compose fine
+        if _revcomp_stage(stages) is not None:
+            return None
     if rename is not None:
         if "match_sequence" in used and any(
             t.kind == "linked"
@@ -396,12 +400,11 @@ def _translate_single(pipeline, fasta: bool = False):
             # must run before any filter (reference step order)
             if filters or sink is not None or fastq_only_assembly:
                 return None
-            if any(
+            has_linked = any(
                 t.kind == "linked"
                 for st in stages if hasattr(st, "tasks")
                 for t in st.tasks
-            ):
-                return None
+            )
             if isinstance(step, InfoFileWriter):
                 if fasta:
                     return None  # info rows include quality columns
@@ -410,6 +413,11 @@ def _translate_single(pipeline, fasta: bool = False):
                 key = "wildcard"
             else:
                 key = "rest"
+            if has_linked and key != "info":
+                # matches the reference, whose rest()/wildcards() have
+                # no linked implementation (steps.py TODOs): the host
+                # path owns that failure; linked info rows work
+                return None
             if side[key] is not None:
                 return None
             side[key] = step._file
@@ -422,8 +430,8 @@ def _translate_single(pipeline, fasta: bool = False):
         if isinstance(step, Demultiplexer):
             if sink is not None or cutter is None:
                 return None
-            if _transform_action(stages) is not None or rc_stage is not None:
-                return None  # demux + mask/lowercase/revcomp: host path
+            if rc_stage is not None:
+                return None  # --revcomp demux routing: host path
             writers = list(step._writers.values())
             if step._untrimmed_writer is not None:
                 writers.append(step._untrimmed_writer)
@@ -647,7 +655,9 @@ def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
                             text(ss[r], lo, a),
                             text(ss[r], a, b),
                             text(ss[r], b, hi),
-                            adapter.name,
+                            # linked phases carry a ";1"/";2" name
+                            # suffix (reference adapters.py:1157-1171)
+                            adapter.name + ev.get("suffix", ""),
                             qtext(qo[r], lo, a),
                             qtext(qo[r], a, b),
                             qtext(qo[r], b, hi),
@@ -1417,8 +1427,14 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
             if (
                 _transform_action(stages1) is not None
                 or _revcomp_stage(stages1) is not None
-                or _linked_on(stages1)
             ):
+                return None
+            if _linked_on(stages1) and not (
+                isinstance(step, PairedInfoFileWriter)
+                or isinstance(inner, InfoFileWriter)
+            ):
+                # reference rest()/wildcards() have no linked
+                # implementation; linked info rows work
                 return None
             if isinstance(step, PairedInfoFileWriter):
                 if fasta:
@@ -1426,7 +1442,6 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
                 if (
                     _transform_action(stages2) is not None
                     or _revcomp_stage(stages2) is not None
-                    or _linked_on(stages2)
                 ):
                     return None
                 if (
@@ -1466,11 +1481,10 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
             ):
                 return None
             if any(
-                _transform_action(st) is not None
-                or _revcomp_stage(st) is not None
+                _revcomp_stage(st) is not None
                 for st in (stages1, stages2)
             ):
-                return None
+                return None  # --revcomp demux routing: host path
             writers = list(step._writers.values())
             untrimmed = getattr(step, "_untrimmed_writer", None)
             if untrimmed is not None:
@@ -1851,13 +1865,32 @@ def _apply_post_stages(engine, post_stages, chunk, ws, we):
     return ws, we
 
 
+def _make_side_render(stages_s, assemble_s, writes_fasta):
+    """Per-side record renderer for one paired output: FASTQ goes
+    through the side's stage assembler; FASTA is assembled plain or
+    with the mask/lowercase transform."""
+    if not writes_fasta:
+        return assemble_s
+    from .io.chunks import assemble_fasta_transform, assemble_fasta_window
+
+    tm = {"mask": 1, "lowercase": 2}.get(_transform_action(stages_s))
+    if tm is None:
+        return lambda c, ws, we, m, st: assemble_fasta_window(c, ws, we, m)
+
+    def fn(c, ws, we, m, st):
+        rs, re_ = st["remainder"]
+        return assemble_fasta_transform(c, ws, we, rs, re_, m, tm)
+
+    return fn
+
+
 def _paired_demux_router(demux, stages1, stages2):
     """Routing function for paired/combinatorial demultiplexing on the
     batch path: R1's last match routes paired demux, the (R1, R2)
     match combination routes combinatorial demux (reference
     steps.py:422-580 semantics). Keeps input order within every output
     file by merging the masks of routes sharing a writer."""
-    from .io.chunks import assemble_window
+    from .io.fastq import FastaWriter
     from .steps import CombinatorialDemultiplexer
 
     stage1 = next(s for s in stages1 if hasattr(s, "flat_adapters"))
@@ -1866,28 +1899,29 @@ def _paired_demux_router(demux, stages1, stages2):
     if combinatorial:
         stage2 = next(s for s in stages2 if hasattr(s, "flat_adapters"))
         names2 = [a.name for a in stage2.flat_adapters]
+    asm = (_stages_assembler(stages1), _stages_assembler(stages2))
+    render_cache = {}
 
-    def write_pair(writer, c1, ws1, we1, c2, ws2, we2, mask):
-        from .io.chunks import assemble_fasta_window
-        from .io.fastq import FastaWriter
-
-        for w, c, ws, we, side in (
-            (writer._writer1, c1, ws1, we1, 1),
-            (writer._writer2, c2, ws2, we2, 2),
-        ):
-            asm = (
-                assemble_fasta_window
-                if isinstance(w, FastaWriter) else assemble_window
+    def render_for(w, side):
+        r = render_cache.get(id(w))
+        if r is None:
+            r = _make_side_render(
+                stages1 if side == 1 else stages2,
+                asm[side - 1],
+                isinstance(w, FastaWriter),
             )
-            w._file.write(asm(c, ws, we, mask))
+            render_cache[id(w)] = r
+        return r
+
+    def write_pair(writer, c1, ws1, we1, c2, ws2, we2, mask, st1, st2):
+        for w, c, ws, we, st, side in (
+            (writer._writer1, c1, ws1, we1, st1, 1),
+            (writer._writer2, c2, ws2, we2, st2, 2),
+        ):
+            w._file.write(render_for(w, side)(c, ws, we, mask, st))
             demux._statistics.add_histogram(
                 np.bincount((we - ws)[mask]), side=side
             )
-
-    def flush(per_writer, c1, ws1, we1, c2, ws2, we2):
-        for writer, mask in per_writer.values():
-            if mask.any():
-                write_pair(writer, c1, ws1, we1, c2, ws2, we2, mask)
 
     def merge(per_writer, writer, mask):
         key = id(writer)
@@ -1899,16 +1933,26 @@ def _paired_demux_router(demux, stages1, stages2):
     def route(c1, c2, ws1, we1, ws2, we2, keep, stats1, stats2):
         g1 = stats1["last_adapter_gid"]
         per_writer = {}
+
+        def flush():
+            for writer, mask in per_writer.values():
+                if mask.any():
+                    write_pair(
+                        writer, c1, ws1, we1, c2, ws2, we2, mask,
+                        stats1, stats2,
+                    )
+
         if not combinatorial:
             for gid, name in enumerate(names1):
                 merge(per_writer, demux._writers[name], keep & (g1 == gid))
-            flush(per_writer, c1, ws1, we1, c2, ws2, we2)
+            flush()
             untrimmed = keep & (g1 == -1)
             if demux._untrimmed_writer is not None:
                 if untrimmed.any():
                     write_pair(
                         demux._untrimmed_writer,
                         c1, ws1, we1, c2, ws2, we2, untrimmed,
+                        stats1, stats2,
                     )
             else:
                 demux._filtered += int(untrimmed.sum())
@@ -1925,7 +1969,7 @@ def _paired_demux_router(demux, stages1, stages2):
             writer = demux._writers.get(key)
             if writer is not None:  # unknown combos are dropped silently
                 merge(per_writer, writer, keep & (codes == code))
-        flush(per_writer, c1, ws1, we1, c2, ws2, we2)
+        flush()
 
     return route
 
@@ -2052,25 +2096,9 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         for step, _t1, _t2, _m in pair_filters
     )
 
-    from .io.chunks import assemble_fasta_transform, assemble_fasta_window
     from .io.fastq import FastaWriter
 
-    def make_render(stages_s, assemble_s, writes_fasta):
-        """Per-side record renderer for one output (FASTQ via the
-        stage assembler; FASTA plain or with the transform action)."""
-        if not writes_fasta:
-            return assemble_s
-        tm = {"mask": 1, "lowercase": 2}.get(_transform_action(stages_s))
-        if tm is None:
-            return lambda c, ws, we, m, st: assemble_fasta_window(
-                c, ws, we, m
-            )
-
-        def fn(c, ws, we, m, st):
-            rs, re_ = st["remainder"]
-            return assemble_fasta_transform(c, ws, we, rs, re_, m, tm)
-
-        return fn
+    make_render = _make_side_render
 
     inter_out = out1 = out2 = None
     if demux is None:

@@ -1198,7 +1198,8 @@ class BatchPipelineEngine:
                 ffm = res["front_found"][pos]
                 bfm = res["back_found"][pos]
                 f_qe_all = res["front_qe"][pos]
-                # 5' phase event (removed = front.rstop)
+                # 5' phase event (removed = front.rstop); match
+                # geometry carries the ";1" info-row name suffix
                 fh = hit[ffm]
                 if len(fh):
                     events.append(
@@ -1206,7 +1207,11 @@ class BatchPipelineEngine:
                              errors=res["front_errors"][pos][ffm],
                              as_front=np.ones(len(fh), bool),
                              adjacent=np.zeros(len(fh), np.uint8),
-                             sub=np.zeros(len(fh), np.int32))
+                             sub=np.zeros(len(fh), np.int32),
+                             suffix=";1",
+                             qs=res["front_qs"][pos][ffm],
+                             qe=f_qe_all[ffm],
+                             ws=ws0[ffm], we=we0[ffm])
                     )
                 # 3' phase event (coordinates relative to the
                 # post-front window; adjacent base from that window)
@@ -1224,7 +1229,11 @@ class BatchPipelineEngine:
                              errors=res["back_errors"][pos][bfm],
                              as_front=np.zeros(len(bh), bool),
                              adjacent=adjacent,
-                             sub=np.zeros(len(bh), np.int32))
+                             sub=np.zeros(len(bh), np.int32),
+                             suffix=";2",
+                             qs=b_qs,
+                             qe=res["back_qe"][pos][bfm],
+                             ws=post_ws, we=we0[bfm])
                     )
                 if stage.action == "retain":
                     # retained interval on the original read:

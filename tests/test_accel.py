@@ -85,6 +85,12 @@ CONFIGS = [
      True),
     ("pe_revcomp_one_sided", ["-a", "a1=" + A3, "--revcomp",
                               "--pair-filter=both"], True),
+    ("se_mask_edits", ["-a", "a1=" + A3, "--action=mask",
+                       "-y", " s{name}", "--zero-cap"], False),
+    ("se_lowercase_rename", ["-a", "a1=" + A3, "--action=lowercase",
+                             "--rename",
+                             "{id} m={match_sequence} k={adapter_name}"],
+     False),
 ]
 
 
@@ -318,7 +324,8 @@ def test_fastpath_interleaved(tmp_path, monkeypatch, extra):
     assert outs["1"] == outs["0"]
 
 
-def test_fastpath_demux(tmp_path, monkeypatch):
+@pytest.mark.parametrize("action", [None, "mask", "lowercase"])
+def test_fastpath_demux(tmp_path, monkeypatch, action):
     rng = random.Random(3)
     barcodes = ["ACGTACGTAC", "TTGACCGGAA", "GGATCCATGC"]
     bc = tmp_path / "bc.fasta"
@@ -333,13 +340,14 @@ def test_fastpath_demux(tmp_path, monkeypatch):
             if rng.random() < 0.7:
                 s = barcodes[rng.randrange(3)] + s
             f.write(f"@d{i}\n{s}\n+\n{'I' * len(s)}\n")
+    extra = [f"--action={action}"] if action else []
     outs = {}
     for env in ("1", "0"):
         monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
         d = tmp_path / f"out-{env}"
         d.mkdir()
-        main(["--quiet", "-g", f"^file:{bc}", "-e", "1", "--no-indels",
-              "-o", str(d / "{name}.fastq"), str(inp)])
+        main(["--quiet", "-g", f"^file:{bc}", "-e", "1", "--no-indels"]
+             + extra + ["-o", str(d / "{name}.fastq"), str(inp)])
         outs[env] = {
             p.name: p.read_bytes() for p in sorted(d.iterdir())
         }
@@ -362,8 +370,13 @@ def _make_paired_demux_reads(tmp_path, barcodes1, barcodes2, n=700, seed=9):
     return p1, p2
 
 
-@pytest.mark.parametrize("discard_untrimmed", [False, True])
-def test_fastpath_paired_demux(tmp_path, monkeypatch, discard_untrimmed):
+@pytest.mark.parametrize("discard_untrimmed,action,ext", [
+    (False, None, "fastq"), (True, None, "fastq"),
+    (False, "mask", "fastq"), (False, "lowercase", "fasta"),
+])
+def test_fastpath_paired_demux(
+    tmp_path, monkeypatch, discard_untrimmed, action, ext
+):
     spy = _spy_engagement(monkeypatch)
     codes = ["ACGTACGTAC", "TTGACCGGAA"]
     bc = tmp_path / "bc.fasta"
@@ -375,10 +388,12 @@ def test_fastpath_paired_demux(tmp_path, monkeypatch, discard_untrimmed):
         d = tmp_path / f"pdout-{env}"
         d.mkdir()
         argv = ["--quiet", "-g", f"^file:{bc}", "-e", "1", "--no-indels",
-                "-o", str(d / "{name}.1.fastq"),
-                "-p", str(d / "{name}.2.fastq")]
+                "-o", str(d / ("{name}.1." + ext)),
+                "-p", str(d / ("{name}.2." + ext))]
         if discard_untrimmed:
             argv.append("--discard-untrimmed")
+        if action:
+            argv.append(f"--action={action}")
         main(argv + [str(p1), str(p2)])
         if env == "1":
             assert spy.get("engaged"), "batch path did not engage"
@@ -562,6 +577,49 @@ def test_fastpath_paired_fasta_output(tmp_path, monkeypatch, case):
         o2 = tmp_path / f"pf2-{env}.{ext2}"
         main(["--quiet", "-a", "a1=" + A3, "-A", "a2=" + A5] + extra +
              ["-o", str(o1), "-p", str(o2)] + [str(p) for p in inputs])
+        if env == "1":
+            assert spy.get("engaged")
+        outs[env] = o1.read_bytes() + b"\x00" + o2.read_bytes()
+    assert outs["1"] == outs["0"]
+
+
+def test_fastpath_linked_info_file(tmp_path, monkeypatch):
+    """--info-file with linked adapters: two rows per match with
+    ';1'/';2' name suffixes (reference LinkedMatch.get_info_records);
+    mixed with a plain adapter and --times 2."""
+    spy = _spy_engagement(monkeypatch)
+    inputs = make_reads(tmp_path / "ln.fastq")
+    linked = A5[:10] + "..." + A3[:12]
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"lo-{env}.fastq"
+        info = tmp_path / f"linfo-{env}.tsv"
+        main(["--quiet", "-g", "l1=" + linked, "-a", "a9=" + A3,
+              "--times", "2", "--info-file", str(info),
+              "-o", str(out)] + [str(p) for p in inputs])
+        if env == "1":
+            assert spy.get("engaged")
+        outs[env] = (out.read_bytes(), info.read_bytes())
+    assert outs["1"][0] == outs["0"][0]
+    assert outs["1"][1] == outs["0"][1], "info file differs"
+    assert b"l1;1" in outs["1"][1] and b"l1;2" in outs["1"][1]
+
+
+def test_fastpath_paired_rename_with_linked(tmp_path, monkeypatch):
+    """Paired --rename with a linked adapter on R1 (regression: the
+    batch path crashed with KeyError('ws') on linked match events)."""
+    spy = _spy_engagement(monkeypatch)
+    inputs = make_reads(tmp_path / "lr.fastq", paired=True)
+    linked = A5[:10] + "..." + A3[:12]
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        o1 = tmp_path / f"lr1-{env}.fastq"
+        o2 = tmp_path / f"lr2-{env}.fastq"
+        main(["--quiet", "-g", "l1=" + linked, "-A", "a2=" + A5,
+              "--rename", "{id} k={adapter_name}",
+              "-o", str(o1), "-p", str(o2)] + [str(p) for p in inputs])
         if env == "1":
             assert spy.get("engaged")
         outs[env] = o1.read_bytes() + b"\x00" + o2.read_bytes()
