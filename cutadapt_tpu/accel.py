@@ -382,10 +382,6 @@ def _translate_single(pipeline, fasta: bool = False):
     )
 
     def writer_ok(w):
-        # rc assembly rebuilds FASTQ bytes natively; the transform
-        # actions have both a FASTQ (native) and a FASTA assembler
-        if rc_stage is not None and not isinstance(w, FastqWriter):
-            return False
         return isinstance(w, writer_classes)
 
     filters = []
@@ -1116,6 +1112,7 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
     transform_mode = {"mask": 1, "lowercase": 2}.get(
         _transform_action(stages)
     )
+    rc_stage_obj = _revcomp_stage(stages)
 
     def render(chunk, ws, we, mask, stats, writes_fasta):
         if writes_fasta:
@@ -1126,6 +1123,16 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
                 return assemble_fasta_transform(
                     chunk, ws, we, rs, re_, mask, transform_mode
                 )
+            if rc_stage_obj is not None:
+                # pick each read's chosen orientation (the rc copy
+                # shares all offsets), appending the rc name suffix
+                rc = stats["rc_chunk"]
+                sel = _select_paired_chunk(
+                    chunk, 0, rc, len(chunk.buf),
+                    np.concatenate([chunk.buf, rc.buf]),
+                    stats["is_rc"], rc_stage_obj.suffix or "",
+                )
+                return assemble_fasta_window(sel, ws, we, mask)
             return assemble_fasta_window(chunk, ws, we, mask)
         return assemble(chunk, ws, we, mask, stats)
 

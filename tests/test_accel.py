@@ -524,6 +524,24 @@ def test_fastpath_info_file_with_zero_cap(tmp_path, monkeypatch):
     assert outs["1"][1], "info file unexpectedly empty"
 
 
+def test_fastpath_revcomp_fasta_out(tmp_path, monkeypatch):
+    """--revcomp with FASTA output: each read's chosen orientation is
+    selected from the shared-offset rc copy, with the ' rc' suffix."""
+    spy = _spy_engagement(monkeypatch)
+    inputs = make_reads(tmp_path / "rc.fastq")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"rc-{env}.fasta"
+        main(["--quiet", "-a", "a1=" + A3, "--revcomp", "-m", "12",
+              "-o", str(out)] + [str(p) for p in inputs])
+        if env == "1":
+            assert spy.get("engaged")
+        outs[env] = out.read_bytes()
+    assert outs["1"] == outs["0"]
+    assert b" rc\n" in outs["1"] or b" rc " in outs["1"]
+
+
 @pytest.mark.parametrize("action,fasta_in", [
     ("mask", False), ("lowercase", False), ("mask", True),
 ], ids=["mask", "lowercase", "mask-fasta-in"])

@@ -76,6 +76,7 @@ def random_args(rng, paired):
             if paired and rng.random() < 0.5:
                 args += ["--info-file-paired", "INFO2"]
         else: args += ["--wildcard-file", "WC"]
+    if rng.random() < 0.15: args += ["FASTA_OUT"]  # marker: .fasta outputs
     if rng.random() < 0.1: args += ["--zero-cap"]
     if rng.random() < 0.1: args += ["--max-ee", "8"]
     if rng.random() < 0.1: args += ["--discard-casava"]
@@ -93,15 +94,18 @@ for it in range(N):
         ok = True
         for env in ("1", "0"):
             os.environ["CUTADAPT_TPU_BATCH"] = env
-            o1 = os.path.join(tmp, f"o1-{env}")
-            o2 = os.path.join(tmp, f"o2-{env}")
+            ext = ".fasta" if "FASTA_OUT" in args else ""
+            o1 = os.path.join(tmp, f"o1-{env}{ext}")
+            o2 = os.path.join(tmp, f"o2-{env}{ext}")
             rep = os.path.join(tmp, f"r-{env}.json")
             argv = ["--quiet", "--json", rep]
             side_paths = {}
             for flagged in ("REST", "INFO", "INFO2", "WC"):
                 if flagged in args:
                     side_paths[flagged] = os.path.join(tmp, f"{flagged}-{env}")
-            argv += [side_paths.get(a, a) for a in args] + ["-o", o1]
+            argv += [
+                side_paths.get(a, a) for a in args if a != "FASTA_OUT"
+            ] + ["-o", o1]
             if paired:
                 argv += ["-p", o2]
             try:
