@@ -1425,12 +1425,13 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
             # side-channel rows come from R1 (and R2 for --info-file
             # with two files) match events: reference step order puts
             # them before any filter, and they need plain (non-linked,
-            # non-rc, non-transform, non-pair-adapters) matching on
-            # the sides they read (_pair_match records no events)
+            # non-rc, non-transform) matching on the sides they read
             if pair_filters or sink is not None or rc_pair is not None:
                 return None
-            if pair_stage is not None:
-                return None
+            if pair_stage is not None and isinstance(
+                inner, WildcardFileWriter
+            ):
+                return None  # no adapter-side coords from _pair_match
             if (
                 _transform_action(stages1) is not None
                 or _revcomp_stage(stages1) is not None
@@ -1622,12 +1623,13 @@ def _apply_match_windows(task, action, ws, we, hit, qs, qe):
     return as_front, removed, adj_rel
 
 
-def _pair_match(engines, chunks, windows, pair_stage):
+def _pair_match(engines, chunks, windows, pair_stage, stats_pair=None):
     """--pair-adapters: adapter pair i matches iff it matches both
     reads; the pair with the highest total score wins (ties: fewer
     total errors, then earlier pair) — PairedAdapterCutter semantics
     (reference modifiers.py:412-503). Mutates both sides' windows;
-    returns the matched mask."""
+    returns the matched mask. With `stats_pair`, each side's match
+    events (with geometry) are recorded for the side-channel writers."""
     tasks_by_side, mod = pair_stage[:2], pair_stage[2]
     n = chunks[0].n_records
     n_pairs = len(tasks_by_side[0])
@@ -1694,9 +1696,18 @@ def _pair_match(engines, chunks, windows, pair_stage):
                 continue
             task = tasks_by_side[side][t]
             _, qs, qe, er, _ = results[side][t]
+            ws_ev, we_ev = ws[hit].copy(), we[hit].copy()
             as_front, removed, adj_rel = _apply_match_windows(
                 task, mod.action, ws, we, hit, qs[hit], qe[hit]
             )
+            if stats_pair is not None:
+                stats_pair[side].setdefault("adapter_events", []).append(
+                    dict(task=t, reads=hit, removed=removed,
+                         errors=er[hit], as_front=as_front,
+                         adjacent=np.zeros(len(hit), np.uint8),
+                         sub=np.zeros(len(hit), np.int32),
+                         qs=qs[hit], qe=qe[hit], ws=ws_ev, we=we_ev)
+                )
             astats = mod.adapter_statistics[side][task.adapter]
             adj_pos = chunk.seq_start[hit] + adj_rel
             adjacent = np.where(
@@ -2092,6 +2103,13 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
     side_stage2 = next(
         (s for s in stages2 if hasattr(s, "flat_adapters")), None
     )
+    if pair_stage is not None:
+        # --pair-adapters: the tasks live on the pair stage, not in
+        # the per-side stage lists; side-file rows resolve through them
+        from types import SimpleNamespace
+
+        side_stage1 = SimpleNamespace(tasks=pair_stage[0])
+        side_stage2 = SimpleNamespace(tasks=pair_stage[1])
     demux = (
         sink
         if isinstance(sink, (PairedDemultiplexer, CombinatorialDemultiplexer))
@@ -2220,6 +2238,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
             m1 = m2 = _pair_match(
                 (engine1, engine2), (c1, c2),
                 ((ws1, we1), (ws2, we2)), pair_stage,
+                stats_pair=(stats1, stats2),
             )
         elif rc_pair is not None:
             (c1, c2, ws1, we1, ws2, we2, m1, m2) = _run_rc_pair(

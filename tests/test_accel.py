@@ -644,6 +644,31 @@ def test_fastpath_paired_rename_with_linked(tmp_path, monkeypatch):
     assert outs["1"] == outs["0"]
 
 
+def test_fastpath_pair_adapters_side_files(tmp_path, monkeypatch):
+    """--pair-adapters with --info-file/--info-file-paired/-r: match
+    events recorded by the pair matcher feed the side-channel rows."""
+    spy = _spy_engagement(monkeypatch)
+    inputs = make_reads(tmp_path / "pa.fastq", paired=True)
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        files = {k: tmp_path / f"pa-{k}-{env}" for k in
+                 ("o1", "o2", "info", "info2", "rest")}
+        main(["--quiet", "--pair-adapters", "-a", "a1=" + A3,
+              "-A", "a2=" + A5,
+              "--info-file", str(files["info"]),
+              "--info-file-paired", str(files["info2"]),
+              "-r", str(files["rest"]),
+              "-o", str(files["o1"]), "-p", str(files["o2"])]
+             + [str(p) for p in inputs])
+        if env == "1":
+            assert spy.get("engaged")
+        outs[env] = {k: f.read_bytes() for k, f in files.items()}
+    for k in outs["1"]:
+        assert outs["1"][k] == outs["0"][k], f"{k} differs"
+    assert outs["1"]["info"] and outs["1"]["info2"]
+
+
 def test_fastpath_paired_fasta_input(tmp_path, monkeypatch):
     """Paired FASTA input (multi-line records included) through the
     batch path; outputs must be FASTA, quality options stay host-side."""
