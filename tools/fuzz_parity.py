@@ -44,6 +44,12 @@ def make_input(tmp, rng, paired):
 
 def random_args(rng, paired):
     args = []
+    if paired and rng.random() < 0.12:
+        # --pair-adapters needs matching per-side adapter counts
+        args += ["--pair-adapters", "-a", "pa1=" + A3, "-A", "pa2=" + A5]
+        if rng.random() < 0.5:
+            args += ["-a", "pb1=ACGTACGTAC", "-A", "pb2=TTGACCGGAA"]
+        return args + _common_args(rng, paired)
     adapters = rng.sample([
         ["-a", A3], ["-g", A5], ["-b", "ACGTACGTAC"], ["-g", "^" + A5[:8]],
         ["-a", A3[:10] + "$"], ["-a", AW], ["-g", A5[:8] + "..." + A3[:8]],
@@ -53,6 +59,11 @@ def random_args(rng, paired):
         # explicit names: the auto-name counter is process state and
         # would differ between the two in-process runs
         args += [a[0], f"ad{k}={a[1]}"]
+    return args + _common_args(rng, paired)
+
+
+def _common_args(rng, paired):
+    args = []
     if rng.random() < 0.4: args += ["-q", str(rng.choice(["10", "15,12"]))]
     if rng.random() < 0.3: args += ["-u", str(rng.choice([3, -4]))]
     if rng.random() < 0.3: args += ["--times", "2"]
