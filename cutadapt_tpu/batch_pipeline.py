@@ -70,6 +70,13 @@ def active_mesh_for(batch: int):
     return mesh
 
 
+def _pack2_on() -> bool:
+    """2-bit candidate packing (halves the 4-bit lane's H2D bytes;
+    reads with N/IUPAC bytes split off to the 4-bit or host-scalar
+    lane). CUTADAPT_TPU_PACK2=0 disables for A/B measurement."""
+    return os.environ.get("CUTADAPT_TPU_PACK2", "1") != "0"
+
+
 @lru_cache(maxsize=128)
 def _make_locate_step(
     spec: AlignerSpec,
@@ -77,6 +84,7 @@ def _make_locate_step(
     backend: str = "xla",
     wide: bool = False,
     mesh=None,
+    pack2: bool = False,
 ):
     """Jitted locate returning a (2, B) int32: row0 = query_start |
     query_stop<<14 | found<<28; row1 = errors | (score+bias)<<16.
@@ -114,7 +122,7 @@ def _make_locate_step(
             raise ValueError("pallas backend requires packed inputs")
         from .ops.align_pallas import make_pallas_locate
 
-        kernel = make_pallas_locate(spec)
+        kernel = make_pallas_locate(spec, pack2=pack2)
         if mesh is None:
             return jax.jit(kernel)
         # per-shard kernel execution; results are concatenated on the
@@ -130,7 +138,7 @@ def _make_locate_step(
             )
         )
 
-    locate = make_batch_locate(spec, packed=packed)
+    locate = make_batch_locate(spec, packed=packed, pack2=pack2)
 
     if wide:
 
@@ -350,6 +358,51 @@ class AdapterTask:
         if native.AVAILABLE and isinstance(adapter.kmer_finder, KmerFinder):
             self.pf_tables = native.PrefilterTables(adapter.kmer_finder)
         self._backend = _pick_backend(self.packed)
+        self._scalar = None  # lazy C++ per-read aligner (dirty lane)
+
+    def run_scalar(self, chunk, starts, lens):
+        """Per-read C++ DP over explicit windows — the zero-wire lane
+        for small counts of 2-bit-dirty reads. Results are identical
+        to the device kernel's for the same (possibly reversed)
+        window bytes, including reversed-frame coordinates."""
+        if self._scalar is None:
+            from .ops.align_batch import (
+                effective_length, encode_reference, n_counts,
+            )
+
+            spec = self.spec
+            self._scalar = native.ScalarAligner(
+                encode_reference(spec).tobytes(),
+                n_counts(spec),
+                effective_length(spec),
+                spec.max_error_rate,
+                spec.flags,
+                not (spec.wildcard_ref or spec.wildcard_query),
+                spec.wildcard_ref,
+                spec.indel_cost,
+                spec.min_overlap,
+            )
+            self._byte_lut = query_lut(spec)
+        n = len(starts)
+        found = np.zeros(n, bool)
+        qs = np.zeros(n, np.int32)
+        qe = np.zeros(n, np.int32)
+        er = np.zeros(n, np.int32)
+        sc = np.zeros(n, np.int32)
+        astart = np.zeros(n, np.int32)
+        astop = np.zeros(n, np.int32)
+        buf, lut = chunk.buf, self._byte_lut
+        locate = self._scalar.locate
+        for i in range(n):
+            win = buf[starts[i] : starts[i] + lens[i]]
+            if self.reverse:
+                win = win[::-1]
+            r = locate(lut[win].tobytes())
+            if r is None:
+                continue
+            found[i] = True
+            astart[i], astop[i], qs[i], qe[i], sc[i], er[i] = r
+        return found, qs, qe, er, sc, astart, astop
 
     def run_index(self, chunk, starts, lens):
         """Per-read AdapterIndex lookups over the current windows.
@@ -435,27 +488,28 @@ class AdapterTask:
             qstop = lens.astype(np.int32)
         return found, qstart, qstop, errors, score
 
-    def step(self, enc, lengths, wide: bool = False):
+    def step(self, enc, lengths, wide: bool = False, pack2: bool = False):
         """Dispatch the DP; drops to the XLA kernel if the Pallas
         backend fails to build/compile for this spec or shape. With
         wide=True, uses the unpacked XLA formulation whose result
-        fields are full int32 (long reads). When a shard mesh is
-        active and the batch divides over it, the dispatch is
-        data-parallel across its devices."""
+        fields are full int32 (long reads); pack2=True reads the
+        4-per-byte 2-bit encoding. When a shard mesh is active and the
+        batch divides over it, the dispatch is data-parallel across
+        its devices."""
         mesh = active_mesh_for(len(lengths))
         if wide:
             return _make_locate_step(
-                self.spec, self.packed, "xla", True, mesh
+                self.spec, self.packed, "xla", True, mesh, pack2
             )(enc, lengths)
         if self._backend == "pallas":
             try:
                 return _make_locate_step(
-                    self.spec, self.packed, "pallas", False, mesh
+                    self.spec, self.packed, "pallas", False, mesh, pack2
                 )(enc, lengths)
             except Exception:
                 self._backend = "xla"
         return _make_locate_step(
-            self.spec, self.packed, "xla", False, mesh
+            self.spec, self.packed, "xla", False, mesh, pack2
         )(enc, lengths)
 
 
@@ -759,24 +813,38 @@ class BatchPipelineEngine:
                 for t in subtasks:
                     if t.comparer:
                         continue
-                    w_in = width // 2 if t.packed else width
+                    p2 = t.packed and native.AVAILABLE and _pack2_on()
+                    if p2:
+                        w_in = width // 4
+                    elif t.packed:
+                        w_in = width // 2
+                    else:
+                        w_in = width
                     s = self.min_dp_batch
                     while s <= self.max_dp_batch:
                         t.step(
                             np.zeros((s, w_in), np.uint8),
                             np.zeros(s, np.int32),
+                            pack2=p2,
                         ).block_until_ready()
                         s *= 2
 
-    def _encode(self, task, chunk, starts, lens, sel, rows, width):
-        """(rows, width[/2]) uint8 batch of the selected windows."""
-        w_in = width // 2 if task.packed else width
+    def _encode(self, task, chunk, starts, lens, sel, rows, width,
+                pack2: bool = False):
+        """(rows, width[/2 or /4]) uint8 batch of the selected windows."""
+        if pack2:
+            w_in = width // 4
+        elif task.packed:
+            w_in = width // 2
+        else:
+            w_in = width
         enc = np.zeros((rows, w_in), np.uint8)
         take = len(sel)
         if native.AVAILABLE:
             native.pad_encode(
                 chunk.buf, starts, lens, sel, width, task.lut,
-                pack4=task.packed, out=enc, reverse=task.reverse,
+                pack4=task.packed and not pack2, pack2=pack2,
+                out=enc, reverse=task.reverse,
             )
         else:
             from .io.chunks import pad_rows
@@ -789,7 +857,12 @@ class BatchPipelineEngine:
                     rev[pos, :ln] = row[:ln][::-1]
                 raw = rev
             e = task.lut[raw]
-            if task.packed:
+            if pack2:
+                e = (
+                    e[:, 0::4] | (e[:, 1::4] << 2)
+                    | (e[:, 2::4] << 4) | (e[:, 3::4] << 6)
+                ).astype(np.uint8)
+            elif task.packed:
                 e = (e[:, 0::2] | (e[:, 1::2] << 4)).astype(np.uint8)
             enc[:take] = e
         return enc
@@ -826,9 +899,17 @@ class BatchPipelineEngine:
         for i, t in enumerate(tasks):
             if t.comparer or t.indexed or t.kind == "linked":
                 continue
-            key = (
-                t.spec.wildcard_ref, t.spec.wildcard_query, t.reverse
-            )
+            if t.packed and native.AVAILABLE and _pack2_on():
+                # tasks with byte-identical query-class LUTs can share
+                # one *packed* upload (every plain-ACGT adapter set
+                # lands in one group): 2-8x fewer wire bytes than the
+                # unpacked byte sharing below
+                key = ("cls", t.reverse, t.lut.tobytes())
+            else:
+                key = (
+                    "byte", t.spec.wildcard_ref, t.spec.wildcard_query,
+                    t.reverse,
+                )
             groups.setdefault(key, []).append(i)
         if not any(len(members) > 1 for members in groups.values()):
             return per_task()
@@ -843,9 +924,10 @@ class BatchPipelineEngine:
         ).astype(np.int64)
         lens = (win_stop[subset] - win_start[subset]).astype(np.int32)
         n = len(starts)
-        for (wc_ref, wc_query, reverse), members in groups.items():
+        for key, members in groups.items():
             if len(members) < 2:
                 continue
+            reverse = key[1] if key[0] == "cls" else key[3]
             union = np.zeros(n, bool)
             for i in members:
                 t = tasks[i]
@@ -862,15 +944,73 @@ class BatchPipelineEngine:
                 for i in members:
                     disp[i] = ("single", sel, [])
                 continue
+            c_starts, c_lens = starts[sel], lens[sel]
+            wide = (
+                int(c_lens.max()) >= (1 << _QS_BITS)
+                or self.want_ref_coords
+            )
+            futures = {i: [] for i in members}
+            if key[0] == "cls":
+                t0 = tasks[members[0]]
+                lanes = [(len(sel), False)]
+                clean = native.windows_clean(
+                    chunk.buf, c_starts, c_lens, width, t0.lut,
+                    reverse=reverse,
+                )
+                n_clean = int(clean.sum())
+                n_dirty = len(sel) - n_clean
+                if n_dirty == 0:
+                    lanes = [(len(sel), True)]
+                elif n_clean > 0:
+                    order = np.concatenate(
+                        [np.flatnonzero(clean), np.flatnonzero(~clean)]
+                    )
+                    sel = sel[order]
+                    c_starts = c_starts[order]
+                    c_lens = c_lens[order]
+                    lanes = [(n_clean, True), (n_dirty, False)]
+                base = 0
+                for count, p2 in lanes:
+                    off = 0
+                    for size in self._dp_sizes(count):
+                        take = min(size, count - off)
+                        if take <= 0:
+                            break
+                        enc = self._encode(
+                            t0, chunk, c_starts, c_lens,
+                            np.arange(base + off, base + off + take,
+                                      dtype=np.int64),
+                            size, width, pack2=p2,
+                        )
+                        sub_len = np.zeros(size, np.int32)
+                        sub_len[:take] = (
+                            c_lens[base + off : base + off + take]
+                        )
+                        dev_enc = jax.device_put(enc)
+                        dev_len = jax.device_put(sub_len)
+                        for i in members:
+                            fut = tasks[i].step(
+                                dev_enc, dev_len, wide=wide, pack2=p2
+                            )
+                            try:
+                                fut.copy_to_host_async()
+                            except Exception:
+                                pass
+                            futures[i].append(
+                                (base + off, take, fut, wide)
+                            )
+                        off += size
+                    base += count
+                for i in members:
+                    disp[i] = ("single", sel, futures[i])
+                continue
+            _, wc_ref, wc_query, reverse = key
             if wc_query:
                 lut = IUPAC_LUT
             elif wc_ref:
                 lut = ACGT_LUT
             else:
                 lut = UPPER_LUT
-            c_starts, c_lens = starts[sel], lens[sel]
-            wide = int(c_lens.max()) >= (1 << _QS_BITS)
-            futures = {i: [] for i in members}
             off = 0
             for size in self._dp_sizes(len(sel)):
                 take = min(size, len(sel) - off)
@@ -904,16 +1044,13 @@ class BatchPipelineEngine:
                 dev_len = jax.device_put(sub_len)
                 for i in members:
                     fut = _make_locate_step(
-                        tasks[i].spec, False, "xla",
-                        wide or self.want_ref_coords, None,
+                        tasks[i].spec, False, "xla", wide, None,
                     )(dev_enc, dev_len)
                     try:
                         fut.copy_to_host_async()
                     except Exception:
                         pass
-                    futures[i].append(
-                        (off, take, fut, wide or self.want_ref_coords)
-                    )
+                    futures[i].append((off, take, fut, wide))
                 off += size
             for i in members:
                 disp[i] = ("single", sel, futures[i])
@@ -974,24 +1111,61 @@ class BatchPipelineEngine:
         wide = (
             int(c_lens.max()) >= (1 << _QS_BITS) or self.want_ref_coords
         )
-        off = 0
-        for size in self._dp_sizes(len(sel)):
-            take = min(size, len(sel) - off)
-            if take <= 0:
-                break
-            enc = self._encode(
-                task, chunk, c_starts, c_lens,
-                np.arange(off, off + take, dtype=np.int64), size, width,
+        # 2-bit lane split: reads whose window is ACGT-class-only ride
+        # the 2-bit encoding (half the 4-bit lane's wire bytes); the
+        # rare N/IUPAC-containing reads take the host scalar aligner
+        # (zero wire) when few, or a 4-bit device lane otherwise
+        lanes = [(len(sel), False)]  # (count, pack2) over sel's order
+        host_tail = 0
+        if task.packed and native.AVAILABLE and _pack2_on():
+            clean = native.windows_clean(
+                chunk.buf, c_starts, c_lens, width, task.lut,
+                reverse=task.reverse,
             )
-            sub_len = np.zeros(size, np.int32)
-            sub_len[:take] = c_lens[off : off + take]
-            fut = task.step(enc, sub_len, wide=wide)
-            try:
-                fut.copy_to_host_async()
-            except Exception:
-                pass
-            futures.append((off, take, fut, wide))
-            off += size
+            n_clean = int(clean.sum())
+            n_dirty = len(sel) - n_clean
+            if n_dirty == 0:
+                lanes = [(len(sel), True)]
+            elif n_clean > 0:
+                order = np.concatenate(
+                    [np.flatnonzero(clean), np.flatnonzero(~clean)]
+                )
+                sel = sel[order]
+                c_starts = c_starts[order]
+                c_lens = c_lens[order]
+                if n_dirty <= max(64, len(sel) >> 6):
+                    lanes = [(n_clean, True)]
+                    host_tail = n_dirty
+                else:
+                    lanes = [(n_clean, True), (n_dirty, False)]
+        base = 0
+        for count, p2 in lanes:
+            off = 0
+            for size in self._dp_sizes(count):
+                take = min(size, count - off)
+                if take <= 0:
+                    break
+                enc = self._encode(
+                    task, chunk, c_starts, c_lens,
+                    np.arange(base + off, base + off + take,
+                              dtype=np.int64),
+                    size, width, pack2=p2,
+                )
+                sub_len = np.zeros(size, np.int32)
+                sub_len[:take] = c_lens[base + off : base + off + take]
+                fut = task.step(enc, sub_len, wide=wide, pack2=p2)
+                try:
+                    fut.copy_to_host_async()
+                except Exception:
+                    pass
+                futures.append((base + off, take, fut, wide))
+                off += size
+            base += count
+        if host_tail:
+            futures.append(
+                ("host_range", base)
+                + task.run_scalar(chunk, c_starts[base:], c_lens[base:])
+            )
         return sel, futures
 
     def _fetch_windows(self, task, sel, futures, lens):
@@ -1082,6 +1256,17 @@ class BatchPipelineEngine:
                 else:
                     (_, found[:], qstart[:], qstop[:], errors[:],
                      score[:]) = fut
+                continue
+            if fut[0] == "host_range":  # scalar-aligner dirty tail
+                _, off, f, qs, qe, er, sc, as_, ae_ = fut
+                end = off + len(f)
+                found[off:end] = f
+                qstart[off:end] = qs
+                qstop[off:end] = qe
+                errors[off:end] = er
+                score[off:end] = sc
+                astart[off:end] = as_
+                astop[off:end] = ae_
                 continue
             off, count, dev, wide = fut
             arr = np.asarray(dev)

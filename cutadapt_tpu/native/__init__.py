@@ -87,6 +87,14 @@ def _load():
     lib.pad_encode_pack4.argtypes = [
         p_u8, p_i64, p_i32, p_i64, i64, i64, p_u8, _i32, p_u8,
     ]
+    lib.pad_encode_pack2.restype = None
+    lib.pad_encode_pack2.argtypes = [
+        p_u8, p_i64, p_i32, p_i64, i64, i64, p_u8, _i32, p_u8,
+    ]
+    lib.windows_clean.restype = None
+    lib.windows_clean.argtypes = [
+        p_u8, p_i64, p_i32, i64, i64, p_u8, _i32, p_u8,
+    ]
     lib.assemble_fastq.restype = i64
     lib.assemble_fastq.argtypes = [
         p_u8, i64, p_i64, p_i64, p_i64, p_i64, p_i64, p_u8,
@@ -280,9 +288,12 @@ def kmer_prefilter(
 def pad_encode(
     buf, seq_start, seq_len, sel, width: int, lut,
     pack4: bool = False, out: np.ndarray = None, reverse: bool = False,
+    pack2: bool = False,
 ) -> np.ndarray:
     """Gather+encode selected reads into a padded row matrix
-    (back-to-front when ``reverse``).
+    (back-to-front when ``reverse``). pack4 packs two 4-bit codes per
+    byte; pack2 packs four 2-bit codes per byte (callers must route
+    windows containing class ids > 3 elsewhere — see windows_clean).
 
     When ``out`` is given it may have more rows than len(sel); only the
     first len(sel) rows are written (extra rows serve as batch padding
@@ -290,7 +301,12 @@ def pad_encode(
     n_sel = len(sel)
     sel = np.ascontiguousarray(sel, np.int64)
     lut = np.ascontiguousarray(lut, np.uint8)
-    if pack4:
+    if pack2:
+        assert width % 4 == 0
+        if out is None:
+            out = np.empty((n_sel, width // 4), np.uint8)
+        fn = _lib.pad_encode_pack2
+    elif pack4:
         assert width % 2 == 0
         if out is None:
             out = np.empty((n_sel, width // 2), np.uint8)
@@ -306,6 +322,24 @@ def pad_encode(
         _ptr(lut, ctypes.c_uint8), int(reverse), _ptr(out, ctypes.c_uint8),
     )
     return out
+
+
+def windows_clean(
+    buf, seq_start, seq_len, width: int, lut, reverse: bool = False
+) -> np.ndarray:
+    """Per-window bool: every byte the encode would emit maps to a
+    class id < 4 under `lut`, i.e. the window can ride the 2-bit
+    packed lane."""
+    n = len(seq_start)
+    lut = np.ascontiguousarray(lut, np.uint8)
+    out = np.empty(n, np.uint8)
+    _lib.windows_clean(
+        _ptr(buf, ctypes.c_uint8),
+        _ptr(seq_start, ctypes.c_int64), _ptr(seq_len, ctypes.c_int32),
+        n, width, _ptr(lut, ctypes.c_uint8), int(reverse),
+        _ptr(out, ctypes.c_uint8),
+    )
+    return out.astype(bool)
 
 
 def check_pair_names(buf1, hs1, he1, buf2, hs2, he2) -> int:

@@ -185,6 +185,72 @@ void pad_encode_pack4(const uint8_t* buf, const int64_t* seq_start,
     }
 }
 
+// Same, but packs four 2-bit codes per output byte (lowest pair =
+// earliest position).  width must be a multiple of 4; out is
+// (n_sel, width/4).  LUT values of selected reads must be < 4 —
+// callers split off dirty reads with windows_clean first.
+
+void pad_encode_pack2(const uint8_t* buf, const int64_t* seq_start,
+                      const int32_t* seq_len, const int64_t* sel,
+                      int64_t n_sel, int64_t width, const uint8_t* lut,
+                      int32_t reverse, uint8_t* out) {
+    const int64_t wp = width / 4;
+    for (int64_t i = 0; i < n_sel; ++i) {
+        const int64_t r = sel[i];
+        const int64_t n = seq_len[r];
+        const uint8_t* src = buf + seq_start[r];
+        int64_t len = n;
+        if (len > width) len = width;
+        uint8_t* dst = out + i * wp;
+        int64_t quads = len / 4;
+        if (reverse) {
+            const uint8_t* end = src + n;  // read back-to-front
+            for (int64_t t = 0; t < quads; ++t) {
+                const uint8_t* p = end - 4 * t;
+                dst[t] = (uint8_t)(lut[p[-1]] | (lut[p[-2]] << 2) |
+                                   (lut[p[-3]] << 4) | (lut[p[-4]] << 6));
+            }
+            uint8_t tail = 0;
+            for (int64_t t = 4 * quads; t < len; ++t)
+                tail |= (uint8_t)(lut[end[-1 - t]] << (2 * (t & 3)));
+            if (len & 3) dst[quads] = tail;
+        } else {
+            for (int64_t t = 0; t < quads; ++t) {
+                const uint8_t* p = src + 4 * t;
+                dst[t] = (uint8_t)(lut[p[0]] | (lut[p[1]] << 2) |
+                                   (lut[p[2]] << 4) | (lut[p[3]] << 6));
+            }
+            uint8_t tail = 0;
+            for (int64_t t = 4 * quads; t < len; ++t)
+                tail |= (uint8_t)(lut[src[t]] << (2 * (t & 3)));
+            if (len & 3) dst[quads] = tail;
+        }
+        int64_t used = (len + 3) / 4;
+        if (used < wp) memset(dst + used, 0, wp - used);
+    }
+}
+
+// Per-window "2-bit clean" test: out[i] = 1 iff every byte of window
+// i maps to a class id < 4 under `lut` (i.e. the window can ride the
+// 2-bit packed lane).  Only the `width` bytes the encode would emit
+// matter (the first `width` forward, the last `width` reversed).
+void windows_clean(const uint8_t* buf, const int64_t* seq_start,
+                   const int32_t* seq_len, int64_t n, int64_t width,
+                   const uint8_t* lut, int32_t reverse, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t len = seq_len[i];
+        int64_t off = 0;
+        if (len > width) {
+            if (reverse) off = len - width;
+            len = width;
+        }
+        const uint8_t* src = buf + seq_start[i] + off;
+        uint8_t dirty = 0;
+        for (int64_t t = 0; t < len; ++t) dirty |= (uint8_t)(lut[src[t]] >> 2);
+        out[i] = dirty == 0;
+    }
+}
+
 // --- trimmed FASTQ assembly --------------------------------------------------
 //
 // Emits '@head\nseq[:stop]\n+\nqual[:stop]\n' per record.  The caller

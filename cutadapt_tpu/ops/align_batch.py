@@ -117,6 +117,11 @@ def query_class_info(spec: AlignerSpec):
     ``row_masks[i] >> class & 1`` equal to "query byte of that class
     matches reference position i", or None if more than 16 classes are
     needed (then the packed 4-bit path cannot be used).
+
+    Class ids are ordered so the classes of the plain bases
+    'A','C','G','T' come first: any byte whose class id is < 4 can be
+    carried by the 2-bit packed lane (four query positions per wire
+    byte), and in practice that is every read without N/IUPAC bytes.
     """
     ref = encode_reference(spec)  # (m,)
     lut = query_lut(spec)
@@ -126,14 +131,18 @@ def query_class_info(spec: AlignerSpec):
         behave = ref[None, :] == q[:, None]  # (256, m)
     else:
         behave = (ref[None, :] & q[:, None]) != 0
-    # assign class ids in order of first appearance, byte 0 first so
-    # padding is class 0
     uniq, class_ids = np.unique(behave, axis=0, return_inverse=True)
     if len(uniq) > 16:
         return None
-    # remap so byte 0's class is 0 (cosmetic; padding is never active)
-    c0 = int(class_ids[0])
-    perm = np.concatenate([[c0], np.delete(np.arange(len(uniq)), c0)])
+    # remap so the A/C/G/T byte classes occupy the low ids (2-bit lane)
+    first = []
+    for b in b"ACGT":
+        c = int(class_ids[b])
+        if c not in first:
+            first.append(c)
+    perm = np.concatenate(
+        [first, np.delete(np.arange(len(uniq)), first)]
+    ).astype(np.int64)
     remap = np.empty(len(uniq), np.int64)
     remap[perm] = np.arange(len(uniq))
     class_ids = remap[class_ids]
@@ -260,7 +269,10 @@ def _table_lookup(table_col, index, iota_col):
 
 @lru_cache(maxsize=64)
 def make_batch_locate(
-    spec: AlignerSpec, interpret: bool = False, packed: bool = False
+    spec: AlignerSpec,
+    interpret: bool = False,
+    packed: bool = False,
+    pack2: bool = False,
 ):
     """
     Build a jittable function
@@ -277,6 +289,13 @@ def make_batch_locate(
     transfer volume, which dominates when the device is reached over a
     slow link.
 
+    With ``pack2=True`` the queries are (B, L/4) uint8 with four 2-bit
+    class ids per byte (lowest pair = earliest position). Only class
+    ids 0-3 are representable — reads whose window contains any other
+    class (N/IUPAC bytes) must take the 4-bit lane; callers split via
+    native.windows_clean. Same bit-exact results, half the 4-bit
+    lane's wire bytes.
+
     Returned fields: found (bool), ref_start, ref_stop, query_start,
     query_stop, score, errors (all int32; contents undefined where
     found is False).
@@ -285,7 +304,7 @@ def make_batch_locate(
     if m == 0:
         raise ValueError("batched aligner requires a non-empty reference")
     ref_np = encode_reference(spec)
-    if packed:
+    if packed or pack2:
         info = query_class_info(spec)
         if info is None:
             raise ValueError("packed mode needs <= 16 query classes")
@@ -345,7 +364,21 @@ def make_batch_locate(
     def locate(queries: jnp.ndarray, lengths: jnp.ndarray):
         queries = jnp.asarray(queries, dtype=jnp.uint8)
         lengths = jnp.asarray(lengths, dtype=jnp.int32)
-        if packed:
+        if pack2:
+            B, Lp = queries.shape
+            L = 4 * Lp
+            pt = queries.T  # (Lp, B)
+            queries_t = jnp.stack(
+                [
+                    pt & jnp.uint8(3),
+                    (pt >> 2) & jnp.uint8(3),
+                    (pt >> 4) & jnp.uint8(3),
+                    pt >> 6,
+                ],
+                axis=1,
+            ).reshape(L, B)
+            row_masks = jnp.asarray(row_masks_np)[:, None]  # (m, 1)
+        elif packed:
             B, Lp = queries.shape
             L = 2 * Lp
             pt = queries.T  # (Lp, B)
@@ -401,7 +434,7 @@ def make_batch_locate(
             # j is the 1-based column index
             active = (j > min_n) & (j <= max_n)  # (B,)
             qc = queries_t[j - 1]  # (B,)
-            if packed:
+            if packed or pack2:
                 eq = (
                     (row_masks >> qc[None, :].astype(jnp.int32)) & 1
                 ) != 0  # (m, B)

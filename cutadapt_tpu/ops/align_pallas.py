@@ -71,11 +71,19 @@ def _key_min(a, b):
 
 @lru_cache(maxsize=64)
 def make_pallas_locate(
-    spec: AlignerSpec, block_b: int = 1024, interpret: bool = False
+    spec: AlignerSpec,
+    block_b: int = 1024,
+    interpret: bool = False,
+    pack2: bool = False,
 ):
     """Build locate(packed_queries (B, Wp) uint8, lengths (B,) int32)
     -> (2, B) int32 packed results. B must be a multiple of block_b,
-    Wp a multiple of 8."""
+    Wp a multiple of 8.
+
+    With ``pack2=True`` each wire byte carries four 2-bit query class
+    ids (lowest pair = earliest position) instead of two 4-bit ids;
+    callers must route any read containing a class id > 3 (N/IUPAC
+    bytes) to the 4-bit kernel instead (native.windows_clean)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -343,17 +351,21 @@ def make_pallas_locate(
 
         # int8 VMEM tiles want sublane-aligned loads: fetch the aligned
         # 8-row block around row r, then one-hot-select row r (keeps
-        # the loop body small — two DP columns per iteration)
+        # the loop body small — two or four DP columns per iteration)
         def packed_row_step(r, state):
             base = pl.multiple_of((r // 8) * 8, 8)
             block = q_ref[pl.ds(base, 8), :].astype(jnp.int32)  # (8, Bt)
             byte = jnp.sum(
                 jnp.where(io8 == (r % 8), block, 0), axis=0, keepdims=True
             )  # (1, Bt)
-            lo = byte & 0xF
-            hi = byte >> 4
-            state = one_column(2 * r + 1, lo, state)
-            state = one_column(2 * r + 2, hi, state)
+            if pack2:
+                state = one_column(4 * r + 1, byte & 3, state)
+                state = one_column(4 * r + 2, (byte >> 2) & 3, state)
+                state = one_column(4 * r + 3, (byte >> 4) & 3, state)
+                state = one_column(4 * r + 4, byte >> 6, state)
+            else:
+                state = one_column(2 * r + 1, byte & 0xF, state)
+                state = one_column(2 * r + 2, byte >> 4, state)
             return state
 
         state = jax.lax.fori_loop(0, Wp, packed_row_step, state0)

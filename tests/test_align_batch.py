@@ -133,6 +133,66 @@ def test_batch_locate_matches_oracle_wildcards(flags, wildcard_ref, wildcard_que
 
 
 @pytest.mark.parametrize("flags", FLAG_SETS)
+def test_batch_locate_pack2_matches_oracle(flags):
+    """The 2-bit packed lane (4 class ids per wire byte) must match
+    the oracle bit-exactly for ACGT-clean reads across every adapter
+    type (dirty reads never reach this kernel — the dispatcher splits
+    them off via native.windows_clean)."""
+    from cutadapt_tpu.ops.align_batch import query_class_info
+
+    rng = random.Random(flags * 77 + 5)
+    adapter = random_seq(rng, rng.randint(4, 20))
+    spec = AlignerSpec(
+        reference=adapter,
+        max_error_rate=rng.choice([0.0, 0.1, 0.2]),
+        flags=flags,
+        min_overlap=rng.choice([1, 3]),
+    )
+    reads = []
+    for _ in range(150):
+        n = rng.randint(0, 50)
+        read = random_seq(rng, n)
+        if rng.random() < 0.6 and n > 4:
+            pos = rng.randrange(n)
+            read = read[:pos] + adapter + read[pos:]
+        reads.append(read)
+
+    aligner = Aligner(
+        spec.reference, spec.max_error_rate, flags=spec.flags,
+        min_overlap=spec.min_overlap,
+    )
+    expected = [aligner.locate(r) for r in reads]
+
+    cls_lut, _ = query_class_info(spec)
+    lens = np.array([len(r) for r in reads], np.int32)
+    L = (int(lens.max()) + 3) // 4 * 4
+    cls = np.zeros((len(reads), L), np.uint8)
+    for i, r in enumerate(reads):
+        cls[i, : len(r)] = cls_lut[np.frombuffer(r.encode(), np.uint8)]
+    assert (cls < 4).all()
+    packed2 = (
+        cls[:, 0::4] | (cls[:, 1::4] << 2)
+        | (cls[:, 2::4] << 4) | (cls[:, 3::4] << 6)
+    ).astype(np.uint8)
+    out = {
+        k: np.asarray(v)
+        for k, v in make_batch_locate(spec, pack2=True)(
+            packed2, lens
+        ).items()
+    }
+    for b, (r, e) in enumerate(zip(reads, expected)):
+        if not out["found"][b]:
+            assert e is None, (spec, r)
+            continue
+        got = (
+            int(out["ref_start"][b]), int(out["ref_stop"][b]),
+            int(out["query_start"][b]), int(out["query_stop"][b]),
+            int(out["score"][b]), int(out["errors"][b]),
+        )
+        assert e == got, (spec, r)
+
+
+@pytest.mark.parametrize("flags", FLAG_SETS)
 def test_batch_locate_matches_oracle_no_indels(flags):
     rng = random.Random(flags)
     adapter = random_seq(rng, 10)

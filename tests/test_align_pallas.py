@@ -56,3 +56,39 @@ def test_pallas_matches_xla(ref, wc, flags, rate):
     for got, key in [(qs, "query_start"), (qe, "query_stop"),
                      (er, "errors"), (sc, "score")]:
         assert (got[rf] == np.asarray(ref_out[key])[rf]).all(), key
+
+
+@pytest.mark.parametrize("ref,wc,flags,rate", CASES)
+def test_pallas_pack2_matches_xla(ref, wc, flags, rate):
+    """2-bit lane: four class ids per byte, ACGT-clean reads only
+    (dirty reads are routed to the 4-bit or host-scalar lane by the
+    dispatcher)."""
+    spec = AlignerSpec(
+        reference=ref, max_error_rate=rate, flags=flags,
+        wildcard_ref=wc, indel_cost=1, min_overlap=3,
+    )
+    cls_lut, _ = query_class_info(spec)
+    rng = np.random.RandomState(hash((ref, flags, 2)) % 2**31)
+    B, L = 128, 64
+    raw = rng.choice(np.frombuffer(b"ACGTacgt", np.uint8), size=(B, L))
+    lens = rng.randint(0, L + 1, B).astype(np.int32)
+    for i in range(B):
+        raw[i, lens[i]:] = 0
+    cls = cls_lut[raw]
+    cls[np.arange(L)[None, :] >= lens[:, None]] = 0
+    assert (cls < 4).all()
+    packed4 = (cls[:, 0::2] | (cls[:, 1::2] << 4)).astype(np.uint8)
+    packed2 = (
+        cls[:, 0::4] | (cls[:, 1::4] << 2)
+        | (cls[:, 2::4] << 4) | (cls[:, 3::4] << 6)
+    ).astype(np.uint8)
+
+    ref_out = make_batch_locate(spec, packed=True)(packed4, lens)
+    pal = make_pallas_locate(spec, block_b=128, interpret=True, pack2=True)
+    f, qs, qe, er, sc = _unpack_result(np.asarray(pal(packed2, lens)))
+
+    rf = np.asarray(ref_out["found"])
+    assert (f == rf).all()
+    for got, key in [(qs, "query_start"), (qe, "query_stop"),
+                     (er, "errors"), (sc, "score")]:
+        assert (got[rf] == np.asarray(ref_out[key])[rf]).all(), key

@@ -114,6 +114,38 @@ def test_quality_and_back_adapter_and_minlen():
     assert stats["with_adapters"] == cutter.with_adapters
 
 
+def sprinkle_n(data: bytes, rng, fraction: float) -> bytes:
+    """Replace a base with 'N' in ~fraction of the records."""
+    recs = data.decode().splitlines()
+    for i in range(0, len(recs), 4):
+        seq = recs[i + 1]
+        if seq and rng.random() < fraction:
+            p = rng.randrange(len(seq))
+            recs[i + 1] = seq[:p] + "N" + seq[p + 1 :]
+    return ("\n".join(recs) + "\n").encode()
+
+
+@pytest.mark.parametrize("n_fraction,pack2_env", [
+    (0.05, "1"),   # few dirty reads -> host-scalar tail lane
+    (0.6, "1"),    # many dirty reads -> 4-bit device lane
+    (0.3, "0"),    # control: 2-bit packing disabled
+])
+def test_pack2_lane_split_parity(n_fraction, pack2_env, monkeypatch):
+    """The 2-bit clean / dirty lane split (and the host-scalar tail)
+    must be invisible in the results."""
+    monkeypatch.setenv("CUTADAPT_TPU_PACK2", pack2_env)
+    rng = random.Random(int(n_fraction * 100))
+    data = sprinkle_n(make_reads(rng, 400, [ADAPTER]), rng, n_fraction)
+    back = BackAdapter(ADAPTER, max_errors=0.1, min_overlap=3)
+    cutter = AdapterCutter([back])
+    expected = host_expected(data, [cutter], lambda r, info: True)
+    got, stats = run_engine(
+        data, [AdapterStage([AdapterTask(back, "back", 0)])]
+    )
+    assert got == expected
+    assert stats["with_adapters"] == cutter.with_adapters
+
+
 def test_multi_adapter_best_by_score():
     rng = random.Random(11)
     a1 = "AGATCGGAAGAGC"

@@ -124,24 +124,54 @@ def test_prefilter_matches_kmer_finder(adapter):
     assert (got == want).all()
 
 
-@pytest.mark.parametrize("pack4", [False, True])
-def test_pad_encode_parity(pack4):
+@pytest.mark.parametrize("pack", [None, "pack4", "pack2"])
+def test_pad_encode_parity(pack):
     rng = np.random.RandomState(4)
+    alphabet = b"ACGTNacgtXK" if pack != "pack2" else b"ACGTacgt"
     buf = rng.choice(
-        np.frombuffer(b"ACGTNacgtXK", np.uint8), size=5000
+        np.frombuffer(alphabet, np.uint8), size=5000
     ).astype(np.uint8)
     lens = rng.randint(0, 70, size=60).astype(np.int32)
     starts = (np.cumsum(lens.astype(np.int64)) - lens).astype(np.int64)
     sel = np.flatnonzero(rng.rand(60) < 0.5).astype(np.int64)
     width = 80
     lut = query_lut(AlignerSpec("ACGT", 0.1))
-    if pack4:
+    if pack is not None:
         lut = query_class_info(AlignerSpec("ACGT", 0.1))[0]
-    got = native.pad_encode(buf, starts, lens, sel, width, lut, pack4=pack4)
+    got = native.pad_encode(
+        buf, starts, lens, sel, width, lut,
+        pack4=pack == "pack4", pack2=pack == "pack2",
+    )
     exp = lut[pad_rows(buf, starts[sel], lens[sel], width)]
-    if pack4:
+    # encoded padding is literal 0 (kernels never read past `length`)
+    exp[np.arange(width)[None, :] >= lens[sel][:, None]] = 0
+    if pack == "pack4":
         exp = (exp[:, 0::2] | (exp[:, 1::2] << 4)).astype(np.uint8)
+    elif pack == "pack2":
+        exp = (
+            exp[:, 0::4] | (exp[:, 1::4] << 2)
+            | (exp[:, 2::4] << 4) | (exp[:, 3::4] << 6)
+        ).astype(np.uint8)
     assert (got == exp).all()
+
+
+def test_windows_clean():
+    rng = np.random.RandomState(5)
+    buf = rng.choice(
+        np.frombuffer(b"ACGTNacgtn", np.uint8), size=3000
+    ).astype(np.uint8)
+    lens = rng.randint(0, 50, size=80).astype(np.int32)
+    starts = (np.cumsum(lens.astype(np.int64)) - lens).astype(np.int64)
+    lut = query_class_info(AlignerSpec("ACGT", 0.1))[0]
+    got = native.windows_clean(buf, starts, lens, 64, lut)
+    for i in range(80):
+        window = buf[starts[i] : starts[i] + lens[i]]
+        assert got[i] == bool((lut[window] < 4).all())
+    # reversed truncation takes the window's tail
+    got_r = native.windows_clean(buf, starts, lens, 8, lut, reverse=True)
+    for i in range(80):
+        window = buf[starts[i] : starts[i] + lens[i]][-8:]
+        assert got_r[i] == bool((lut[window] < 4).all())
 
 
 def test_query_class_info_matches_semantics():
