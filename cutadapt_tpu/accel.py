@@ -1270,8 +1270,10 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
                 isinstance(x, sub_classes)
                 for x in (w._writer1, w._writer2)
             )
-        if isinstance(w, InterleavedSequenceWriter) and interleaved:
-            return isinstance(w._writer, FastqWriter)
+        if isinstance(w, InterleavedSequenceWriter):
+            # allowed for both input arities: the drive interleaves the
+            # per-side chunks when the input came as two files
+            return isinstance(w._writer, sub_classes)
         return False
 
     from .batch_pipeline import AdapterStage, adapter_kind, AdapterTask
@@ -1481,12 +1483,14 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
             if sink is not None or interleaved or rc_pair is not None:
                 return None
             # routing needs adapter matches: R1 decides for paired
-            # demux, both sides for combinatorial
-            if cutters[0] is None:
-                return None
-            if isinstance(step, CombinatorialDemultiplexer) and (
-                cutters[1] is None
-            ):
+            # demux (the winning pair index with --pair-adapters),
+            # both sides for combinatorial
+            if isinstance(step, CombinatorialDemultiplexer):
+                if pair_stage is not None or cutters[1] is None:
+                    return None
+                if cutters[0] is None:
+                    return None
+            elif cutters[0] is None and pair_stage is None:
                 return None
             if any(
                 _revcomp_stage(st) is not None
@@ -1542,14 +1546,23 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
             for t in (t1, t2):
                 if t is not None and t[0] in content_kinds:
                     return None
-    if rc_pair is not None:
-        # content predicates on swapped slots would read the wrong
-        # side's bytes only if evaluation ignored the slot chunks —
-        # it does not (synthetic slots carry real bytes) — but the
-        # interleaved writer and transforms stay host-path
+    # interleaved writers (sink or filter outputs) assemble plain
+    # windows from the combined chunk: transforms, per-read revcomp
+    # and the paired-revcomp swap stay host-path with them
+    inter_writers = [
+        w
+        for w in (
+            [sink.writer] if hasattr(sink, "writer") else []
+        ) + [step.writer for step, _t1, _t2, _m in pair_filters]
+        if isinstance(w, InterleavedSequenceWriter)
+    ]
+    if inter_writers:
+        if rc_pair is not None:
+            return None
         if any(
-            isinstance(w, InterleavedSequenceWriter)
-            for w in ([sink.writer] if hasattr(sink, "writer") else [])
+            _transform_action(st) is not None
+            or _revcomp_stage(st) is not None
+            for st in (stages1, stages2)
         ):
             return None
     any_edits = any(side_edits) or any(z is not None for z in zero_caps)
@@ -1686,6 +1699,11 @@ def _pair_match(engines, chunks, windows, pair_stage, stats_pair=None):
         best_er[better] = er[better]
 
     matched = best >= 0
+    if stats_pair is not None:
+        # demux routing / {adapter_name} rename read the winning pair
+        # index per side (-1 where no pair matched)
+        stats_pair[0]["last_adapter_gid"] = best
+        stats_pair[1]["last_adapter_gid"] = best
     mod.with_adapters += int(matched.sum())
     for side in (0, 1):
         chunk = chunks[side]
@@ -1902,17 +1920,21 @@ def _make_side_render(stages_s, assemble_s, writes_fasta):
     return fn
 
 
-def _paired_demux_router(demux, stages1, stages2):
+def _paired_demux_router(demux, stages1, stages2, pair_stage=None):
     """Routing function for paired/combinatorial demultiplexing on the
-    batch path: R1's last match routes paired demux, the (R1, R2)
+    batch path: R1's last match routes paired demux (with
+    --pair-adapters, the winning pair's R1 adapter), the (R1, R2)
     match combination routes combinatorial demux (reference
     steps.py:422-580 semantics). Keeps input order within every output
     file by merging the masks of routes sharing a writer."""
     from .io.fastq import FastaWriter
     from .steps import CombinatorialDemultiplexer
 
-    stage1 = next(s for s in stages1 if hasattr(s, "flat_adapters"))
-    names1 = [a.name for a in stage1.flat_adapters]
+    if pair_stage is not None:
+        names1 = [t.adapter.name for t in pair_stage[0]]
+    else:
+        stage1 = next(s for s in stages1 if hasattr(s, "flat_adapters"))
+        names1 = [a.name for a in stage1.flat_adapters]
     combinatorial = isinstance(demux, CombinatorialDemultiplexer)
     if combinatorial:
         stage2 = next(s for s in stages2 if hasattr(s, "flat_adapters"))
@@ -2016,28 +2038,44 @@ def _slice_parsed(parsed, sl):
     )
 
 
-def _interleaved_parsed_chunks(file, size):
-    """Yield pair-aligned ParsedChunks from an interleaved file; an
-    odd trailing record raises the host reader's exact error."""
-    from .io.chunks import parse_fastq_chunk
+def _interleaved_parsed_chunks(file, size, fasta=False):
+    """Yield pair-aligned ParsedChunks from an interleaved FASTQ or
+    FASTA file; an odd trailing record raises the host reader's exact
+    error (io/fastq.py InterleavedSequenceReader)."""
+    from .io.chunks import parse_fasta_chunk, parse_fastq_chunk
     from .io.fastq import read_chunks
     from .io.records import FileFormatError
 
     leftover = b""
+    line = 0  # absolute line number for FASTA format errors
     for data in read_chunks(file, size):
         if leftover:
             data = leftover + bytes(data)
             leftover = b""
-        parsed = parse_fastq_chunk(data)
+        if fasta:
+            parsed = parse_fasta_chunk(data, first_line=line)
+        else:
+            parsed = parse_fastq_chunk(data)
         nrec = parsed.n_records
         if nrec % 2:
+            # carve the odd record off: head_start-1 is its '>'/'@'
+            # byte, which for FASTA may sit after leading whitespace
+            # of its line — the re-parse strips edge whitespace anyway
             cut = int(parsed.head_start[nrec - 1]) - 1
-            leftover = bytes(parsed.buf[cut:])
+            leftover = bytes(memoryview(data)[cut:])
             parsed = _slice_parsed(parsed, slice(0, nrec - 1))
+        if fasta:
+            consumed = len(data) - len(leftover)
+            line += int(
+                (np.frombuffer(data, np.uint8)[:consumed] == 10).sum()
+            )
         if parsed.n_records:
             yield parsed
     if leftover:
-        last = parse_fastq_chunk(leftover)
+        if fasta:
+            last = parse_fasta_chunk(leftover, first_line=line)
+        else:
+            last = parse_fastq_chunk(leftover)
         name = bytes(
             last.buf[last.head_start[0] : last.head_end[0]]
         ).decode("latin-1")
@@ -2062,7 +2100,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         return None
     fmt1 = _input_format(f1)
     if interleaved_in:
-        if fmt1 != "fastq":
+        if fmt1 not in ("fastq", "fasta"):
             return None
     elif fmt1 not in ("fastq", "fasta") or _input_format(f2) != fmt1:
         return None
@@ -2126,9 +2164,11 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
     make_render = _make_side_render
 
     inter_out = out1 = out2 = None
+    inter_fasta = False
     if demux is None:
         if isinstance(sink.writer, InterleavedSequenceWriter):
             inter_out = sink.writer._writer._file
+            inter_fasta = isinstance(sink.writer._writer, FastaWriter)
         else:
             out1 = sink.writer._writer1._file
             out2 = sink.writer._writer2._file
@@ -2141,7 +2181,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
                 isinstance(sink.writer._writer2, FastaWriter),
             )
     else:
-        router = _paired_demux_router(demux, stages1, stages2)
+        router = _paired_demux_router(demux, stages1, stages2, pair_stage)
     filter_renders = [
         (
             make_render(stages1, assemble1,
@@ -2215,8 +2255,8 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
                     line=None,
                 )
 
-    def interleave_write(dest, full, ws1, we1, ws2, we2, mask):
-        from .io.chunks import assemble_window
+    def interleave_write(dest, full, ws1, we1, ws2, we2, mask, out_fasta):
+        from .io.chunks import assemble_fasta_window, assemble_window
 
         N2 = full.n_records
         wsa = np.empty(N2, np.int32)
@@ -2225,7 +2265,8 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         wsa[0::2], wsa[1::2] = ws1, ws2
         wea[0::2], wea[1::2] = we1, we2
         kp[0::2] = kp[1::2] = mask
-        dest.write(assemble_window(full, wsa, wea, kp))
+        asm = assemble_fasta_window if out_fasta else assemble_window
+        dest.write(asm(full, wsa, wea, kp))
 
     def emit(pend1, pend2, full):
         nonlocal n, bp1, bp2
@@ -2283,10 +2324,11 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
                 ),
             )
         if (inter_out is not None or any_inter_filter) and (
-            c1 is not pend1.parsed or c2 is not pend2.parsed
+            full is None or c1 is not pend1.parsed or c2 is not pend2.parsed
         ):
-            # caps/edits/rename replaced the per-side chunks: rebuild
-            # the combined chunk the interleaved writer slices from
+            # caps/edits/rename replaced the per-side chunks (or the
+            # input came as two files): rebuild the combined chunk the
+            # interleaved writer slices from
             full = _interleave_chunks(c1, c2)
         if any(side_files.values()):
             # reference step order: side-channel writers run before
@@ -2328,6 +2370,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
                     interleave_write(
                         step.writer._writer._file, full,
                         ws1, we1, ws2, we2, newly,
+                        isinstance(step.writer._writer, FastaWriter),
                     )
                 else:
                     step.writer._writer1._file.write(
@@ -2340,7 +2383,9 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         if demux is not None:
             router(c1, c2, ws1, we1, ws2, we2, keep, stats1, stats2)
         elif inter_out is not None:
-            interleave_write(inter_out, full, ws1, we1, ws2, we2, keep)
+            interleave_write(
+                inter_out, full, ws1, we1, ws2, we2, keep, inter_fasta
+            )
             wl.add_histogram(np.bincount(len1[keep]), side=1)
             wl.add_histogram(np.bincount(len2[keep]), side=2)
         else:
@@ -2356,7 +2401,9 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
 
     def chunk_pairs():
         if interleaved_in:
-            for full in _interleaved_parsed_chunks(f1, CHUNK_RECORDS_BYTES):
+            for full in _interleaved_parsed_chunks(
+                f1, CHUNK_RECORDS_BYTES, fasta=fasta_in
+            ):
                 yield (
                     _slice_parsed(full, slice(0, None, 2)),
                     _slice_parsed(full, slice(1, None, 2)),

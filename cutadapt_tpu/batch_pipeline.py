@@ -62,12 +62,40 @@ def set_shard_mesh(mesh) -> None:
     _ACTIVE_MESH = mesh
 
 
+_WARNED_UNSHARDED = False
+
+
 def active_mesh_for(batch: int):
-    """The active mesh if the batch divides evenly over it."""
+    """The active mesh if the batch divides evenly over it. Engine
+    dispatch sizes are padded to the mesh (see _dp_sizes), so an
+    indivisible batch here means a non-engine caller — warn once
+    instead of silently degrading to one device."""
+    global _WARNED_UNSHARDED
     mesh = _ACTIVE_MESH
-    if mesh is None or mesh.size <= 1 or batch % mesh.size != 0:
+    if mesh is None or mesh.size <= 1:
+        return None
+    if batch % mesh.size != 0:
+        if not _WARNED_UNSHARDED:
+            _WARNED_UNSHARDED = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "DP batch of %d does not divide over the %d-device "
+                "mesh; running this dispatch on one device",
+                batch, mesh.size,
+            )
         return None
     return mesh
+
+
+def mesh_padded(size: int) -> int:
+    """`size` rounded up to a multiple of the active mesh size, so
+    every dispatch batch shards evenly over the device mesh."""
+    mesh = _ACTIVE_MESH
+    if mesh is None or mesh.size <= 1:
+        return size
+    m = mesh.size
+    return (size + m - 1) // m * m
 
 
 def _pack2_on() -> bool:
@@ -122,19 +150,19 @@ def _make_locate_step(
             raise ValueError("pallas backend requires packed inputs")
         from .ops.align_pallas import make_pallas_locate
 
-        kernel = make_pallas_locate(spec, pack2=pack2)
         if mesh is None:
-            return jax.jit(kernel)
+            return jax.jit(make_pallas_locate(spec, pack2=pack2))
         # per-shard kernel execution; results are concatenated on the
-        # batch axis, statistics stay host-side (see parallel/mesh.py
-        # for the psum-reduced counter contract)
+        # batch axis. The kernel declares its output varying over the
+        # mesh axis (vma on the pallas_call out_shape), so shard_map's
+        # varying-axes type check stays enabled.
+        kernel = make_pallas_locate(spec, pack2=pack2, vma_axis=axis)
         return jax.jit(
             jax.shard_map(
                 kernel,
                 mesh=mesh,
                 in_specs=(by_read_rows, by_read),
                 out_specs=result_cols,
-                check_vma=False,
             )
         )
 
@@ -788,14 +816,18 @@ class BatchPipelineEngine:
         return max(b, (int(max_len) + b - 1) // b * b)
 
     def _dp_sizes(self, n: int) -> List[int]:
+        """Dispatch batch sizes covering n reads: power-of-two buckets
+        (bounded compile count), padded to the active mesh so every
+        dispatch shards evenly over its devices."""
+        big = mesh_padded(self.max_dp_batch)
         sizes = []
-        while n > self.max_dp_batch:
-            sizes.append(self.max_dp_batch)
-            n -= self.max_dp_batch
+        while n > big:
+            sizes.append(big)
+            n -= big
         s = self.min_dp_batch
-        while s < n:
+        while mesh_padded(s) < n:
             s *= 2
-        sizes.append(s)
+        sizes.append(mesh_padded(s))
         return sizes
 
     def warmup(self, max_len: int) -> None:
@@ -822,9 +854,10 @@ class BatchPipelineEngine:
                         w_in = width
                     s = self.min_dp_batch
                     while s <= self.max_dp_batch:
+                        sp = mesh_padded(s)
                         t.step(
-                            np.zeros((s, w_in), np.uint8),
-                            np.zeros(s, np.int32),
+                            np.zeros((sp, w_in), np.uint8),
+                            np.zeros(sp, np.int32),
                             pack2=p2,
                         ).block_until_ready()
                         s *= 2

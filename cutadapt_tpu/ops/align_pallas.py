@@ -75,6 +75,7 @@ def make_pallas_locate(
     block_b: int = 1024,
     interpret: bool = False,
     pack2: bool = False,
+    vma_axis: str = None,
 ):
     """Build locate(packed_queries (B, Wp) uint8, lengths (B,) int32)
     -> (2, B) int32 packed results. B must be a multiple of block_b,
@@ -83,7 +84,11 @@ def make_pallas_locate(
     With ``pack2=True`` each wire byte carries four 2-bit query class
     ids (lowest pair = earliest position) instead of two 4-bit ids;
     callers must route any read containing a class id > 3 (N/IUPAC
-    bytes) to the 4-bit kernel instead (native.windows_clean)."""
+    bytes) to the 4-bit kernel instead (native.windows_clean).
+
+    ``vma_axis`` names the mesh axis the batch dimension varies over
+    when the kernel runs under shard_map (so shard_map's varying-axes
+    type check stays enabled); None outside shard_map."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -130,6 +135,23 @@ def make_pallas_locate(
         Bt = q_ref.shape[1]
         Wp = q_ref.shape[0]
         n = len_ref[0:1, :].astype(jnp.int32)  # (1, Bt)
+
+        if vma_axis is not None:
+            # under shard_map's varying-axes type check the kernel body
+            # is traced as JAX ops: loop carries must be uniformly
+            # varying over the mesh axis, and constant-derived inits
+            # (iotas, zeros) are not — pvary marks them. The mesh-
+            # varying type then checks end to end on the Mosaic path;
+            # interpret mode additionally needs check_vma=False at the
+            # shard_map because its HLO lowering drops vma inside scan
+            # carries (JAX asks for exactly that workaround in its
+            # error message; jax-ml/jax hlo_interpreter
+            # resolve_physical_types).
+            _pv = lambda t: jax.tree.map(
+                lambda x: jax.lax.pvary(x, (vma_axis,)), t
+            )
+        else:
+            _pv = lambda t: t
 
         rm = tab_ref[0:m, 0:1]  # (m, 1) row match masks
         ncnt_t = tab_ref[m : m + R, 0:1]  # (R, 1)
@@ -228,7 +250,7 @@ def make_pallas_locate(
         broad = lambda x: jnp.broadcast_to(x, (R, Bt)).astype(jnp.int32)
         lane0 = jnp.zeros((1, Bt), jnp.int32)
 
-        state0 = (
+        state0 = _pv((
             broad(cost0), broad(score0), broad(origin0),
             lane0 + init_last,          # last
             lane0,                      # last_filled
@@ -238,9 +260,15 @@ def make_pallas_locate(
             lane0,                      # best_score
             lane0,                      # best_origin
             lane0 + m,                  # best_ref_stop
-            n,                          # best_query_stop
+            # NOT n: every update writes this before it is read
+            # (contents undefined unless found), and n's aval carries
+            # the mesh-varying tag from the length ref, which ops do
+            # not re-propagate inside the kernel trace — an n init
+            # would make the loop carry's type unsatisfiable under
+            # shard_map's check_vma
+            lane0,                      # best_query_stop
             lane0,                      # done (0/1)
-        )
+        ))
 
         def one_column(j, qc, state):
             """j: scalar 1-based column index; qc: (1, Bt) class ids."""
@@ -343,11 +371,11 @@ def make_pallas_locate(
                     update & (cand_cost == 0) & (cand_origin >= 0), 1, done
                 )
 
-            return (
+            return _pv((
                 new_cost, new_score, new_origin, new_last, new_last_filled,
                 new_stale, best_found, best_cost, best_score, best_origin,
                 best_ref_stop, best_query_stop, done,
-            )
+            ))
 
         # int8 VMEM tiles want sublane-aligned loads: fetch the aligned
         # 8-row block around row r, then one-hot-select row r (keeps
@@ -405,17 +433,17 @@ def make_pallas_locate(
                 | ((stale <= b_origin + m // 2) & (cand_score > b_score))
                 | ((length > best_length) & (cand_score > b_score))
             )
-            return (
+            return _pv((
                 jnp.where(update, 1, b_found),
                 jnp.where(update, cand_cost, b_cost),
                 jnp.where(update, cand_score, b_score),
                 jnp.where(update, cand_origin, b_origin),
                 jnp.where(update, i, b_ref_stop),
                 jnp.where(update, n, b_query_stop),
-            )
+            ))
 
-        best = (best_found, best_cost, best_score, best_origin,
-                best_ref_stop, best_query_stop)
+        best = _pv((best_found, best_cost, best_score, best_origin,
+                    best_ref_stop, best_query_stop))
         best = jax.lax.fori_loop(0, m - first_i + 1, final_row_step, best)
         (best_found, best_cost, best_score, best_origin,
          best_ref_stop, best_query_stop) = best
@@ -439,7 +467,10 @@ def make_pallas_locate(
         grid = (B // block_b,)
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((2, B), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct(
+                (2, B), jnp.int32,
+                vma=frozenset((vma_axis,)) if vma_axis else frozenset(),
+            ),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(

@@ -92,3 +92,36 @@ def test_pallas_pack2_matches_xla(ref, wc, flags, rate):
     for got, key in [(qs, "query_start"), (qe, "query_stop"),
                      (er, "errors"), (sc, "score")]:
         assert (got[rf] == np.asarray(ref_out[key])[rf]).all(), key
+
+
+@pytest.mark.parametrize("pack2", [False, True])
+def test_pallas_shard_map_vma_typed(pack2):
+    """The production mesh dispatch wraps the (Mosaic, non-interpret)
+    Pallas kernel in shard_map WITHOUT check_vma=False: the kernel's
+    loop carries and its declared out_shape vma must satisfy the
+    varying-axes type check. eval_shape runs exactly that trace."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    spec = AlignerSpec(
+        reference="AGATCGGAAGAGC", max_error_rate=0.15,
+        flags=Where.BACK.value, min_overlap=3,
+    )
+    kernel = make_pallas_locate(
+        spec, block_b=128, interpret=False, pack2=pack2,
+        vma_axis="reads",
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("reads",))
+    f = jax.jit(
+        jax.shard_map(
+            kernel, mesh=mesh,
+            in_specs=(P("reads", None), P("reads")),
+            out_specs=P(None, "reads"),
+        )
+    )
+    out = jax.eval_shape(
+        f,
+        jax.ShapeDtypeStruct((1024, 16), jnp.uint8),
+        jax.ShapeDtypeStruct((1024,), jnp.int32),
+    )
+    assert out.shape == (2, 1024) and out.dtype == jnp.int32
