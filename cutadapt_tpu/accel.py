@@ -519,9 +519,102 @@ def _stages_assembler(stages):
     return fn
 
 
-def _apply_side_stats(stats, stages, cutter, written_lengths):
+def _make_stats_reducer():
+    """A DeviceStatsReducer when device-reduced statistics apply:
+    automatically with an active shard mesh (the multi-host reduction
+    contract — per-read stat arrays stay on their shard, only psum'd
+    counter tensors cross devices), or forced single-device with
+    CUTADAPT_TPU_DEVICE_STATS=1 (testing); =0 disables."""
+    env = os.environ.get("CUTADAPT_TPU_DEVICE_STATS")
+    if env == "0":
+        return None
+    from .batch_pipeline import get_shard_mesh
+
+    mesh = get_shard_mesh()
+    if mesh is None and env != "1":
+        return None
+    from .parallel.stats import DeviceStatsReducer
+
+    return DeviceStatsReducer(mesh)
+
+
+_ADJ_KEYS = ("A", "C", "G", "T", "")
+_ADJ_CODE = np.full(256, 4, np.int8)
+for _b_i, _b in enumerate(b"ACGT"):
+    _ADJ_CODE[_b] = _b_i
+
+
+def _record_removals(end, removed, errors, reducer=None):
+    """Fold a removal event batch into EndStatistics — via the device
+    reducer when given, else host-side per unique (length, errors)."""
+    if reducer is not None:
+        def fold(hist, end=end):
+            for ln, er in zip(*np.nonzero(hist)):
+                end.record_removal(int(ln), int(er), int(hist[ln, er]))
+
+        reducer.add_hist2d(("rm", id(end)), removed, errors, fold)
+        return
+    base = int(errors.max(initial=0)) + 1
+    enc = removed.astype(np.int64) * base + errors
+    uniq, counts = np.unique(enc, return_counts=True)
+    for p, c in zip(uniq, counts):
+        end.record_removal(int(p // base), int(p % base), int(c))
+
+
+def _record_adjacent(end, adj_bytes, reducer=None):
+    """Adjacent-base tallies (byte 0 and non-ACGT count as '')."""
+    codes = _ADJ_CODE[np.asarray(adj_bytes, np.uint8)]
+    if reducer is not None:
+        def fold(h, end=end):
+            for i, c in enumerate(h[:5]):
+                if c:
+                    end.adjacent_bases[_ADJ_KEYS[i]] += int(c)
+
+        reducer.add_hist1d(("adj", id(end)), codes, fold)
+        return
+    cnt = np.bincount(codes, minlength=5)
+    for i, c in enumerate(cnt[:5]):
+        if c:
+            end.adjacent_bases[_ADJ_KEYS[i]] += int(c)
+
+
+def _record_written(wl, side, reducer=None, values=None, hist=None):
+    """Written-length histogram for one side: values (per-read kept
+    lengths) ride the reducer; hist is the precomputed host bincount."""
+    if reducer is not None:
+        def fold(h, wl=wl, side=side):
+            wl.add_histogram(h, side=side)
+
+        if values is None:
+            values = _hist_to_values(hist)
+        reducer.add_hist1d(("wl", id(wl), side), values, fold)
+        return
+    if hist is None:
+        hist = np.bincount(values)
+    wl.add_histogram(hist, side=side)
+
+
+def _hist_to_values(hist):
+    return np.repeat(np.arange(len(hist)), hist)
+
+
+def _record_filtered(step, mask, reducer=None):
+    """Filter counter for one step: psum'd popcount on the reducer."""
+    if reducer is not None:
+        def fold(n, step=step):
+            step._filtered += n
+
+        reducer.add_count(("flt", id(step)), mask, fold)
+        return
+    step._filtered += int(mask.sum())
+
+
+def _apply_side_stats(stats, stages, cutter, written_lengths,
+                      reducer=None):
     """Fold one chunk's engine stats for one side into the host
-    pipeline objects. Returns total_bp of the side."""
+    pipeline objects (with `reducer`, the mergeable histograms and
+    counters accumulate in mesh-reduced device buffers instead and
+    fold once at end of run). Returns total_bp of the side."""
     for si, n in stats.get("quality_trimmed", {}).items():
         stages[si].modifier.trimmed_bases += n
     for si, removed in stats.get("poly_a_removed", {}).items():
@@ -538,20 +631,33 @@ def _apply_side_stats(stats, stages, cutter, written_lengths):
         for ev in stats.get("adapter_events", ()):
             task = stage.tasks[ev["task"]]
             ev_rc = bool(ev.get("rc"))
-            for rem, err, asf, adj, sub in zip(
-                ev["removed"], ev["errors"], ev["as_front"],
-                ev["adjacent"], ev["sub"],
-            ):
-                astats = cutter.adapter_statistics[task.adapters[sub]]
+            sub = np.asarray(ev["sub"])
+            asf = np.asarray(ev["as_front"], bool)
+            rem = np.asarray(ev["removed"])
+            err = np.asarray(ev["errors"])
+            adj = np.asarray(ev["adjacent"])
+            for s in (np.unique(sub) if len(sub) else ()):
+                m = sub == s
+                astats = cutter.adapter_statistics[task.adapters[int(s)]]
                 if ev_rc:
-                    astats.reverse_complemented += 1
-                if asf:
-                    astats.front.record_removal(int(rem), int(err))
-                else:
-                    astats.back.record_removal(int(rem), int(err))
-                    astats.back.record_adjacent(chr(adj) if adj else "")
+                    astats.reverse_complemented += int(m.sum())
+                fm = m & asf
+                bm = m & ~asf
+                if fm.any():
+                    _record_removals(
+                        astats.front, rem[fm], err[fm], reducer
+                    )
+                if bm.any():
+                    _record_removals(
+                        astats.back, rem[bm], err[bm], reducer
+                    )
+                    _record_adjacent(astats.back, adj[bm], reducer)
     if written_lengths is not None:
-        written_lengths.add_histogram(stats["written_lengths"])
+        _record_written(
+            written_lengths, 1, reducer,
+            values=stats.get("written_len_values"),
+            hist=stats["written_lengths"],
+        )
     return stats["total_bp"]
 
 
@@ -1140,6 +1246,8 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
         (s for s in stages if hasattr(s, "flat_adapters")), None
     )
 
+    reducer = _make_stats_reducer()
+
     def emit(pending):
         nonlocal n, total_bp
         ws, we, keep, stats = engine.collect(pending)
@@ -1169,6 +1277,7 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
         else:
             gids = stats["last_adapter_gid"]
             dl = demux._statistics
+            lens_out = we - ws
             # merge gids sharing one output file (duplicate adapter
             # names) so records stay in input order within each file
             per_file = {}
@@ -1189,19 +1298,27 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
                     ff, untr if mask is None else (mask | untr)
                 )
             else:
-                demux._filtered += int((keep & (gids == -1)).sum())
+                _record_filtered(demux, keep & (gids == -1), reducer)
             for (ff, writes_fasta), mask in per_file.values():
                 if mask is not None and mask.any():
                     ff.write(render(chunk, ws, we, mask, stats, writes_fasta))
-                    dl.add_histogram(np.bincount((we - ws)[mask]))
+                    _record_written(
+                        dl, 1, reducer, values=lens_out[mask]
+                    )
         # routed filter outputs (--too-short-output etc.): records a
         # filter dropped, in input order, with their state at drop time
         for out, newly in zip(filter_files, stats["filter_dropped_masks"]):
             if out is not None and newly.any():
                 out[0].write(render(chunk, ws, we, newly, stats, out[1]))
-        for f, count in zip(filters, stats.get("filter_counts", ())):
-            f.step._filtered += count
-        total_bp += _apply_side_stats(stats, stages, cutter, written_lengths)
+        if reducer is None:
+            for f, count in zip(filters, stats.get("filter_counts", ())):
+                f.step._filtered += count
+        else:
+            for f, newly in zip(filters, stats["filter_dropped_masks"]):
+                _record_filtered(f.step, newly, reducer)
+        total_bp += _apply_side_stats(
+            stats, stages, cutter, written_lengths, reducer
+        )
         n += stats["n"]
         if progress is not None:
             progress.update(stats["n"])
@@ -1236,6 +1353,8 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
             for data in read_chunks(infile, CHUNK_RECORDS_BYTES)
         )
     _pipelined_drive(chunks_iter, engine.submit, emit)
+    if reducer is not None:
+        reducer.fold()  # one D2H of the psum'd counters
     infiles.close()
     if progress is not None:
         progress.close()
@@ -1732,12 +1851,15 @@ def _pair_match(engines, chunks, windows, pair_stage, stats_pair=None):
                 ~as_front & (qs[hit] > 0),
                 chunk.buf[np.clip(adj_pos, 0, None)], 0,
             )
-            for rem, e_, asf, adj in zip(removed, er[hit], as_front,
-                                         adjacent):
-                end = astats.front if asf else astats.back
-                end.record_removal(int(rem), int(e_))
-                if not asf:
-                    end.record_adjacent(chr(adj) if adj else "")
+            e_hit = er[hit]
+            if as_front.any():
+                _record_removals(
+                    astats.front, removed[as_front], e_hit[as_front]
+                )
+            bk = ~as_front
+            if bk.any():
+                _record_removals(astats.back, removed[bk], e_hit[bk])
+                _record_adjacent(astats.back, adjacent[bk])
     return matched
 
 
@@ -1852,19 +1974,28 @@ def _run_rc_pair(engines, rc_pair, chunks, windows):
                 sel = mask[ev["reads"]]
                 if not sel.any():
                     continue
-                for r, rem, err, asf, adj, sub in zip(
-                    ev["reads"][sel], ev["removed"][sel],
-                    ev["errors"][sel], ev["as_front"][sel],
-                    ev["adjacent"][sel], ev["sub"][sel],
-                ):
-                    task = stage.tasks[ev["task"]]
-                    astats = cutter.adapter_statistics[task.adapters[sub]]
-                    astats.reverse_complemented += int(use_rc[r])
-                    if asf:
-                        astats.front.record_removal(int(rem), int(err))
-                    else:
-                        astats.back.record_removal(int(rem), int(err))
-                        astats.back.record_adjacent(chr(adj) if adj else "")
+                task = stage.tasks[ev["task"]]
+                reads = ev["reads"][sel]
+                rem = ev["removed"][sel]
+                err = ev["errors"][sel]
+                asf = np.asarray(ev["as_front"][sel], bool)
+                adj = ev["adjacent"][sel]
+                sub = ev["sub"][sel]
+                for s in np.unique(sub):
+                    m = sub == s
+                    astats = cutter.adapter_statistics[
+                        task.adapters[int(s)]
+                    ]
+                    astats.reverse_complemented += int(
+                        use_rc[reads[m]].sum()
+                    )
+                    fm = m & asf
+                    bm = m & ~asf
+                    if fm.any():
+                        _record_removals(astats.front, rem[fm], err[fm])
+                    if bm.any():
+                        _record_removals(astats.back, rem[bm], err[bm])
+                        _record_adjacent(astats.back, adj[bm])
 
     combined = np.concatenate([c1.buf, c2.buf])
     off2 = len(c1.buf)
@@ -1920,7 +2051,8 @@ def _make_side_render(stages_s, assemble_s, writes_fasta):
     return fn
 
 
-def _paired_demux_router(demux, stages1, stages2, pair_stage=None):
+def _paired_demux_router(demux, stages1, stages2, pair_stage=None,
+                         reducer=None):
     """Routing function for paired/combinatorial demultiplexing on the
     batch path: R1's last match routes paired demux (with
     --pair-adapters, the winning pair's R1 adapter), the (R1, R2)
@@ -1959,8 +2091,9 @@ def _paired_demux_router(demux, stages1, stages2, pair_stage=None):
             (writer._writer2, c2, ws2, we2, st2, 2),
         ):
             w._file.write(render_for(w, side)(c, ws, we, mask, st))
-            demux._statistics.add_histogram(
-                np.bincount((we - ws)[mask]), side=side
+            _record_written(
+                demux._statistics, side, reducer,
+                values=(we - ws)[mask],
             )
 
     def merge(per_writer, writer, mask):
@@ -1995,7 +2128,7 @@ def _paired_demux_router(demux, stages1, stages2, pair_stage=None):
                         stats1, stats2,
                     )
             else:
-                demux._filtered += int(untrimmed.sum())
+                _record_filtered(demux, untrimmed, reducer)
             return
         g2 = stats2["last_adapter_gid"]
         span = len(names2) + 1
@@ -2129,6 +2262,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
 
     from .steps import CombinatorialDemultiplexer, PairedDemultiplexer
 
+    reducer = _make_stats_reducer()
     engine1 = BatchPipelineEngine(
         stages1, want_ref_coords=side_files["wildcard"] is not None
     )
@@ -2181,7 +2315,9 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
                 isinstance(sink.writer._writer2, FastaWriter),
             )
     else:
-        router = _paired_demux_router(demux, stages1, stages2, pair_stage)
+        router = _paired_demux_router(
+            demux, stages1, stages2, pair_stage, reducer
+        )
     filter_renders = [
         (
             make_render(stages1, assemble1,
@@ -2364,7 +2500,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
                     drop = d1
             newly = drop & keep
             count = int(newly.sum())
-            step._filtered += count
+            _record_filtered(step, newly, reducer)
             if step.writer is not None and count:
                 if isinstance(step.writer, InterleavedSequenceWriter):
                     interleave_write(
@@ -2386,15 +2522,15 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
             interleave_write(
                 inter_out, full, ws1, we1, ws2, we2, keep, inter_fasta
             )
-            wl.add_histogram(np.bincount(len1[keep]), side=1)
-            wl.add_histogram(np.bincount(len2[keep]), side=2)
+            _record_written(wl, 1, reducer, values=len1[keep])
+            _record_written(wl, 2, reducer, values=len2[keep])
         else:
             out1.write(render1(c1, ws1, we1, keep, stats1))
             out2.write(render2(c2, ws2, we2, keep, stats2))
-            wl.add_histogram(np.bincount(len1[keep]), side=1)
-            wl.add_histogram(np.bincount(len2[keep]), side=2)
-        bp1 += _apply_side_stats(stats1, stages1, cutters[0], None)
-        bp2 += _apply_side_stats(stats2, stages2, cutters[1], None)
+            _record_written(wl, 1, reducer, values=len1[keep])
+            _record_written(wl, 2, reducer, values=len2[keep])
+        bp1 += _apply_side_stats(stats1, stages1, cutters[0], None, reducer)
+        bp2 += _apply_side_stats(stats2, stages2, cutters[1], None, reducer)
         n += stats1["n"]
         if progress is not None:
             progress.update(stats1["n"])
@@ -2429,6 +2565,8 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         return (engine1.submit(p1), engine2.submit(p2), full)
 
     _pipelined_drive(chunk_pairs(), submit_pair, lambda item: emit(*item))
+    if reducer is not None:
+        reducer.fold()  # one D2H of the psum'd counters
     infiles.close()
     if progress is not None:
         progress.close()

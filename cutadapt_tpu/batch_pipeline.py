@@ -98,6 +98,11 @@ def mesh_padded(size: int) -> int:
     return (size + m - 1) // m * m
 
 
+def get_shard_mesh():
+    """The active shard mesh, or None (single device)."""
+    return _ACTIVE_MESH
+
+
 def _pack2_on() -> bool:
     """2-bit candidate packing (halves the 4-bit lane's H2D bytes;
     reads with N/IUPAC bytes split off to the 4-bit or host-scalar
@@ -1731,8 +1736,11 @@ class BatchPipelineEngine:
         stats["filter_counts"] = filter_counts
         stats["filter_dropped_masks"] = filter_dropped
         stats["written"] = int(keep.sum())
-        stats["written_lengths"] = np.bincount(lengths[keep])
-        stats["written_bp"] = int(lengths[keep].sum())
+        kept_lengths = lengths[keep]
+        stats["written_lengths"] = np.bincount(kept_lengths)
+        # raw values for device-reduced statistics (parallel/stats.py)
+        stats["written_len_values"] = kept_lengths
+        stats["written_bp"] = int(kept_lengths.sum())
         return win_start, win_stop, keep, stats
 
     @staticmethod

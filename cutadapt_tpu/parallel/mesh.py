@@ -11,9 +11,12 @@ weight matrices to shard and each read is only a few hundred bases.
 The production engine shards exactly this way: with an active mesh
 (batch_pipeline.set_shard_mesh / CUTADAPT_TPU_DEVICES), every DP
 dispatch runs data-parallel over the devices (jit shardings for the
-XLA formulation, shard_map around the Pallas kernel), with the
-mergeable host Statistics as the reduction. This module additionally
-demonstrates the on-device reduction form of that contract.
+XLA formulation, shard_map around the Pallas kernel), and the engine's
+statistics accumulate in psum-reduced device buffers through
+parallel/stats.DeviceStatsReducer — the production form of the
+on-device reduction contract. This module keeps the self-contained
+single-step demonstration (make_sharded_trim_step) used by the
+driver's dryrun and by docs/tests.
 
 What *is* communicated between chips are the fixed-shape statistics
 counters: the per-adapter (trimmed-length × error-count) histogram,

@@ -148,3 +148,45 @@ def test_engine_sharded_dispatch_matches_single_device():
     assert out_sharded == out_single
     assert stats_sharded["with_adapters"] == stats_single["with_adapters"]
     assert stats_sharded["filter_counts"] == stats_single["filter_counts"]
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_device_stats_reducer(use_mesh):
+    """The production device-reduced statistics accumulator: keyed
+    hist2d / hist1d / count buffers, psum'd over the mesh, growing
+    with the observed value range, folded once into host callbacks."""
+    from cutadapt_tpu.parallel import DeviceStatsReducer
+
+    mesh = make_mesh(jax.devices()[:8]) if use_mesh else None
+    red = DeviceStatsReducer(mesh)
+    rng = np.random.RandomState(3)
+
+    got = {}
+    rows1 = rng.randint(0, 40, 500)
+    cols1 = rng.randint(0, 3, 500)
+    red.add_hist2d("h2", rows1, cols1, lambda h: got.__setitem__("h2", h))
+    # second add grows both dimensions (beyond the 64-step rounding)
+    rows2 = rng.randint(0, 200, 77)
+    cols2 = rng.randint(0, 90, 77)
+    red.add_hist2d("h2", rows2, cols2, lambda h: None)
+
+    vals = rng.randint(0, 130, 999)
+    red.add_hist1d("h1", vals, lambda h: got.__setitem__("h1", h))
+    red.add_hist1d("h1", np.array([], np.int32), lambda h: None)
+
+    mask = rng.rand(1000) < 0.3
+    red.add_count("c", mask, lambda n: got.__setitem__("c", n))
+    red.add_count("c", mask[:10], lambda n: None)
+
+    red.fold()
+
+    exp2 = np.zeros((256, 128), np.int64)
+    np.add.at(exp2, (rows1, cols1), 1)
+    np.add.at(exp2, (rows2, cols2), 1)
+    assert got["h2"].shape[0] >= 200 and got["h2"].shape[1] >= 90
+    r, c = got["h2"].shape
+    np.testing.assert_array_equal(got["h2"], exp2[:r, :c])
+    exp1 = np.bincount(vals, minlength=len(got["h1"]))
+    np.testing.assert_array_equal(got["h1"], exp1)
+    assert got["c"] == int(mask.sum()) + int(mask[:10].sum())
+    assert not red._bufs  # cleared after fold
