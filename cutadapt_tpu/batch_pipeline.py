@@ -103,6 +103,22 @@ def get_shard_mesh():
     return _ACTIVE_MESH
 
 
+# Wire/work accounting (always on — one int add per dispatch). These
+# decompose the perf story into tunnel-variance-stable ratios:
+# bytes-on-wire per read and DP rows per candidate are properties of
+# the code, not of the link's mood. bench.py reports them.
+XFER = {"h2d_bytes": 0, "d2h_bytes": 0, "candidates": 0, "dp_rows": 0}
+
+
+def reset_xfer_counters() -> None:
+    for k in XFER:
+        XFER[k] = 0
+
+
+def xfer_counters() -> dict:
+    return dict(XFER)
+
+
 def _pack2_on() -> bool:
     """2-bit candidate packing (halves the 4-bit lane's H2D bytes;
     reads with N/IUPAC bytes split off to the 4-bit or host-scalar
@@ -1024,6 +1040,9 @@ class BatchPipelineEngine:
                         sub_len[:take] = (
                             c_lens[base + off : base + off + take]
                         )
+                        XFER["h2d_bytes"] += enc.nbytes + sub_len.nbytes
+                        XFER["candidates"] += take
+                        XFER["dp_rows"] += size * len(members)
                         dev_enc = jax.device_put(enc)
                         dev_len = jax.device_put(sub_len)
                         for i in members:
@@ -1078,6 +1097,9 @@ class BatchPipelineEngine:
                     enc[:take] = lut[raw]
                 sub_len = np.zeros(size, np.int32)
                 sub_len[:take] = c_lens[off : off + take]
+                XFER["h2d_bytes"] += enc.nbytes + sub_len.nbytes
+                XFER["candidates"] += take
+                XFER["dp_rows"] += size * len(members)
                 dev_enc = jax.device_put(enc)
                 dev_len = jax.device_put(sub_len)
                 for i in members:
@@ -1191,6 +1213,9 @@ class BatchPipelineEngine:
                 )
                 sub_len = np.zeros(size, np.int32)
                 sub_len[:take] = c_lens[base + off : base + off + take]
+                XFER["h2d_bytes"] += enc.nbytes + sub_len.nbytes
+                XFER["candidates"] += take
+                XFER["dp_rows"] += size
                 fut = task.step(enc, sub_len, wide=wide, pack2=p2)
                 try:
                     fut.copy_to_host_async()
@@ -1308,6 +1333,7 @@ class BatchPipelineEngine:
                 continue
             off, count, dev, wide = fut
             arr = np.asarray(dev)
+            XFER["d2h_bytes"] += arr.nbytes
             if wide:
                 f = arr[0, :count].astype(bool)
                 qs, qe, er, sc = (

@@ -34,6 +34,7 @@ processes as fallback) and report rendering together.
 import copy
 import itertools
 import logging
+from collections import Counter
 import multiprocessing
 import platform
 import shutil
@@ -51,54 +52,27 @@ from cutadapt_tpu.json_utils import OneLine
 from cutadapt_tpu.json_utils import dumps as json_dumps
 from cutadapt_tpu.log import REPORT, setup_logging
 from cutadapt_tpu.modifiers import (
-    AdapterCutter,
-    InvalidTemplate,
-    LengthTagModifier,
-    NEndTrimmer,
-    NextseqQualityTrimmer,
-    PairedAdapterCutter,
-    PairedAdapterCutterError,
-    PairedEndRenamer,
-    PairedReverseComplementer,
-    PolyATrimmer,
-    PrefixSuffixAdder,
-    QualityTrimmer,
-    Renamer,
-    ReverseComplementer,
-    Shortener,
-    SingleEndModifier,
-    SuffixRemover,
-    UnconditionalCutter,
+    AdapterCutter, InvalidTemplate, LengthTagModifier, NEndTrimmer,
+    NextseqQualityTrimmer, PairedAdapterCutter, PairedAdapterCutterError,
+    PairedEndRenamer, PairedReverseComplementer, PolyATrimmer,
+    PrefixSuffixAdder, QualityTrimmer, Renamer, ReverseComplementer,
+    Shortener, SingleEndModifier, SuffixRemover, UnconditionalCutter,
     ZeroCapper,
 )
 from cutadapt_tpu.parser import make_adapters_from_specifications
 from cutadapt_tpu.pipeline import PairedEndPipeline, SingleEndPipeline
 from cutadapt_tpu.predicates import (
-    CasavaFiltered,
-    IsTrimmed,
-    IsUntrimmed,
-    TooHighAverageErrorRate,
-    TooLong,
-    TooManyExpectedErrors,
-    TooManyN,
-    TooShort,
+    CasavaFiltered, IsTrimmed, IsUntrimmed, TooHighAverageErrorRate,
+    TooLong, TooManyExpectedErrors, TooManyN, TooShort,
 )
 from cutadapt_tpu.qualtrim import HasNoQualities
 from cutadapt_tpu.report import Statistics, full_report, minimal_report
 from cutadapt_tpu.runners import SerialPipelineRunner, make_runner
 from cutadapt_tpu.steps import (
-    CombinatorialDemultiplexer,
-    Demultiplexer,
-    InfoFileWriter,
-    PairedDemultiplexer,
-    PairedEndFilter,
-    PairedEndSink,
-    PairedInfoFileWriter,
-    PairedSingleEndStep,
-    RestFileWriter,
-    SingleEndFilter,
-    SingleEndSink,
-    WildcardFileWriter,
+    CombinatorialDemultiplexer, Demultiplexer, InfoFileWriter,
+    PairedDemultiplexer, PairedEndFilter, PairedEndSink,
+    PairedInfoFileWriter, PairedSingleEndStep, RestFileWriter,
+    SingleEndFilter, SingleEndSink, WildcardFileWriter,
 )
 from cutadapt_tpu.utils import DummyProgress, Progress, available_cpu_count
 
@@ -138,285 +112,363 @@ class CutadaptArgumentParser(ArgumentParser):
         self.exit(2, f"\n{self.prog}: error: {message}\n")
 
 
-# fmt: off
+def _spec(kind):
+    """argparse `type` for adapter options: tag the value with the
+    adapter kind it was given as (-a/-g/-b and -A/-G/-B)."""
+    return lambda x: (kind, x)
+
+
+# The CLI option surface is data, not code: (group title, group
+# description, ((flags, kwargs), ...)). The option and help STRINGS are
+# the reference CLI's public contract (cutadapt cli.py:~140-580) and
+# must render identically; the structure that carries them is our own —
+# the same declarative-descriptor approach as adapters._KINDS and
+# batch_pipeline._KIND_INFO.
+_OPTION_GROUPS = (
+    (
+        'Options',
+        None,
+        (
+        (('--debug',),
+         dict(action='count', default=0, help='Print debug log. Use twice to also print DP matrices')),
+        (('--profile',),
+         dict(action='store_true', default=False, help=SUPPRESS)),
+        (('-j', '--cores',),
+         dict(type=int, default=1, help=(
+          'Number of CPU cores to use. Use 0 to auto-detect. Default: '
+          '%(default)s'))),
+        (('--gc-content',),
+         dict(type=float, default=50, help=SUPPRESS)),
+        (('--buffer-size',),
+         dict(type=int, default=4000000, help=SUPPRESS)),
+        (('--no-index',),
+         dict(action='store_false', dest='index', default=True, help=SUPPRESS)),
+        ),
+    ),
+    (
+        'Finding adapters',
+        (
+         'Parameters -a, -g, -b specify adapters to be removed from each '
+         'read (or from R1 if data is paired-end. If specified multiple '
+         'times, only the best matching adapter is trimmed (but see the '
+         "--times option). Use notation 'file:FILE' to read adapter "
+         'sequences from a FASTA file.'),
+        (
+        (('-a', '--adapter',),
+         dict(action='append', dest='adapters', type=_spec('back'), default=[], metavar='ADAPTER', help=(
+          "Sequence of a 3' adapter (on R1 for paired data). The adapter "
+          "itself plus everything after it is removed. Append '$' to "
+          'anchor it: the adapter then only counts as a match when it is '
+          'a suffix of the read.'))),
+        (('-g', '--front',),
+         dict(action='append', dest='adapters', type=_spec('front'), default=[], metavar='ADAPTER', help=(
+          "Sequence of a 5' adapter (on R1 for paired data). The adapter "
+          'itself plus everything before it is removed; partial matches '
+          "at the read start are recognized. Prepend '^' to anchor it: "
+          'the adapter then only counts as a match when it is a prefix of '
+          'the read.'))),
+        (('-b', '--anywhere',),
+         dict(action='append', dest='adapters', type=_spec('anywhere'), default=[], metavar='ADAPTER', help=(
+          'Sequence of an adapter that may sit at either end (R1 for '
+          'paired data); both the -a and -g match types are considered. '
+          'If the match covers the first base of the read it is handled '
+          'like -g, otherwise like -a. Intended for rescuing failed '
+          'library preparations - avoid it when the ligation end is '
+          'known!'))),
+        (('-e', '--error-rate', '--errors',),
+         dict(dest='error_rate', type=float, default=0.1, metavar='E', help=(
+          'Maximum allowed error rate (if 0 <= E < 1), or absolute number '
+          'of errors for full-length adapter match (if E is an integer >= '
+          '1). Error rate = no. of errors divided by length of matching '
+          'region. Default: %(default)s (10%%)'))),
+        (('--no-indels',),
+         dict(action='store_false', dest='indels', default=True, help=(
+          'Allow only mismatches in alignments. Default: allow both '
+          'mismatches and indels'))),
+        (('-n', '--times',),
+         dict(type=int, default=1, metavar='COUNT', help=(
+          'Remove up to COUNT adapters from each read. Default: '
+          '%(default)s'))),
+        (('-O', '--overlap',),
+         dict(type=int, default=3, metavar='MINLENGTH', help=(
+          'Require MINLENGTH overlap between read and adapter for an '
+          'adapter to be found. Default: %(default)s'))),
+        (('--match-read-wildcards',),
+         dict(action='store_true', default=False, help='Interpret IUPAC wildcards in reads. Default: %(default)s')),
+        (('-N', '--no-match-adapter-wildcards',),
+         dict(action='store_false', dest='match_adapter_wildcards', default=True, help='Do not interpret IUPAC wildcards in adapters.')),
+        (('--action',),
+         dict(choices=('trim', 'retain', 'mask', 'lowercase', 'crop', 'none'), default='trim', help=(
+          'What to do if a match was found. trim: trim adapter and up- or '
+          'downstream sequence; retain: trim, but retain adapter; mask: '
+          "replace with 'N' characters; lowercase: convert to lowercase; "
+          'crop: trim up and downstream sequence; none: leave unchanged. '
+          'Default: %(default)s'))),
+        (('--rc', '--revcomp',),
+         dict(action='store_true', dest='reverse_complement', default=False, help=(
+          'Match each adapter against the read and its reverse '
+          'complement; when the reverse complement fits better, output '
+          'that orientation. Default: check only the read as given'))),
+        (('--no-trim',),
+         dict(action='store_const', const='none', dest='action',
+              help=SUPPRESS)),
+        (('--mask-adapter',),
+         dict(action='store_const', const='mask', dest='action',
+              help=SUPPRESS)),
+        ),
+    ),
+    (
+        'Additional read modifications',
+        None,
+        (
+        (('-u', '--cut',),
+         dict(action='append', type=int, default=[], metavar='LEN', help=(
+          'Unconditionally remove LEN bases from each read (R2: see -U); '
+          'runs before adapter trimming. Positive LEN cuts from the '
+          'start, negative from the end. May be given twice when the '
+          'signs differ.'))),
+        (('--nextseq-trim',),
+         dict(type=int, default=None, metavar="3'CUTOFF", help=(
+          'NextSeq-specific quality trimming (each read). Trims also dark '
+          'cycles appearing as high-quality G bases.'))),
+        (('-q', '--quality-cutoff',),
+         dict(default=None, metavar="[5'CUTOFF,]3'CUTOFF", help=(
+          "Trim low-quality bases from 5' and/or 3' ends of each read "
+          'before adapter removal. Applied to both reads if data is '
+          "paired. If one value is given, only the 3' end is trimmed. If "
+          "two comma-separated cutoffs are given, the 5' end is trimmed "
+          "with the first cutoff, the 3' end with the second."))),
+        (('--quality-base',),
+         dict(type=int, default=33, metavar='N', help=(
+          'Assume FASTQ qualities are encoded as ascii(quality + N). Old '
+          'Illumina data may need 64. Default: %(default)s'))),
+        (('--poly-a',),
+         dict(action='store_true', default=False, help='Trim poly-A tails')),
+        (('--length', '-l',),
+         dict(dest='length', type=int, default=None, metavar='LENGTH', help=(
+          'Shorten reads to LENGTH (positive: drop the end; negative: '
+          'drop the beginning). This and the following modifications run '
+          'after adapter trimming.'))),
+        (('--trim-n',),
+         dict(action='store_true', default=False, help="Trim N's on ends of reads.")),
+        (('--length-tag',),
+         dict(default=None, metavar='TAG', help=(
+          'Search for TAG followed by a decimal number in the description '
+          'field of the read. Replace the decimal number with the correct '
+          'length of the trimmed read. For example, use --length-tag '
+          "'length=' to correct fields like 'length=123'."))),
+        (('--strip-suffix',),
+         dict(action='append', default=[], help=(
+          'Remove this suffix from read names if present. Can be given '
+          'multiple times.'))),
+        (('-x', '--prefix',),
+         dict(default='', help=(
+          'Add this prefix to read names. Use {name} to insert the name '
+          'of the matching adapter.'))),
+        (('-y', '--suffix',),
+         dict(default='', help='Add this suffix to read names; can also include {name}')),
+        (('--rename',),
+         dict(default=None, metavar='TEMPLATE', help=(
+          'Rename reads using TEMPLATE containing variables such as {id}, '
+          '{adapter_name} etc. (see documentation)'))),
+        (('--zero-cap', '-z',),
+         dict(action='store_true', dest='zero_cap', default=False, help='Change negative quality values to zero.')),
+        ),
+    ),
+    (
+        'Filtering of processed reads',
+        (
+         'Filters are applied after above read modifications. Paired-end '
+         'reads are always discarded pairwise (see also --pair-filter).'),
+        (
+        (('-m', '--minimum-length',),
+         dict(default=None, metavar='LEN[:LEN2]', help='Discard reads shorter than LEN. Default: 0')),
+        (('-M', '--maximum-length',),
+         dict(default=None, metavar='LEN[:LEN2]', help='Discard reads longer than LEN. Default: no limit')),
+        (('--max-n',),
+         dict(type=float, default=None, metavar='COUNT', help=(
+          "Discard reads with more than COUNT 'N' bases. If COUNT is a "
+          'number between 0 and 1, it is interpreted as a fraction of the '
+          'read length.'))),
+        (('--max-expected-errors', '--max-ee',),
+         dict(dest='max_expected_errors', type=float, default=None, metavar='ERRORS', help=(
+          'Discard reads whose expected number of errors (computed from '
+          'quality values) exceeds ERRORS.'))),
+        (('--max-average-error-rate', '--max-aer',),
+         dict(dest='max_average_error_rate', type=float, default=None, metavar='ERROR_RATE', help=(
+          'as --max-expected-errors (see above), but divided by length to '
+          'account for reads of varying length.'))),
+        (('--discard-trimmed', '--discard',),
+         dict(action='store_true', dest='discard_trimmed', default=False, help=(
+          'Discard reads that contain an adapter. Use also -O to avoid '
+          'discarding too many randomly matching reads.'))),
+        (('--discard-untrimmed', '--trimmed-only',),
+         dict(action='store_true', dest='discard_untrimmed', default=False, help='Discard reads that do not contain an adapter.')),
+        (('--discard-casava',),
+         dict(action='store_true', default=False, help=(
+          'Discard reads that did not pass CASAVA filtering (header has '
+          ':Y:).'))),
+        ),
+    ),
+    (
+        'Output',
+        None,
+        (
+        (('--quiet',),
+         dict(action='store_true', default=False, help='Print only error messages.')),
+        (('--report',),
+         dict(choices=('full', 'minimal'), default=None, help=(
+          "Which type of report to print: 'full' or 'minimal'. Default: "
+          'full'))),
+        (('--json',),
+         dict(default=None, metavar='FILE', help='Dump report in JSON format to FILE')),
+        (('-o', '--output',),
+         dict(default=None, metavar='FILE', help=(
+          'Write trimmed reads to FILE. FASTQ or FASTA format is chosen '
+          'depending on input. Summary report is sent to standard output. '
+          "Use '{name}' for demultiplexing (see docs). Default: write to "
+          'standard output'))),
+        (('--fasta',),
+         dict(action='store_true', default=False, help='Output FASTA to standard output even on FASTQ input.')),
+        (('--compression-level',),
+         dict(type=int, default=1, metavar='N', help=(
+          'Compression level for compressed output files. Default: '
+          '%(default)s'))),
+        (('-Z',),
+         # level 1 is the default now
+         dict(action='store_const', const=1, dest='compression_level',
+              help=SUPPRESS)),
+        (('--info-file',),
+         dict(default=None, metavar='FILE', help=(
+          'Write information about each read and its adapter matches into '
+          'FILE. See the documentation for the file format.'))),
+        (('-r', '--rest-file',),
+         dict(default=None, metavar='FILE', help=(
+          'When the adapter matches in the middle of a read, write the '
+          'rest (after the adapter) to FILE.'))),
+        (('--wildcard-file',),
+         dict(default=None, metavar='FILE', help=(
+          'When the adapter has N wildcard bases, write adapter bases '
+          'matching wildcard positions to FILE. (Inaccurate with indels.)'))),
+        (('--too-short-output',),
+         dict(default=None, metavar='FILE', help=(
+          'Write reads that are too short (according to length specified '
+          'by -m) to FILE. Default: discard reads'))),
+        (('--too-long-output',),
+         dict(default=None, metavar='FILE', help=(
+          'Write reads that are too long (according to length specified '
+          'by -M) to FILE. Default: discard reads'))),
+        (('--untrimmed-output',),
+         dict(default=None, metavar='FILE', help=(
+          'Write reads that do not contain any adapter to FILE. Default: '
+          'output to same file as trimmed reads'))),
+        ),
+    ),
+    (
+        'Paired-end options',
+        (
+         'The -A/-G/-B/-U/-Q options work like their lowercase '
+         'counterparts, but are applied to R2 (second read in pair)'),
+        (
+        (('-A',),
+         dict(action='append', dest='adapters2', type=_spec('back'), default=[], metavar='ADAPTER', help="3' adapter to be removed from R2")),
+        (('-G',),
+         dict(action='append', dest='adapters2', type=_spec('front'), default=[], metavar='ADAPTER', help="5' adapter to be removed from R2")),
+        (('-B',),
+         dict(action='append', dest='adapters2', type=_spec('anywhere'), default=[], metavar='ADAPTER', help="5'/3 adapter to be removed from R2")),
+        (('-U',),
+         dict(action='append', dest='cut2', type=int, default=[], metavar='LENGTH', help='Remove LENGTH bases from R2')),
+        (('-Q',),
+         dict(dest='quality_cutoff2', default=None, metavar="[5'CUTOFF,]3'CUTOFF", help='Quality-trimming cutoff for R2. Default: same as for R1')),
+        (('-L',),
+         dict(dest='length2', type=int, default=None, metavar='LENGTH', help='Shorten R2 to LENGTH. Default: same as for R1')),
+        (('-p', '--paired-output',),
+         dict(default=None, metavar='FILE', help='Write R2 to FILE.')),
+        (('--info-file-paired',),
+         dict(dest='info_file2', default=None, metavar='FILE', help='Write info about R2 to FILE (see --info-file)')),
+        (('--pair-adapters',),
+         dict(action='store_true', default=False, help=(
+          'Treat adapters given with -a/-A etc. as pairs. Either both or '
+          'none are removed from each read pair.'))),
+        (('--pair-filter',),
+         dict(choices=('any', 'both', 'first'), default=None, help=(
+          'Which of the reads in a paired-end read have to match the '
+          'filtering criterion in order for the pair to be filtered. '
+          'Default: any'))),
+        (('--interleaved',),
+         dict(action='store_true', default=False, help='Read and/or write interleaved paired-end reads.')),
+        (('--untrimmed-paired-output',),
+         dict(default=None, metavar='FILE', help=(
+          'Write second read in a pair to this FILE when no adapter was '
+          'found. Use with --untrimmed-output. Default: output to same '
+          'file as trimmed reads'))),
+        (('--too-short-paired-output',),
+         dict(default=None, metavar='FILE', help='Write second read in a pair to this file if pair is too short.')),
+        (('--too-long-paired-output',),
+         dict(default=None, metavar='FILE', help='Write second read in a pair to this file if pair is too long.')),
+        ),
+    ),
+)
+
+
 def get_argument_parser() -> ArgumentParser:
-    parser = CutadaptArgumentParser(usage=__doc__.partition("---")[0], add_help=False)
-
-    group = parser.add_argument_group("Options")
-    group.add_argument("-h", "--help", action="help",
-        help="Show this help message and exit")
-    group.add_argument("--version", action="version", version=__version__,
-        help="Show version number and exit")
-    group.add_argument("--debug", action="count", default=0,
-        help="Print debug log. Use twice to also print DP matrices")
-    group.add_argument("--profile", action="store_true", default=False,
-        help=SUPPRESS)
-    group.add_argument("-j", "--cores", type=int, default=1,
-        help='Number of CPU cores to use. Use 0 to auto-detect. Default: %(default)s')
-    # hidden tuning knobs
-    group.add_argument("--gc-content", type=float, default=50,  # percentage
-        help=SUPPRESS)
-    group.add_argument("--buffer-size", type=int, default=4000000,
-        help=SUPPRESS)
-    group.add_argument("--no-index", dest="index", default=True,
-        action="store_false", help=SUPPRESS)
-
-    group = parser.add_argument_group("Finding adapters",
-        description="Parameters -a, -g, -b specify adapters to be removed from "
-            "each read (or from R1 if data is paired-end. "
-            "If specified multiple times, only the best matching adapter is "
-            "trimmed (but see the --times option). Use notation "
-            "'file:FILE' to read adapter sequences from a FASTA file.")
-    group.add_argument("-a", "--adapter", type=lambda x: ("back", x),
-        action="append", default=[], metavar="ADAPTER", dest="adapters",
-        help="Sequence of a 3' adapter (on R1 for paired data). The adapter "
-            "itself plus everything after it is removed. Append '$' to anchor "
-            "it: the adapter then only counts as a match when it is a suffix "
-            "of the read.")
-    group.add_argument("-g", "--front", type=lambda x: ("front", x),
-        action="append", default=[], metavar="ADAPTER", dest="adapters",
-        help="Sequence of a 5' adapter (on R1 for paired data). The adapter "
-            "itself plus everything before it is removed; partial matches at "
-            "the read start are recognized. Prepend '^' to anchor it: the "
-            "adapter then only counts as a match when it is a prefix of the "
-            "read.")
-    group.add_argument("-b", "--anywhere", type=lambda x: ("anywhere", x),
-        action="append", default=[], metavar="ADAPTER", dest="adapters",
-        help="Sequence of an adapter that may sit at either end (R1 for "
-            "paired data); both the -a and -g match types are considered. If "
-            "the match covers the first base of the read it is handled like "
-            "-g, otherwise like -a. Intended for rescuing failed library "
-            "preparations - avoid it when the ligation end is known!")
-    group.add_argument("-e", "--error-rate", "--errors",
-        type=float, metavar="E", default=0.1,
-        help="Maximum allowed error rate (if 0 <= E < 1), or absolute number of errors "
-            "for full-length adapter match (if E is an integer >= 1). Error rate = "
-            "no. of errors divided by length of matching region. Default: %(default)s (10%%)")
-    group.add_argument("--no-indels", action='store_false', dest='indels', default=True,
-        help="Allow only mismatches in alignments. "
-            "Default: allow both mismatches and indels")
-    group.add_argument("-n", "--times", type=int, metavar="COUNT", default=1,
-        help="Remove up to COUNT adapters from each read. Default: %(default)s")
-    group.add_argument("-O", "--overlap", type=int, metavar="MINLENGTH", default=3,
-        help="Require MINLENGTH overlap between read and adapter for an adapter "
-            "to be found. Default: %(default)s")
-    group.add_argument("--match-read-wildcards", action="store_true", default=False,
-        help="Interpret IUPAC wildcards in reads. Default: %(default)s")
-    group.add_argument("-N", "--no-match-adapter-wildcards", action="store_false",
-        default=True, dest="match_adapter_wildcards",
-        help="Do not interpret IUPAC wildcards in adapters.")
-    group.add_argument("--action",
-        choices=("trim", "retain", "mask", "lowercase", "crop", "none"),
-        default="trim",
-        help="What to do if a match was found. "
-            "trim: trim adapter and up- or downstream sequence; "
-            "retain: trim, but retain adapter; "
-            "mask: replace with 'N' characters; "
-            "lowercase: convert to lowercase; "
-            "crop: trim up and downstream sequence; "
-            "none: leave unchanged. Default: %(default)s")
-    group.add_argument("--rc", "--revcomp", dest="reverse_complement",
-        default=False, action="store_true",
-        help="Match each adapter against the read and its reverse complement; "
-            "when the reverse complement fits better, output that orientation. "
-            "Default: check only the read as given")
-    # deprecated spellings of --action values
-    group.add_argument("--no-trim", dest='action', action='store_const',
-        const='none', help=SUPPRESS)
-    group.add_argument("--mask-adapter", dest='action', action='store_const',
-        const='mask', help=SUPPRESS)
-
-    group = parser.add_argument_group("Additional read modifications")
-    group.add_argument("-u", "--cut", action='append', default=[], type=int,
-        metavar="LEN",
-        help="Unconditionally remove LEN bases from each read (R2: see -U); "
-            "runs before adapter trimming. Positive LEN cuts from the start, "
-            "negative from the end. May be given twice when the signs differ.")
-    group.add_argument("--nextseq-trim", type=int, default=None, metavar="3'CUTOFF",
-        help="NextSeq-specific quality trimming (each read). Trims also dark "
-            "cycles appearing as high-quality G bases.")
-    group.add_argument("-q", "--quality-cutoff", default=None,
-        metavar="[5'CUTOFF,]3'CUTOFF",
-        help="Trim low-quality bases from 5' and/or 3' ends of each read before "
-            "adapter removal. Applied to both reads if data is paired. If one "
-            "value is given, only the 3' end is trimmed. If two "
-            "comma-separated cutoffs are given, the 5' end is trimmed with "
-            "the first cutoff, the 3' end with the second.")
-    group.add_argument("--quality-base", type=int, default=33, metavar='N',
-        help="Assume FASTQ qualities are encoded as ascii(quality + N). Old "
-            "Illumina data may need 64. Default: %(default)s")
-    group.add_argument("--poly-a", action="store_true", default=False,
-        help="Trim poly-A tails")
-    group.add_argument("--length", "-l", type=int, default=None, metavar="LENGTH",
-        help="Shorten reads to LENGTH (positive: drop the end; negative: drop "
-            "the beginning). This and the following modifications run after "
-            "adapter trimming.")
-    group.add_argument("--trim-n", action='store_true', default=False,
-        help="Trim N's on ends of reads.")
-    group.add_argument("--length-tag", metavar="TAG",
-        help="Search for TAG followed by a decimal number in the description "
-            "field of the read. Replace the decimal number with the correct "
-            "length of the trimmed read. For example, use --length-tag 'length=' "
-            "to correct fields like 'length=123'.")
-    group.add_argument("--strip-suffix", action='append', default=[],
-        help="Remove this suffix from read names if present. Can be given multiple times.")
-    group.add_argument("-x", "--prefix", default='',
-        help="Add this prefix to read names. Use {name} to insert the name of the matching "
-            "adapter.")
-    group.add_argument("-y", "--suffix", default='',
-        help="Add this suffix to read names; can also include {name}")
-    group.add_argument("--rename", metavar="TEMPLATE",
-        help="Rename reads using TEMPLATE containing variables such as {id}, {adapter_name} "
-            "etc. (see documentation)")
-    group.add_argument("--zero-cap", "-z", action='store_true', default=False,
-        help="Change negative quality values to zero.")
-
-    group = parser.add_argument_group("Filtering of processed reads",
-        description="Filters are applied after above read modifications. "
-            "Paired-end reads are always discarded pairwise (see also "
-            "--pair-filter).")
-    group.add_argument("-m", "--minimum-length", default=None, metavar="LEN[:LEN2]",
-        help="Discard reads shorter than LEN. Default: 0")
-    group.add_argument("-M", "--maximum-length", default=None, metavar="LEN[:LEN2]",
-        help="Discard reads longer than LEN. Default: no limit")
-    group.add_argument("--max-n", type=float, default=None, metavar="COUNT",
-        help="Discard reads with more than COUNT 'N' bases. If COUNT is a number "
-             "between 0 and 1, it is interpreted as a fraction of the read length.")
-    group.add_argument("--max-expected-errors", "--max-ee", type=float,
-        default=None, metavar="ERRORS",
-        help="Discard reads whose expected number of errors (computed "
-            "from quality values) exceeds ERRORS.")
-    group.add_argument("--max-average-error-rate", "--max-aer", type=float,
-        default=None, metavar="ERROR_RATE",
-        help="as --max-expected-errors (see above), but divided by length to "
-             "account for reads of varying length.")
-    group.add_argument("--discard-trimmed", "--discard", action='store_true',
-        default=False,
-        help="Discard reads that contain an adapter. Use also -O to avoid "
-            "discarding too many randomly matching reads.")
-    group.add_argument("--discard-untrimmed", "--trimmed-only",
-        action='store_true', default=False,
-        help="Discard reads that do not contain an adapter.")
-    group.add_argument("--discard-casava", action='store_true', default=False,
-        help="Discard reads that did not pass CASAVA filtering (header has :Y:).")
-
-    group = parser.add_argument_group("Output")
-    group.add_argument("--quiet", default=False, action='store_true',
-        help="Print only error messages.")
-    group.add_argument("--report", choices=('full', 'minimal'), default=None,
-        help="Which type of report to print: 'full' or 'minimal'. Default: full")
-    group.add_argument("--json", metavar="FILE",
-        help="Dump report in JSON format to FILE")
-    group.add_argument("-o", "--output", metavar="FILE",
-        help="Write trimmed reads to FILE. FASTQ or FASTA format is chosen "
-            "depending on input. Summary report is sent to standard output. "
-            "Use '{name}' for demultiplexing (see docs). "
-            "Default: write to standard output")
-    group.add_argument("--fasta", default=False, action='store_true',
-        help="Output FASTA to standard output even on FASTQ input.")
-    group.add_argument("--compression-level", type=int, default=1, metavar="N",
-        help="Compression level for compressed output files. Default: %(default)s")
-    group.add_argument("-Z", action="store_const", const=1,
-        dest="compression_level", help=SUPPRESS)  # level 1 is the default now
-    group.add_argument("--info-file", metavar="FILE",
-        help="Write information about each read and its adapter matches into FILE. "
-            "See the documentation for the file format.")
-    group.add_argument("-r", "--rest-file", metavar="FILE",
-        help="When the adapter matches in the middle of a read, write the "
-            "rest (after the adapter) to FILE.")
-    group.add_argument("--wildcard-file", metavar="FILE",
-        help="When the adapter has N wildcard bases, write adapter bases "
-            "matching wildcard positions to FILE. (Inaccurate with indels.)")
-    group.add_argument("--too-short-output", metavar="FILE",
-        help="Write reads that are too short (according to length specified by "
-        "-m) to FILE. Default: discard reads")
-    group.add_argument("--too-long-output", metavar="FILE",
-        help="Write reads that are too long (according to length specified by "
-        "-M) to FILE. Default: discard reads")
-    group.add_argument("--untrimmed-output", default=None, metavar="FILE",
-        help="Write reads that do not contain any adapter to FILE. Default: "
-            "output to same file as trimmed reads")
-
-    group = parser.add_argument_group("Paired-end options", description="The "
-        "-A/-G/-B/-U/-Q options work like their lowercase counterparts, but "
-        "are applied to R2 (second read in pair)")
-    group.add_argument("-A", type=lambda x: ("back", x), dest='adapters2',
-        action='append', default=[], metavar='ADAPTER',
-        help="3' adapter to be removed from R2")
-    group.add_argument("-G", type=lambda x: ("front", x), dest='adapters2',
-        action='append', default=[], metavar='ADAPTER',
-        help="5' adapter to be removed from R2")
-    group.add_argument("-B", type=lambda x: ("anywhere", x), dest='adapters2',
-        action='append', default=[], metavar='ADAPTER',
-        help="5'/3 adapter to be removed from R2")
-    group.add_argument("-U", dest='cut2', action='append', default=[],
-        type=int, metavar="LENGTH",
-        help="Remove LENGTH bases from R2")
-    group.add_argument("-Q", dest="quality_cutoff2", default=None,
-        metavar="[5'CUTOFF,]3'CUTOFF",
-        help="Quality-trimming cutoff for R2. Default: same as for R1")
-    group.add_argument("-L", dest="length2", type=int, default=None,
-        metavar="LENGTH",
-        help="Shorten R2 to LENGTH. Default: same as for R1")
-    group.add_argument("-p", "--paired-output", metavar="FILE",
-        help="Write R2 to FILE.")
-    group.add_argument("--info-file-paired", dest="info_file2", metavar="FILE",
-        help="Write info about R2 to FILE (see --info-file)")
-    group.add_argument("--pair-adapters", action="store_true",
-        help="Treat adapters given with -a/-A etc. as pairs. Either both "
-             "or none are removed from each read pair.")
-    # default None so that "was it given?" is detectable
-    group.add_argument("--pair-filter", default=None,
-        choices=("any", "both", "first"),
-        help="Which of the reads in a paired-end read have to match the "
-            "filtering criterion in order for the pair to be filtered. "
-            "Default: any")
-    group.add_argument("--interleaved", action='store_true', default=False,
-        help="Read and/or write interleaved paired-end reads.")
-    group.add_argument("--untrimmed-paired-output", metavar="FILE",
-        help="Write second read in a pair to this FILE when no adapter "
-            "was found. Use with --untrimmed-output. Default: output "
-            "to same file as trimmed reads")
-    group.add_argument("--too-short-paired-output", metavar="FILE", default=None,
-        help="Write second read in a pair to this file if pair is too short.")
-    group.add_argument("--too-long-paired-output", metavar="FILE", default=None,
-        help="Write second read in a pair to this file if pair is too long.")
-
-    parser.add_argument("inputs", nargs='*', help=SUPPRESS)
+    parser = CutadaptArgumentParser(
+        usage=__doc__.partition("---")[0], add_help=False
+    )
+    for title, description, options in _OPTION_GROUPS:
+        group = parser.add_argument_group(title, description=description)
+        if title == "Options":
+            group.add_argument(
+                "-h", "--help", action="help",
+                help="Show this help message and exit",
+            )
+            group.add_argument(
+                "--version", action="version", version=__version__,
+                help="Show version number and exit",
+            )
+        for flags, kwargs in options:
+            group.add_argument(*flags, **kwargs)
+    parser.add_argument("inputs", nargs="*", help=SUPPRESS)
     return parser
-# fmt: on
 
 
 # --- small value parsers -----------------------------------------------------
 
 
+def _ints(s: str, sep: str, bad: str, empty_as_none: bool = False):
+    """Split `s` on `sep` and convert each piece to int; CommandLineError
+    with message `bad` ({e} = conversion error) on garbage."""
+    out = []
+    for piece in s.split(sep):
+        if empty_as_none and piece == "":
+            out.append(None)
+            continue
+        try:
+            out.append(int(piece))
+        except ValueError as e:
+            raise CommandLineError(bad.format(e=e))
+    return out
+
+
 def parse_cutoffs(s: str) -> Tuple[int, int]:
-    """Parse 'INT[,INT]' into a (5', 3') cutoff pair; a single value
-    sets only the 3' cutoff."""
-    try:
-        values = [int(part) for part in s.split(",")]
-    except ValueError as e:
-        raise CommandLineError(f"Quality cutoff value not recognized: {e}")
-    if len(values) == 1:
-        return (0, values[0])
-    if len(values) != 2:
+    """'INT[,INT]' -> (5', 3') cutoff pair; one value sets only 3'."""
+    values = _ints(s, ",", "Quality cutoff value not recognized: {e}")
+    if len(values) not in (1, 2):
         raise CommandLineError(
-            "Expected one value or two values separated by comma for "
-            "the quality cutoff"
+            "Expected one value or two values separated by comma"
+            " for the quality cutoff"
         )
-    return (values[0], values[1])
+    return (0, values[0]) if len(values) == 1 else (values[0], values[1])
 
 
 def parse_lengths(s: str) -> Tuple[Optional[int], ...]:
-    """Parse '[INT][:[INT]]' into a tuple of optional ints ('25' ->
-    (25,); '17:25' -> (17, 25); ':25' -> (None, 25))."""
-    parts = s.split(":")
-    if len(parts) not in (1, 2):
+    """'[INT][:[INT]]' -> optional-int tuple ('25' -> (25,); '17:25' ->
+    (17, 25); ':25' -> (None, 25))."""
+    if s.count(":") > 1:
         raise CommandLineError("Only at most one colon is allowed")
-    try:
-        values = tuple(int(part) if part else None for part in parts)
-    except ValueError as e:
-        raise CommandLineError(f"Value not recognized: {e}")
+    values = tuple(
+        _ints(s, ":", "Value not recognized: {e}", empty_as_none=True)
+    )
     if values == (None, None):
         raise CommandLineError(
             f"Cannot parse '{s}': At least one length needs to be given"
@@ -428,143 +480,166 @@ def parse_lengths(s: str) -> Tuple[Optional[int], ...]:
 
 
 def complain_about_duplicate_paths(paths: List[str]):
-    seen = set()
-    for path in paths:
-        if path is None:
-            continue
-        p = Path(path)
-        if p.exists() and not p.is_file():
-            # assumed to be FIFO, /dev/null etc.
-            continue
-        if path in seen:
+    real_files = [
+        path for path in paths
+        if path is not None
+        # anything existing that is not a regular file (FIFO,
+        # /dev/null, ...) may legitimately appear twice
+        and not (Path(path).exists() and not Path(path).is_file())
+    ]
+    for path, count in Counter(real_files).items():
+        if count > 1:
             raise CommandLineError(
-                f"Path {path} specified more than once as an output file. "
-                f"This is not supported at the moment."
+                f"Path {path} specified more than once as an output"
+                f" file. This is not supported at the moment."
             )
-        seen.add(path)
 
 
 def determine_demultiplex_mode(
     output: Optional[str], paired_output: Optional[str]
 ) -> Union[str, bool]:
     """Return one of "normal", "combinatorial" or False."""
+    templates = [t for t in (output, paired_output) if t]
+
+    def in_all(marker):
+        return bool(templates) and all(marker in t for t in templates)
+
     by_name = output is not None and "{name}" in output
     if paired_output is not None and by_name != ("{name}" in paired_output):
         raise CommandLineError(
-            'When demultiplexing paired-end data, "{name}" must appear in '
-            "both output file names (-o and -p)"
+            'When demultiplexing paired-end data, "{name}" must appear'
+            " in both output file names (-o and -p)"
         )
-    by_combination = bool(
-        output
-        and paired_output
-        and all(
-            marker in template
-            for marker in ("{name1}", "{name2}")
-            for template in (output, paired_output)
-        )
+    by_combination = (
+        output is not None and paired_output is not None
+        and in_all("{name1}") and in_all("{name2}")
     )
     if by_name and by_combination:
-        raise CommandLineError("You cannot combine {name} with {name1} and {name2}")
-    if by_name:
-        return "normal"
-    if by_combination:
-        return "combinatorial"
-    return False
+        raise CommandLineError(
+            "You cannot combine {name} with {name1} and {name2}"
+        )
+    return (
+        "normal" if by_name
+        else "combinatorial" if by_combination
+        else False
+    )
+
+
+# any of these argparse dests being set switches on paired-end mode
+_PAIRED_TRIGGERS = (
+    "paired_output", "interleaved", "adapters2", "cut2", "length2",
+    "pair_filter", "untrimmed_paired_output", "too_short_paired_output",
+    "too_long_paired_output", "quality_cutoff2", "info_file2",
+)
 
 
 def determine_paired(args) -> bool:
     """Whether any option enabling paired-end mode was used."""
-    return bool(
-        args.paired_output
-        or args.interleaved
-        or args.adapters2
-        or args.cut2
-        or args.length2
-        or args.pair_filter
-        or args.untrimmed_paired_output
-        or args.too_short_paired_output
-        or args.too_long_paired_output
-        or args.quality_cutoff2
-        or args.info_file2
-    )
+    return any(getattr(args, dest) for dest in _PAIRED_TRIGGERS)
 
 
 def make_input_paths(
     inputs: Sequence[str], paired: bool, interleaved: bool
 ) -> InputPaths:
     """Check input file names and return InputPaths."""
-    if not inputs:
+    n = len(inputs)
+    if n == 0:
         raise CommandLineError(
-            "You did not provide any input file names. Please give me something to do!"
+            "You did not provide any input file names. Please give me"
+            " something to do!"
         )
-    if len(inputs) > 2:
+    if n > 2:
+        listing = "\n - ".join(f"'{p}'" for p in inputs)
         raise CommandLineError(
-            f"You provided {len(inputs)} input file names, but either one or two are expected. "
-            + "The file names were:\n - "
-            + "\n - ".join(f"'{p}'" for p in inputs)
-            + "\nHint: If your path contains spaces, you need to enclose it in quotes"
+            f"You provided {n} input file names, but either one or two"
+            f" are expected. The file names were:\n - {listing}\nHint:"
+            f" If your path contains spaces, you need to enclose it in"
+            f" quotes"
         )
-    if paired and not interleaved:
-        if len(inputs) == 1:
-            raise CommandLineError(
-                "You used an option that enables paired-end mode (such as -p, -A, -G, -B, -U), but "
-                "only provided one input file. Please either provide two input files or use "
-                "use --interleaved as appropriate."
-            )
-        return InputPaths(inputs[0], inputs[1], interleaved=interleaved)
-    if len(inputs) == 2:
+    want_two = paired and not interleaved
+    if want_two and n == 1:
         raise CommandLineError(
-            "It appears you want to trim paired-end data because you provided two input files, "
-            "but then you also need to provide two output files (with -o and -p) or use the "
-            "--interleaved option."
+            "You used an option that enables paired-end mode (such as"
+            " -p, -A, -G, -B, -U), but only provided one input file."
+            " Please either provide two input files or use use"
+            " --interleaved as appropriate."
         )
-    return InputPaths(inputs[0], interleaved=interleaved)
+    if not want_two and n == 2:
+        raise CommandLineError(
+            "It appears you want to trim paired-end data because you"
+            " provided two input files, but then you also need to"
+            " provide two output files (with -o and -p) or use the"
+            " --interleaved option."
+        )
+    return InputPaths(*inputs, interleaved=interleaved)
+
+
+# Declarative argument-sanity rules: (applies(args, paired), message).
+# Messages are the reference CLI's exact error strings (contract).
+_ARGUMENT_RULES = (
+    (
+        lambda a, paired: not paired and a.untrimmed_paired_output,
+        "Option --untrimmed-paired-output can only be used when"
+        " trimming paired-end reads.",
+    ),
+    (
+        lambda a, paired: not paired and a.pair_adapters,
+        "Option --pair-adapters can only be used when trimming"
+        " paired-end reads",
+    ),
+    (
+        lambda a, paired: (
+            paired and not a.interleaved and not a.paired_output
+        ),
+        "When a paired-end trimming option such as -A/-G/-B/-U, is"
+        " used, a second output file needs to be specified via -p"
+        " (--paired-output).",
+    ),
+    (
+        lambda a, paired: (
+            paired and not a.interleaved and a.paired_output
+            and not a.output
+        ),
+        "When you use -p or --paired-output, you must also use the"
+        " -o option.",
+    ),
+)
+
+_LATE_ARGUMENT_RULES = (
+    (
+        lambda a, paired: a.overlap < 1,
+        "The overlap must be at least 1.",
+    ),
+    (
+        lambda a, paired: not (0 <= a.gc_content <= 100),
+        "GC content must be given as percentage between 0 and 100",
+    ),
+    (
+        lambda a, paired: a.pair_adapters and a.times != 1,
+        "--pair-adapters cannot be used with --times",
+    ),
+)
 
 
 def check_arguments(args, paired: bool) -> None:
-    if not paired:
-        if args.untrimmed_paired_output:
-            raise CommandLineError(
-                "Option --untrimmed-paired-output can only be used when "
-                "trimming paired-end reads."
-            )
-        if args.pair_adapters:
-            raise CommandLineError(
-                "Option --pair-adapters can only be used when trimming "
-                "paired-end reads"
-            )
-
+    for applies, message in _ARGUMENT_RULES:
+        if applies(args, paired):
+            raise CommandLineError(message)
     if paired and not args.interleaved:
-        if not args.paired_output:
-            raise CommandLineError(
-                "When a paired-end trimming option such as -A/-G/-B/-U, "
-                "is used, a second output file needs to be specified via -p (--paired-output)."
-            )
-        if not args.output:
-            raise CommandLineError(
-                "When you use -p or --paired-output, you must also "
-                "use the -o option."
-            )
-        for out, paired_out, argname in [
-            (args.untrimmed_output, args.untrimmed_paired_output, "untrimmed"),
-            (args.too_short_output, args.too_short_paired_output, "too-short"),
-            (args.too_long_output, args.too_long_paired_output, "too-long"),
-        ]:
-            if bool(out) != bool(paired_out):
+        # filter-routing outputs must be given for both sides or neither
+        for name in ("untrimmed", "too_short", "too_long"):
+            r1 = getattr(args, f"{name}_output")
+            r2 = getattr(args, f"{name}_paired_output")
+            if bool(r1) != bool(r2):
+                pretty = name.replace("_", "-")
                 raise CommandLineError(
-                    "When trimming paired-end data, you must use either none "
-                    "or both of the --{name}-output/--{name}-paired-output "
-                    "options.".format(name=argname)
+                    f"When trimming paired-end data, you must use either"
+                    f" none or both of the --{pretty}-output/"
+                    f"--{pretty}-paired-output options."
                 )
-
-    if args.overlap < 1:
-        raise CommandLineError("The overlap must be at least 1.")
-    if not (0 <= args.gc_content <= 100):
-        raise CommandLineError(
-            "GC content must be given as percentage between 0 and 100"
-        )
-    if args.pair_adapters and args.times != 1:
-        raise CommandLineError("--pair-adapters cannot be used with --times")
+    for applies, message in _LATE_ARGUMENT_RULES:
+        if applies(args, paired):
+            raise CommandLineError(message)
 
 
 # --- pipeline assembly -------------------------------------------------------

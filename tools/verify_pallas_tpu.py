@@ -104,15 +104,25 @@ def run(block_b: int = 1024, read_len: int = 128, verbose: bool = True):
     return failures
 
 
-def main():
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
     failures = run()
+    n = len(parity_cases())
+    if "--long" in argv:
+        # one long-read pass: 512 bp windows at the production block
+        # size (the packed kernel's coordinate fields hold < 2^14, so
+        # this stays in-format; >= 2^14 bp reads take the wide XLA
+        # path, covered by tests/test_batch_pipeline.py)
+        failures += [
+            f"long-read {f}" for f in run(read_len=512, verbose=False)
+        ]
+        n += len(parity_cases())
     if failures:
         print("PALLAS PARITY FAILURES:", file=sys.stderr)
         for f in failures:
             print(" -", f, file=sys.stderr)
         return 1
-    print(f"pallas parity: all {len(parity_cases())} specs agree",
-          file=sys.stderr)
+    print(f"pallas parity: all {n} spec runs agree", file=sys.stderr)
     return 0
 
 
