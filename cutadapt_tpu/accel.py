@@ -374,7 +374,10 @@ def _translate_single(pipeline, fasta: bool = False):
         from .batch_pipeline import NextseqStage, QualityStage
 
         # FASTA carries no qualities; the host path owns the error
+        # (including ZeroCapper's reference-exact AttributeError)
         if any(isinstance(s, (QualityStage, NextseqStage)) for s in stages):
+            return None
+        if zero_cap is not None:
             return None
 
     fastq_only_assembly = (

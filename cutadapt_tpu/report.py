@@ -23,51 +23,36 @@ from io import StringIO
 from typing import Any, Dict, Iterator, List, Mapping, Optional, Tuple
 
 from .adapters import (
-    AdapterStatistics,
-    AnywhereAdapter,
-    BackAdapter,
-    EndStatistics,
-    FrontAdapter,
-    LinkedAdapter,
-    SingleAdapter,
+    AdapterStatistics, AnywhereAdapter, BackAdapter, EndStatistics,
+    FrontAdapter, LinkedAdapter, SingleAdapter,
 )
 from .json_utils import OneLine
 from .modifiers import (
-    AdapterCutter,
-    NextseqQualityTrimmer,
-    PairedAdapterCutter,
-    PairedEndModifierWrapper,
-    PairedReverseComplementer,
-    PolyATrimmer,
-    QualityTrimmer,
-    ReverseComplementer,
+    AdapterCutter, NextseqQualityTrimmer, PairedAdapterCutter,
+    PairedEndModifierWrapper, PairedReverseComplementer, PolyATrimmer,
+    QualityTrimmer, ReverseComplementer,
 )
 from .statistics import ReadLengthStatistics
 from .steps import HasFilterStatistics, HasStatistics
 
-FILTERS = {
-    "too_short": "that were too short",
-    "too_long": "that were too long",
-    "too_many_n": "with too many N",
-    "too_many_expected_errors": "with too many exp. errors",
-    "casava_filtered": "failed CASAVA filter",
-    "discard_trimmed": "discarded as trimmed",
-    "discard_untrimmed": "discarded as untrimmed",
-}
+# filter kind -> read-fate table wording (report contract text)
+FILTERS = dict(
+    too_short="that were too short",
+    too_long="that were too long",
+    too_many_n="with too many N",
+    too_many_expected_errors="with too many exp. errors",
+    casava_filtered="failed CASAVA filter",
+    discard_trimmed="discarded as trimmed",
+    discard_untrimmed="discarded as untrimmed",
+)
 
 
 def safe_divide(numerator: Optional[int], denominator: int) -> float:
-    if numerator is None or not denominator:
-        return 0.0
-    return numerator / denominator
+    return numerator / denominator if numerator and denominator else 0.0
 
 
 def add_if_not_none(a: Optional[int], b: Optional[int]) -> Optional[int]:
-    if a is None:
-        return b
-    if b is None:
-        return a
-    return a + b
+    return b if a is None else a if b is None else a + b
 
 
 def _merge_optional_counter(
@@ -81,21 +66,34 @@ def _merge_optional_counter(
 
 
 class Statistics:
-    """Mergeable summary of one (partial) run."""
+    """Mergeable summary of one (partial) run.
+
+    Field-by-field merge rules (`_SIDED_MERGES` + the scalar rules in
+    ``__iadd__``) define the shard-reduction contract."""
+
+    # per-side list fields merged element-wise: attr -> merge function
+    _SIDED_MERGES = (
+        ("total_bp", lambda a, b: a + b),
+        ("with_adapters", add_if_not_none),
+        ("quality_trimmed_bp", add_if_not_none),
+        ("poly_a_trimmed_lengths", _merge_optional_counter),
+    )
 
     def __init__(self) -> None:
-        self.paired: Optional[bool] = None
-        # filter name -> number of filtered reads/read pairs
-        self.filtered: Dict[str, int] = defaultdict(int)
-        self.reverse_complemented: Optional[int] = None
-        self.n = 0
-        self.total_bp = [0, 0]
-        self.read_length_statistics = ReadLengthStatistics()
-        self.with_adapters: List[Optional[int]] = [None, None]
-        self.quality_trimmed_bp: List[Optional[int]] = [None, None]
-        self.poly_a_trimmed_lengths: List[Optional[Dict[int, int]]] = [None, None]
-        self.adapter_stats: List[List[AdapterStatistics]] = [[], []]
-        self._collected: bool = False
+        self.__dict__.update(
+            paired=None,
+            # filter name -> number of filtered reads/read pairs
+            filtered=defaultdict(int),
+            reverse_complemented=None,
+            n=0,
+            total_bp=[0, 0],
+            read_length_statistics=ReadLengthStatistics(),
+            with_adapters=[None, None],
+            quality_trimmed_bp=[None, None],
+            poly_a_trimmed_lengths=[None, None],
+            adapter_stats=[[], []],
+            _collected=False,
+        )
 
     # --- merging (the shard-reduction contract) -----------------------
 
@@ -116,17 +114,9 @@ class Statistics:
             self.filtered[name] += count
 
         for side in (0, 1):
-            self.total_bp[side] += other.total_bp[side]
-            self.with_adapters[side] = add_if_not_none(
-                self.with_adapters[side], other.with_adapters[side]
-            )
-            self.quality_trimmed_bp[side] = add_if_not_none(
-                self.quality_trimmed_bp[side], other.quality_trimmed_bp[side]
-            )
-            self.poly_a_trimmed_lengths[side] = _merge_optional_counter(
-                self.poly_a_trimmed_lengths[side],
-                other.poly_a_trimmed_lengths[side],
-            )
+            for attr, merge in self._SIDED_MERGES:
+                mine, theirs = getattr(self, attr), getattr(other, attr)
+                mine[side] = merge(mine[side], theirs[side])
             self._merge_adapter_stats(side, other.adapter_stats[side])
         return self
 
@@ -218,60 +208,61 @@ class Statistics:
     # --- JSON ----------------------------------------------------------
 
     def as_json(self, gc_content: float = 0.5, one_line: bool = False) -> Dict:
-        """Return a dict representation suitable for the JSON report."""
-        filtered = {name: self.filtered.get(name) for name in FILTERS.keys()}
-        filtered_total = sum(self.filtered.values())
+        """Return a dict representation suitable for the JSON report.
+
+        Key names and nesting are the reference's JSON schema 0.3
+        (contract); built here as (key, value) rows per section."""
+        filtered = {name: self.filtered.get(name) for name in FILTERS}
         written_reads = self.read_length_statistics.written_reads()
         written_bp = self.read_length_statistics.written_bp()
-        assert written_reads + filtered_total == self.n
-        return {
-            "read_counts": {  # pairs or reads
-                "input": self.n,
-                "filtered": filtered,
-                "output": written_reads,
-                "reverse_complemented": self.reverse_complemented,
-                "read1_with_adapter": self.with_adapters[0],
-                "read2_with_adapter": (
-                    self.with_adapters[1] if self.paired else None
-                ),
-            },
-            "basepair_counts": {
-                "input": self.total,
-                "input_read1": self.total_bp[0],
-                "input_read2": self.total_bp[1] if self.paired else None,
-                "quality_trimmed": self.quality_trimmed,
-                "quality_trimmed_read1": self.quality_trimmed_bp[0],
-                "quality_trimmed_read2": self.quality_trimmed_bp[1],
-                "poly_a_trimmed": self.poly_a_trimmed,
-                "poly_a_trimmed_read1": self.poly_a_trimmed_bp[0],
-                "poly_a_trimmed_read2": self.poly_a_trimmed_bp[1],
-                "output": self.total_written_bp,
-                "output_read1": written_bp[0],
-                "output_read2": written_bp[1] if self.paired else None,
-            },
-            "adapters_read1": [
+        assert written_reads + sum(self.filtered.values()) == self.n
+        if_paired = lambda v: v if self.paired else None  # noqa: E731
+
+        def adapters_json(side):
+            return [
                 self._adapter_statistics_as_json(
                     astats, self.n, gc_content, one_line=one_line
                 )
-                for astats in self.adapter_stats[0]
-            ],
-            "adapters_read2": (
-                [
-                    self._adapter_statistics_as_json(
-                        astats, self.n, gc_content, one_line=one_line
-                    )
-                    for astats in self.adapter_stats[1]
-                ]
-                if self.paired
-                else None
+                for astats in self.adapter_stats[side]
+            ]
+
+        read_counts = (  # pairs or reads
+            ("input", self.n),
+            ("filtered", filtered),
+            ("output", written_reads),
+            ("reverse_complemented", self.reverse_complemented),
+            ("read1_with_adapter", self.with_adapters[0]),
+            ("read2_with_adapter", if_paired(self.with_adapters[1])),
+        )
+        basepair_counts = (
+            ("input", self.total),
+            ("input_read1", self.total_bp[0]),
+            ("input_read2", if_paired(self.total_bp[1])),
+            ("quality_trimmed", self.quality_trimmed),
+            ("quality_trimmed_read1", self.quality_trimmed_bp[0]),
+            ("quality_trimmed_read2", self.quality_trimmed_bp[1]),
+            ("poly_a_trimmed", self.poly_a_trimmed),
+            ("poly_a_trimmed_read1", self.poly_a_trimmed_bp[0]),
+            ("poly_a_trimmed_read2", self.poly_a_trimmed_bp[1]),
+            ("output", self.total_written_bp),
+            ("output_read1", written_bp[0]),
+            ("output_read2", if_paired(written_bp[1])),
+        )
+        top = (
+            ("read_counts", dict(read_counts)),
+            ("basepair_counts", dict(basepair_counts)),
+            ("adapters_read1", adapters_json(0)),
+            ("adapters_read2", if_paired(adapters_json(1))),
+            (
+                "poly_a_trimmed_read1",
+                self._poly_a_trimmed_as_json(self.poly_a_trimmed_lengths[0]),
             ),
-            "poly_a_trimmed_read1": self._poly_a_trimmed_as_json(
-                self.poly_a_trimmed_lengths[0]
+            (
+                "poly_a_trimmed_read2",
+                self._poly_a_trimmed_as_json(self.poly_a_trimmed_lengths[1]),
             ),
-            "poly_a_trimmed_read2": self._poly_a_trimmed_as_json(
-                self.poly_a_trimmed_lengths[1]
-            ),
-        }
+        )
+        return dict(top)
 
     def _adapter_statistics_as_json(
         self,
@@ -281,56 +272,52 @@ class Statistics:
         one_line: bool = False,
     ):
         make_line = OneLine if one_line else (lambda value: value)
-        ends: List[Optional[Dict[str, Any]]] = []
-        total_trimmed_reads = 0
-        for end_statistics in adapter_statistics.end_statistics():
-            if end_statistics is None:
-                ends.append(None)
-                continue
-            total = sum(end_statistics.lengths.values())
-            total_trimmed_reads += total
-            if end_statistics.allows_partial_matches:
-                eranges = error_range_lengths(
-                    end_statistics.effective_length,
-                    end_statistics.max_error_rate,
-                )
-            else:
-                eranges = None
-            base_stats = AdjacentBaseStatistics(end_statistics.adjacent_bases)
-            ends.append(
-                {
-                    "type": end_statistics.adapter_type,
-                    "sequence": end_statistics.sequence,
-                    "error_rate": end_statistics.max_error_rate,
-                    "indels": end_statistics.indels,
-                    "error_lengths": make_line(eranges),
-                    "matches": total,
-                    "adjacent_bases": base_stats.as_json(),
-                    "dominant_adjacent_base": base_stats.warnbase,
-                    "trimmed_lengths": [
-                        make_line(
-                            {
-                                "len": row.length,
-                                "expect": round(row.expect, 1),
-                                "counts": row.error_counts,
-                            }
-                        )
-                        for row in histogram_rows(end_statistics, n, gc_content)
-                    ],
-                }
+
+        def end_json(es: Optional[EndStatistics]):
+            """(json-dict-or-None, match count) for one adapter end."""
+            if es is None:
+                return None, 0
+            total = sum(es.lengths.values())
+            eranges = (
+                error_range_lengths(es.effective_length, es.max_error_rate)
+                if es.allows_partial_matches else None
             )
-        return {
-            "name": adapter_statistics.name,
-            "total_matches": total_trimmed_reads,
-            "on_reverse_complement": (
+            base_stats = AdjacentBaseStatistics(es.adjacent_bases)
+            rows = [
+                make_line(dict(
+                    len=row.length,
+                    expect=round(row.expect, 1),
+                    counts=row.error_counts,
+                ))
+                for row in histogram_rows(es, n, gc_content)
+            ]
+            return dict((
+                ("type", es.adapter_type),
+                ("sequence", es.sequence),
+                ("error_rate", es.max_error_rate),
+                ("indels", es.indels),
+                ("error_lengths", make_line(eranges)),
+                ("matches", total),
+                ("adjacent_bases", base_stats.as_json()),
+                ("dominant_adjacent_base", base_stats.warnbase),
+                ("trimmed_lengths", rows),
+            )), total
+
+        ends, totals = zip(
+            *map(end_json, adapter_statistics.end_statistics())
+        )
+        return dict((
+            ("name", adapter_statistics.name),
+            ("total_matches", sum(totals)),
+            ("on_reverse_complement", (
                 adapter_statistics.reverse_complemented
-                if self.reverse_complemented
-                else None
-            ),
-            "linked": isinstance(adapter_statistics.adapter, LinkedAdapter),
-            "five_prime_end": ends[0],
-            "three_prime_end": ends[1],
-        }
+                if self.reverse_complemented else None
+            )),
+            ("linked",
+             isinstance(adapter_statistics.adapter, LinkedAdapter)),
+            ("five_prime_end", ends[0]),
+            ("three_prime_end", ends[1]),
+        ))
 
     @staticmethod
     def _poly_a_trimmed_as_json(poly_a):
@@ -343,66 +330,50 @@ class Statistics:
 
     # --- derived quantities --------------------------------------------
 
-    @property
-    def total(self) -> int:
-        return sum(self.total_bp)
-
-    @property
-    def quality_trimmed(self) -> Optional[int]:
-        return add_if_not_none(*self.quality_trimmed_bp)
+    total = property(lambda s: sum(s.total_bp))
+    quality_trimmed = property(
+        lambda s: add_if_not_none(*s.quality_trimmed_bp)
+    )
+    poly_a_trimmed = property(
+        lambda s: add_if_not_none(*s.poly_a_trimmed_bp)
+    )
+    total_written_bp = property(
+        lambda s: sum(s.read_length_statistics.written_bp())
+    )
+    written = property(
+        lambda s: s.read_length_statistics.written_reads()
+    )
+    written_bp = property(
+        lambda s: s.read_length_statistics.written_bp()
+    )
 
     @property
     def poly_a_trimmed_bp(self) -> Tuple[Optional[int], Optional[int]]:
-        def bp(side: int) -> Optional[int]:
-            lengths = self.poly_a_trimmed_lengths[side]
-            if lengths is None:
-                return None
-            return sum(length * count for length, count in lengths.items())
+        return tuple(
+            None if lengths is None
+            else sum(ln * count for ln, count in lengths.items())
+            for lengths in self.poly_a_trimmed_lengths
+        )
 
-        return (bp(0), bp(1))
+    # <numerator attr> as a fraction of <denominator attr>
+    def _fraction(num: str, den: str):  # noqa: N805 (descriptor maker)
+        return property(
+            lambda s: safe_divide(getattr(s, num), getattr(s, den))
+        )
 
-    @property
-    def poly_a_trimmed(self) -> Optional[int]:
-        return add_if_not_none(*self.poly_a_trimmed_bp)
-
-    @property
-    def total_written_bp(self) -> int:
-        return sum(self.read_length_statistics.written_bp())
-
-    @property
-    def written(self) -> int:
-        return self.read_length_statistics.written_reads()
-
-    @property
-    def written_fraction(self) -> float:
-        return safe_divide(self.written, self.n)
+    written_fraction = _fraction("written", "n")
+    quality_trimmed_fraction = _fraction("quality_trimmed", "total")
+    total_written_bp_fraction = _fraction("total_written_bp", "total")
+    reverse_complemented_fraction = _fraction("reverse_complemented", "n")
+    poly_a_trimmed_fraction = _fraction("poly_a_trimmed", "total")
+    del _fraction
 
     @property
     def with_adapters_fraction(self) -> List[float]:
         return [safe_divide(v, self.n) for v in self.with_adapters]
 
-    @property
-    def quality_trimmed_fraction(self) -> float:
-        return safe_divide(self.quality_trimmed, self.total)
-
-    @property
-    def written_bp(self) -> Tuple[int, int]:
-        return self.read_length_statistics.written_bp()
-
-    @property
-    def total_written_bp_fraction(self) -> float:
-        return safe_divide(self.total_written_bp, self.total)
-
-    @property
-    def reverse_complemented_fraction(self) -> float:
-        return safe_divide(self.reverse_complemented, self.n)
-
     def filtered_fraction(self, filter_name: str) -> float:
         return safe_divide(self.filtered.get(filter_name), self.n)
-
-    @property
-    def poly_a_trimmed_fraction(self) -> float:
-        return safe_divide(self.poly_a_trimmed, self.total)
 
 
 # --- error-range table -------------------------------------------------------
@@ -411,17 +382,28 @@ class Statistics:
 def error_range_lengths(length: int, error_rate: float) -> List[int]:
     """Longest overlap length for each allowed error count, ascending:
     element e is the largest length at which e errors are accepted."""
-    lengths = [
-        int(errors / error_rate) - 1
-        for errors in range(1, int(error_rate * length) + 1)
+    k = int(error_rate * length)
+    lengths = [int(e / error_rate) - 1 for e in range(1, k + 1)]
+    return lengths + ([length] if not lengths or lengths[-1] < length else [])
+
+
+def format_error_ranges(length: int, error_rate: float) -> str:
+    """'1-9 bp: 0; 10-19 bp: 1; ...' — each band of overlap lengths
+    with its allowed error count."""
+    uppers = error_range_lengths(length, error_rate)
+    lowers = [1] + [u + 1 for u in uppers[:-1]]
+    final = len(uppers) - 1
+    bands = [
+        # only the final band collapses to the single-length form
+        f"{lo} bp" if i == final and lo == up else f"{lo}-{up} bp"
+        for i, (lo, up) in enumerate(zip(lowers, uppers))
     ]
-    if not lengths or lengths[-1] < length:
-        lengths.append(length)
-    return lengths
+    return "; ".join(f"{band}: {e}" for e, band in enumerate(bands))
 
 
 class ErrorRanges:
-    """Pretty-printer for the allowed-errors-by-length table."""
+    """Pretty-printer for the allowed-errors-by-length table (kept as
+    a class for API parity with the reference's report module)."""
 
     def __init__(self, length: int, error_rate: float):
         self.length = length
@@ -429,38 +411,29 @@ class ErrorRanges:
         self._lengths = error_range_lengths(length, error_rate)
 
     def __repr__(self):
-        return (
-            "ErrorRanges("
+        args = (
             f"length={self.length}, error_rate={self.error_rate}, "
-            f"_lengths={self._lengths})"
+            f"_lengths={self._lengths}"
         )
+        return f"ErrorRanges({args})"
 
     def __str__(self):
-        parts = []
-        lower = 1
-        for errors, upper in enumerate(self._lengths[:-1]):
-            parts.append(f"{lower}-{upper} bp: {errors}; ")
-            lower = upper + 1
-        final_errors = len(self._lengths) - 1
-        last = self._lengths[-1]
-        if lower == last:
-            parts.append(f"{lower} bp: {final_errors}")
-        else:
-            parts.append(f"{lower}-{last} bp: {final_errors}")
-        return "".join(parts)
+        return format_error_ranges(self.length, self.error_rate)
 
     def lengths(self):
         return self._lengths
 
 
 def error_ranges(end_statistics: EndStatistics) -> str:
+    """The 'No. of allowed errors:' block for one adapter end."""
     length = end_statistics.effective_length
-    error_rate = end_statistics.max_error_rate
-    if end_statistics.allows_partial_matches:
-        body = "\n" + str(ErrorRanges(length, error_rate))
-    else:
-        body = f" {int(error_rate * length)}"
-    return "No. of allowed errors:" + body + "\n"
+    rate = end_statistics.max_error_rate
+    body = (
+        "\n" + format_error_ranges(length, rate)
+        if end_statistics.allows_partial_matches
+        else f" {int(rate * length)}"
+    )
+    return f"No. of allowed errors:{body}\n"
 
 
 # --- histograms --------------------------------------------------------------
@@ -483,25 +456,21 @@ def histogram_rows(
     gc_content: float,
 ) -> Iterator[HistogramRow]:
     """Yield histogram rows. n -- total number of reads."""
-    lengths = end_statistics.lengths
-    errors = end_statistics.errors
-    random_chance = end_statistics.random_match_probabilities(
-        gc_content=gc_content
-    )
-    adapter_length = len(end_statistics.sequence)
-    for length in sorted(lengths):
-        # beyond the adapter length the chance stops increasing
-        expect = n * random_chance[min(adapter_length, length)]
-        worst = max(errors[length].keys())
+    es = end_statistics
+    chance = es.random_match_probabilities(gc_content=gc_content)
+    cap = len(es.sequence)  # beyond it the chance stops increasing
+    for length, count in sorted(es.lengths.items()):
+        by_errors = es.errors[length]
         yield HistogramRow(
             length=length,
-            count=lengths[length],
-            expect=expect,
+            count=count,
+            expect=n * chance[min(cap, length)],
             max_err=int(
-                end_statistics.max_error_rate
-                * min(length, end_statistics.effective_length)
+                es.max_error_rate * min(length, es.effective_length)
             ),
-            error_counts=[errors[length][e] for e in range(worst + 1)],
+            error_counts=[
+                by_errors[e] for e in range(max(by_errors) + 1)
+            ],
         )
 
 
@@ -510,80 +479,73 @@ def histogram(end_statistics: EndStatistics, n: int, gc_content: float) -> str:
     Formatted histogram of trimmed lengths, including the number of
     reads expected to be trimmed by chance.
     """
-    sio = StringIO()
-    print("length", "count", "expect", "max.err", "error counts", sep="\t",
-          file=sio)
-    for row in histogram_rows(end_statistics, n, gc_content):
-        print(
-            row.length,
-            row.count,
-            f"{row.expect:.1F}",
-            row.max_err,
-            " ".join(str(e) for e in row.error_counts),
-            sep="\t",
-            file=sio,
-        )
-    return sio.getvalue() + "\n"
+    lines = ["length\tcount\texpect\tmax.err\terror counts"]
+    lines += [
+        "\t".join((
+            str(row.length), str(row.count), f"{row.expect:.1F}",
+            str(row.max_err),
+            " ".join(map(str, row.error_counts)),
+        ))
+        for row in histogram_rows(end_statistics, n, gc_content)
+    ]
+    return "\n".join(lines) + "\n\n"
 
 
 class AdjacentBaseStatistics:
     """Distribution of the base preceding removed 3' adapters; warns
     when one base dominates (likely incomplete adapter sequence)."""
 
+    _ORDER = ("A", "C", "G", "T", "")
+
     def __init__(self, bases: Dict[str, int]):
         self.bases: Dict[str, int] = bases
         self._warnbase: Optional[str] = None
         total = sum(self.bases.values())
+        self._fractions = None
         if total == 0:
-            self._fractions = None
             return
-        self._fractions = []
-        for base in ("A", "C", "G", "T", ""):
-            label = base if base != "" else "none/other"
-            fraction = self.bases[base] / total
-            self._fractions.append((label, fraction))
-            if fraction > 0.8 and base != "":
-                self._warnbase = label
-        if total < 20:
-            self._warnbase = None
+        self._fractions = [
+            (base or "none/other", self.bases[base] / total)
+            for base in self._ORDER
+        ]
+        dominant = [
+            label for (label, fraction), base in zip(
+                self._fractions, self._ORDER
+            )
+            if base and fraction > 0.8
+        ]
+        # under 20 observations a dominant base is not meaningful
+        if dominant and total >= 20:
+            self._warnbase = dominant[-1]
 
     def __repr__(self):
         return f"AdjacentBaseStatistics(bases={self.bases})"
 
-    @property
-    def should_warn(self) -> bool:
-        return self._warnbase is not None
-
-    @property
-    def warnbase(self) -> Optional[str]:
-        return self._warnbase
+    should_warn = property(lambda s: s._warnbase is not None)
+    warnbase = property(lambda s: s._warnbase)
 
     def __str__(self) -> str:
         if not self._fractions:
             return ""
-        sio = StringIO()
-        print("Bases preceding removed adapters:", file=sio)
-        for label, fraction in self._fractions:
-            print(f"  {label}: {fraction:.1%}", file=sio)
+        lines = ["Bases preceding removed adapters:"] + [
+            f"  {label}: {fraction:.1%}"
+            for label, fraction in self._fractions
+        ]
         if self.should_warn:
-            print("WARNING:", file=sio)
-            print(
-                f"    The adapter is preceded by '{self._warnbase}' "
-                "extremely often.",
-                file=sio,
-            )
-            print(
-                "    The provided adapter sequence could be incomplete at "
-                "its 5' end.",
-                file=sio,
-            )
-            print("    Ignore this warning when trimming primers.", file=sio)
-        return sio.getvalue()
+            lines += [
+                "WARNING:",
+                f"    The adapter is preceded by '{self._warnbase}'"
+                " extremely often.",
+                "    The provided adapter sequence could be incomplete"
+                " at its 5' end.",
+                "    Ignore this warning when trimming primers.",
+            ]
+        return "\n".join(lines) + "\n"
 
     def as_json(self) -> Optional[Dict[str, int]]:
         if not self._fractions:
             return None
-        return {b: self.bases.get(b, 0) for b in ["A", "C", "G", "T", ""]}
+        return {b: self.bases.get(b, 0) for b in self._ORDER}
 
 
 # --- text reports ------------------------------------------------------------
@@ -850,43 +812,30 @@ def minimal_report(stats: Statistics, time: float, gc_content: float) -> str:
     """Create a minimal tabular report suitable for concatenation."""
     del time, gc_content
 
-    header = [
-        "status",
-        "in_reads",
-        "in_bp",
-        "too_short",
-        "too_long",
-        "too_many_n",
-        "out_reads",
-        "w/adapters",
-        "qualtrim_bp",
-        "out_bp",
-    ]
     written_bp = stats.read_length_statistics.written_bp()
-    fields: List[Any] = [
-        "OK",
-        stats.n,
-        stats.total,
-        stats.filtered.get("too_short", 0),
-        stats.filtered.get("too_long", 0),
-        stats.filtered.get("too_many_n", 0),
-        stats.read_length_statistics.written_reads(),
-        stats.with_adapters[0] or 0,
-        stats.quality_trimmed_bp[0] or 0,
-        written_bp[0],
+    incomplete_adapter = any(
+        astats.kind == "back"
+        and AdjacentBaseStatistics(astats.end.adjacent_bases).should_warn
+        for astats in stats.adapter_stats[0] + stats.adapter_stats[1]
+    )
+    columns = [  # (header, value) pairs; column order is contract
+        ("status", "WARN" if incomplete_adapter else "OK"),
+        ("in_reads", stats.n),
+        ("in_bp", stats.total),
+        ("too_short", stats.filtered.get("too_short", 0)),
+        ("too_long", stats.filtered.get("too_long", 0)),
+        ("too_many_n", stats.filtered.get("too_many_n", 0)),
+        ("out_reads", stats.read_length_statistics.written_reads()),
+        ("w/adapters", stats.with_adapters[0] or 0),
+        ("qualtrim_bp", stats.quality_trimmed_bp[0] or 0),
+        ("out_bp", written_bp[0]),
     ]
     if stats.paired:
-        header += ["w/adapters2", "qualtrim2_bp", "out2_bp"]
-        fields += [
-            stats.with_adapters[1] or 0,
-            stats.quality_trimmed_bp[1] or 0,
-            written_bp[1],
+        columns += [
+            ("w/adapters2", stats.with_adapters[1] or 0),
+            ("qualtrim2_bp", stats.quality_trimmed_bp[1] or 0),
+            ("out2_bp", written_bp[1]),
         ]
-
-    for side_stats in stats.adapter_stats[0] + stats.adapter_stats[1]:
-        if side_stats.kind == "back" and AdjacentBaseStatistics(
-            side_stats.end.adjacent_bases
-        ).should_warn:
-            fields[0] = "WARN"
-            break
-    return "\t".join(header) + "\n" + "\t".join(str(x) for x in fields)
+    return "\t".join(h for h, _ in columns) + "\n" + "\t".join(
+        str(v) for _, v in columns
+    )
