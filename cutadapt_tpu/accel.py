@@ -2343,14 +2343,22 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
 
         rename_names = []
         rename_cuts = []
-        for st in (stages1, stages2):
-            stage = next(
-                (x for x in st if hasattr(x, "flat_adapters")), None
-            )
-            rename_names.append(
-                [a.name for a in stage.flat_adapters]
-                if stage is not None else []
-            )
+        for side, st in enumerate((stages1, stages2)):
+            if pair_stage is not None:
+                # --pair-adapters: gids are winning PAIR indices and
+                # the adapters live on the pair stage, not in the
+                # per-side stage lists
+                rename_names.append(
+                    [t.adapter.name for t in pair_stage[side]]
+                )
+            else:
+                stage = next(
+                    (x for x in st if hasattr(x, "flat_adapters")), None
+                )
+                rename_names.append(
+                    [a.name for a in stage.flat_adapters]
+                    if stage is not None else []
+                )
             rename_cuts.append(
                 [x.length for x in st if isinstance(x, CutStage)]
             )

@@ -34,6 +34,7 @@ processes as fallback) and report rendering together.
 import copy
 import itertools
 import logging
+import os
 from collections import Counter
 import multiprocessing
 import platform
@@ -1373,6 +1374,15 @@ def main(cmdlineargs) -> Statistics:
             pass
 
     elapsed = time.time() - start_time
+    stats_pickle = os.environ.get("CUTADAPT_TPU_STATS_PICKLE")
+    if stats_pickle:
+        # multi-host shard run: serialize this host's Statistics for
+        # the cross-host merge (parallel/multihost.merge_statistics) —
+        # the reference's worker-pipe stats protocol, across hosts
+        import pickle
+
+        with open(stats_pickle, "wb") as f:
+            pickle.dump(stats, f)
     render = minimal_report if args.report == "minimal" else full_report
     logger.log(REPORT, "%s", render(stats, elapsed, args.gc_content / 100.0))
     if args.json is not None:

@@ -114,10 +114,22 @@ class InputPaths:
         self.interleaved = interleaved
 
     def open(self) -> InputFiles:
-        return InputFiles(
-            *(xopen_rb_raise_limit(p) for p in self.paths),
-            interleaved=self.interleaved,
-        )
+        files = [xopen_rb_raise_limit(p) for p in self.paths]
+        byte_range = os.environ.get("CUTADAPT_TPU_BYTE_RANGE")
+        if byte_range:
+            # multi-host input sharding: this process reads only its
+            # record-aligned byte range of each input (see
+            # parallel/multihost.py for the plan/merge contract)
+            from ..parallel.multihost import (
+                RangeReader,
+                parse_byte_range_env,
+            )
+
+            ranges = parse_byte_range_env(byte_range)
+            files = [
+                RangeReader(f, *rng) for f, rng in zip(files, ranges)
+            ]
+        return InputFiles(*files, interleaved=self.interleaved)
 
 
 class ProxyWriter(ABC):
