@@ -839,16 +839,26 @@ class BatchPipelineEngine:
     def _dp_sizes(self, n: int) -> List[int]:
         """Dispatch batch sizes covering n reads: power-of-two buckets
         (bounded compile count), padded to the active mesh so every
-        dispatch shards evenly over its devices."""
-        big = mesh_padded(self.max_dp_batch)
+        dispatch shards evenly over its devices.
+
+        The cover is the BINARY DECOMPOSITION of n (floored at
+        min_dp_batch), not a single round-up bucket: padding — wasted
+        wire bytes and DP rows — is bounded by min_dp_batch per chunk
+        instead of by the next power of two (up to 2x the remainder).
+        Same compiled-shape set either way."""
         sizes = []
+        big = mesh_padded(self.max_dp_batch)
         while n > big:
             sizes.append(big)
             n -= big
-        s = self.min_dp_batch
-        while mesh_padded(s) < n:
-            s *= 2
-        sizes.append(mesh_padded(s))
+        s = self.max_dp_batch
+        while n > 0:
+            cap = mesh_padded(s)
+            if n >= cap or s <= self.min_dp_batch:
+                sizes.append(cap)
+                n -= cap
+            else:
+                s //= 2
         return sizes
 
     def warmup(self, max_len: int) -> None:
