@@ -22,8 +22,8 @@ single-end, paired-end, and interleaved):
   {name} / paired / combinatorial demultiplexing, sinks
 
 The remaining host-only combinations are noted at their gates
-(e.g. transform actions with non-FASTQ outputs, linked adapters with
-side files, side files after a filter step). The engine
+(e.g. --revcomp with --rename/name edits, side files after a filter
+step, --pair-adapters with --wildcard-file). The engine
 updates the very same modifier/step statistics objects the host path
 would, so reports are identical; tests/test_accel.py asserts this per
 configuration (plus tools/fuzz_parity.py over randomized configs),
@@ -380,10 +380,6 @@ def _translate_single(pipeline, fasta: bool = False):
         if zero_cap is not None:
             return None
 
-    fastq_only_assembly = (
-        _transform_action(stages) is not None or rc_stage is not None
-    )
-
     def writer_ok(w):
         return isinstance(w, writer_classes)
 
@@ -395,9 +391,14 @@ def _translate_single(pipeline, fasta: bool = False):
             step, (RestFileWriter, InfoFileWriter, WildcardFileWriter)
         ):
             # side-channel rows come from match events: need plain
-            # (non-linked, non-rc, non-transform) matching, and they
-            # must run before any filter (reference step order)
-            if filters or sink is not None or fastq_only_assembly:
+            # (non-linked, non-rc) matching, and they must run before
+            # any filter (reference step order). mask/lowercase
+            # actions are fine: rounds trim their working windows the
+            # same way, so the recorded match geometry is identical,
+            # and the rows never read transformed bytes (info rows
+            # slice the original read, rest/wildcard rows the match
+            # window).
+            if filters or sink is not None or rc_stage is not None:
                 return None
             has_linked = any(
                 t.kind == "linked"
@@ -1549,17 +1550,16 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
             # side-channel rows come from R1 (and R2 for --info-file
             # with two files) match events: reference step order puts
             # them before any filter, and they need plain (non-linked,
-            # non-rc, non-transform) matching on the sides they read
+            # non-rc) matching on the sides they read (mask/lowercase
+            # actions record identical match geometry and the rows
+            # never read transformed bytes, so they pass)
             if pair_filters or sink is not None or rc_pair is not None:
                 return None
             if pair_stage is not None and isinstance(
                 inner, WildcardFileWriter
             ):
                 return None  # no adapter-side coords from _pair_match
-            if (
-                _transform_action(stages1) is not None
-                or _revcomp_stage(stages1) is not None
-            ):
+            if _revcomp_stage(stages1) is not None:
                 return None
             if _linked_on(stages1) and not (
                 isinstance(step, PairedInfoFileWriter)
@@ -1571,10 +1571,7 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
             if isinstance(step, PairedInfoFileWriter):
                 if fasta:
                     return None  # info rows include quality columns
-                if (
-                    _transform_action(stages2) is not None
-                    or _revcomp_stage(stages2) is not None
-                ):
+                if _revcomp_stage(stages2) is not None:
                     return None
                 if (
                     side_files["info"] is not None

@@ -492,6 +492,45 @@ def test_fastpath_rest_and_info_files(tmp_path, monkeypatch):
     assert outs["1"][2], "info file unexpectedly empty"
 
 
+@pytest.mark.parametrize("action", ["mask", "lowercase"])
+@pytest.mark.parametrize("paired", [False, True], ids=["se", "pe"])
+def test_fastpath_transform_side_files(tmp_path, monkeypatch, action,
+                                       paired):
+    """mask/lowercase actions with --rest-file / --info-file /
+    --wildcard-file (+ --info-file-paired when paired): rows derive
+    from match geometry and the original read bytes, which the
+    transform never touches, so they must match the host path."""
+    spy = _spy_engagement(monkeypatch)
+    inputs = make_reads(tmp_path / "in.fastq", paired=paired)
+    aw = A3[:6] + "N" + A3[7:14] + "N" + A3[15:]  # N wildcards
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"to-{env}.fastq"
+        files = {k: tmp_path / f"t{k}-{env}.txt"
+                 for k in ("rest", "info", "wild", "info2")}
+        argv = ["--quiet", f"--action={action}", "-a", "a1=" + aw,
+                "-r", str(files["rest"]), "--info-file", str(files["info"]),
+                "--wildcard-file", str(files["wild"]),
+                "-o", str(out)]
+        if paired:
+            argv += ["-A", "a2=" + A5, "-p", str(tmp_path / f"to2-{env}.fastq"),
+                     "--info-file-paired", str(files["info2"])]
+        main(argv + [str(p) for p in inputs])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        blob = [out.read_bytes()]
+        if paired:
+            blob.append((tmp_path / f"to2-{env}.fastq").read_bytes())
+        blob += [files[k].read_bytes() for k in ("rest", "info", "wild")
+                 if files[k].exists()]
+        if paired:
+            blob.append(files["info2"].read_bytes())
+        outs[env] = blob
+    assert outs["1"] == outs["0"]
+    assert any(outs["1"][1:]), "side files unexpectedly empty"
+
+
 def test_fastpath_info_file_with_zero_cap(tmp_path, monkeypatch):
     """--zero-cap + --info-file: the host writes match rows from
     info.original_read (quals captured BEFORE the cap) but -1 rows
