@@ -337,13 +337,6 @@ def _translate_single(pipeline, fasta: bool = False):
             cutter = stage_cutter
         stages.append(stage)
 
-    if rename is not None or name_edits or zero_cap is not None:
-        # the rc assembler appends its " rc" suffix at write time, so
-        # host edit-after-rc ordering cannot be reproduced; the
-        # transform assemblers read headers/quals from the edited and
-        # capped chunk and compose fine
-        if _revcomp_stage(stages) is not None:
-            return None
     if rename is not None:
         if "match_sequence" in used and any(
             t.kind == "linked"
@@ -458,6 +451,16 @@ def _translate_single(pipeline, fasta: bool = False):
             # whose reverse complement was chosen
             return None
         filters.append(FilterSpec(t[0], t[1], step))
+    if (
+        rc_stage is not None
+        and (rename is not None or name_edits)
+        and any(f.kind == "casava_filtered" for f in filters)
+    ):
+        # the casava filter must read the edited headers, and the
+        # edits must in turn see the chosen orientation's ' rc'
+        # suffix; the pre-filter edit hook runs before the rc
+        # selection, so the host path owns this ordering
+        return None
     if sink is None:
         return None
     return SingleTranslation(
@@ -780,13 +783,23 @@ def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
 
 
 def _make_name_editor(edits, rename, chunk, stats, adapter_names,
-                      cut_lengths, final_ws, final_we):
+                      cut_lengths, final_ws, final_we, cut_chunk=None):
     """Per-read header-edit function for the trailing name modifiers
     (SuffixRemover, LengthTagModifier, PrefixSuffixAdder) and the
-    --rename template, with host-path semantics and ordering."""
+    --rename template, with host-path semantics and ordering.
+
+    With --revcomp, `chunk` is the orientation-selected chunk (so
+    {match_sequence} slices the bytes the match was found in) while
+    `cut_chunk` stays the forward-parsed one: -u cuts ran before the
+    orientation choice, so {cut_prefix}/{cut_suffix} show forward
+    bytes (host order: UnconditionalCutter records them before the
+    ReverseComplementer runs)."""
     buf = chunk.buf
     ss, sl = chunk.seq_start, chunk.seq_len
+    if cut_chunk is None:
+        cut_chunk = chunk
     gids = stats["last_adapter_gid"]
+    is_rc = stats.get("is_rc")
     names = [name.encode("latin-1") for name in adapter_names]
     final_len = (final_we - final_ws).astype(np.int64)
 
@@ -842,7 +855,10 @@ def _make_name_editor(edits, rename, chunk, stats, adapter_names,
         need_cuts = bool({"cut_prefix", "cut_suffix"} & used)
 
         def render(i, header):
-            values = {"header": header, "rc": b""}
+            values = {
+                "header": header,
+                "rc": b"rc" if is_rc is not None and is_rc[i] else b"",
+            }
             if geometry is not None:
                 has, a, b = geometry
                 values["match_sequence"] = (
@@ -855,16 +871,21 @@ def _make_name_editor(edits, rename, chunk, stats, adapter_names,
             if "adapter_name" in used:
                 values["adapter_name"] = adapter_name_of(i)
             if need_cuts:
-                start, end = 0, int(sl[i])
+                cbuf, css = cut_chunk.buf, cut_chunk.seq_start
+                start, end = 0, int(cut_chunk.seq_len[i])
                 cut_prefix = cut_suffix = b""
                 for length in cut_lengths:
                     if length > 0:
                         stop = min(start + length, end)
-                        cut_prefix = bytes(buf[ss[i] + start : ss[i] + stop])
+                        cut_prefix = bytes(
+                            cbuf[css[i] + start : css[i] + stop]
+                        )
                         start = stop
                     elif length < 0:
                         begin = max(end + length, start)
-                        cut_suffix = bytes(buf[ss[i] + begin : ss[i] + end])
+                        cut_suffix = bytes(
+                            cbuf[css[i] + begin : css[i] + end]
+                        )
                         end = begin
                 values["cut_prefix"] = cut_prefix
                 values["cut_suffix"] = cut_suffix
@@ -1223,6 +1244,13 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
         _transform_action(stages)
     )
     rc_stage_obj = _revcomp_stage(stages)
+    # with name edits / --rename / --zero-cap after --revcomp, the
+    # orientation choice must happen BEFORE those edits (host modifier
+    # order): select the chosen-orientation chunk once per batch in
+    # emit() instead of using the suffix-at-write rc assembler
+    rc_select = rc_stage_obj is not None and (
+        rename is not None or name_edits or zero_cap is not None
+    )
 
     def render(chunk, ws, we, mask, stats, writes_fasta):
         if writes_fasta:
@@ -1233,7 +1261,7 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
                 return assemble_fasta_transform(
                     chunk, ws, we, rs, re_, mask, transform_mode
                 )
-            if rc_stage_obj is not None:
+            if rc_stage_obj is not None and not stats.get("rc_selected"):
                 # pick each read's chosen orientation (the rc copy
                 # shares all offsets), appending the rc name suffix
                 rc = stats["rc_chunk"]
@@ -1244,6 +1272,8 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
                 )
                 return assemble_fasta_window(sel, ws, we, mask)
             return assemble_fasta_window(chunk, ws, we, mask)
+        if stats.get("rc_selected"):
+            return assemble_window(chunk, ws, we, mask)
         return assemble(chunk, ws, we, mask, stats)
 
     side_stage = next(
@@ -1258,12 +1288,20 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
         chunk = stats.pop("edited_chunk", None)
         if chunk is None:
             chunk = pending.parsed
+            if rc_select and "is_rc" in stats:
+                rc = stats["rc_chunk"]
+                chunk = _select_paired_chunk(
+                    chunk, 0, rc, len(chunk.buf),
+                    np.concatenate([chunk.buf, rc.buf]),
+                    stats["is_rc"], rc_stage_obj.suffix or "",
+                )
+                stats["rc_selected"] = True
             if rename is not None or name_edits:
                 chunk = _edit_headers(
                     chunk,
                     _make_name_editor(
                         name_edits, rename, chunk, stats, rename_names,
-                        rename_cuts, ws, we,
+                        rename_cuts, ws, we, cut_chunk=pending.parsed,
                     ),
                 )
         precap = chunk

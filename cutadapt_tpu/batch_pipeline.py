@@ -1690,6 +1690,11 @@ class BatchPipelineEngine:
                         as_front=ev["as_front"][sel],
                         adjacent=ev["adjacent"][sel],
                         sub=ev["sub"][sel],
+                        # match geometry (window + window-relative
+                        # coords, valid in the chosen orientation's
+                        # chunk) for {match_sequence} rename
+                        qs=ev["qs"][sel], qe=ev["qe"][sel],
+                        ws=ev["ws"][sel], we=ev["we"][sel],
                     )
                 )
         stats["is_rc"] = use_rc

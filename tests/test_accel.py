@@ -531,6 +531,57 @@ def test_fastpath_transform_side_files(tmp_path, monkeypatch, action,
     assert any(outs["1"][1:]), "side files unexpectedly empty"
 
 
+RC_EDIT_CONFIGS = [
+    ("strip_xy", ["--revcomp", "--strip-suffix", "/1", "-y", " z{name}",
+                  "--zero-cap"]),
+    ("lentag", ["--revcomp", "--length-tag", "length="]),
+    ("rename", ["-u", "3", "-u", "-2", "--revcomp", "--rename",
+                "{id} r={rc} a={adapter_name} m={match_sequence} "
+                "p={cut_prefix} s={cut_suffix}"]),
+    ("routed_filter", ["--revcomp", "--strip-suffix", "/1", "-m", "15"]),
+]
+
+
+@pytest.mark.parametrize("name,args", RC_EDIT_CONFIGS,
+                         ids=[c[0] for c in RC_EDIT_CONFIGS])
+def test_fastpath_revcomp_with_name_edits(tmp_path, monkeypatch, name,
+                                          args):
+    """--revcomp combined with name edits / --rename / --zero-cap: the
+    orientation choice (and its ' rc' suffix or {rc} field) must land
+    before the edits, host modifier order. Reads carry the adapter in
+    both orientations so rc genuinely wins for a share of them."""
+    spy = _spy_engagement(monkeypatch)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rng = random.Random(41)
+    inp = tmp_path / "rc.fastq"
+    with open(inp, "w") as f:
+        for i in range(500):
+            L = rng.randint(22, 90)
+            s = "".join(rng.choice("ACGT") for _ in range(L))
+            if rng.random() < 0.6 and L > 28:
+                p = rng.randint(5, L - 12)
+                s = (s[:p] + A3 + s[p:])[:L]
+                if rng.random() < 0.5:
+                    s = "".join(comp[c] for c in reversed(s))
+            q = "".join(chr(rng.randint(20, 72)) for _ in s)
+            f.write(f"@e{i}/1 c{i}\n{s}\n+\n{q}\n")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"rco-{env}.fastq"
+        rep = tmp_path / f"rcrep-{env}.json"
+        main(["--quiet", "--json", str(rep), "-a", "a1=" + A3]
+             + args + ["-o", str(out), str(inp)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        r = json.load(open(rep))
+        r["command_line_arguments"] = None
+        outs[env] = (out.read_bytes(), r)
+    assert outs["1"][0] == outs["0"][0], name
+    assert outs["1"][1] == outs["0"][1], name
+    assert outs["1"][1]["read_counts"]["reverse_complemented"], name
+
+
 def test_fastpath_info_file_with_zero_cap(tmp_path, monkeypatch):
     """--zero-cap + --info-file: the host writes match rows from
     info.original_read (quals captured BEFORE the cap) but -1 rows
