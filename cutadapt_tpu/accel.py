@@ -1593,10 +1593,6 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
             # never read transformed bytes, so they pass)
             if pair_filters or sink is not None or rc_pair is not None:
                 return None
-            if pair_stage is not None and isinstance(
-                inner, WildcardFileWriter
-            ):
-                return None  # no adapter-side coords from _pair_match
             if _revcomp_stage(stages1) is not None:
                 return None
             if _linked_on(stages1) and not (
@@ -1828,23 +1824,34 @@ def _pair_match(engines, chunks, windows, pair_stage, stats_pair=None):
             qe = np.zeros(n, np.int32)
             er = np.zeros(n, np.int32)
             sc = np.zeros(n, np.int32)
+            as_ = np.zeros(n, np.int32)
+            ae_ = np.zeros(n, np.int32)
             if len(sel):
-                ff, fqs, fqe, fer, fsc = eng._fetch_windows(
-                    task, sel, futures, lens
-                )
+                if eng.want_ref_coords:
+                    # --wildcard-file rows need the adapter-side span
+                    (ff, fqs, fqe, fer, fsc, fas,
+                     fae) = eng._fetch_windows(
+                        task, sel, futures, lens, ref_coords=True
+                    )
+                    as_[sel] = fas
+                    ae_[sel] = fae
+                else:
+                    ff, fqs, fqe, fer, fsc = eng._fetch_windows(
+                        task, sel, futures, lens
+                    )
                 f[sel] = ff
                 qs[sel] = fqs
                 qe[sel] = fqe
                 er[sel] = fer
                 sc[sel] = fsc
-            results[side][t] = (f, qs, qe, er, sc)
+            results[side][t] = (f, qs, qe, er, sc, as_, ae_)
 
     best = np.full(n, -1, np.int32)
     best_sc = np.zeros(n, np.int32)
     best_er = np.zeros(n, np.int32)
     for t in range(n_pairs):
-        f1, _, _, er1, sc1 = results[0][t]
-        f2, _, _, er2, sc2 = results[1][t]
+        f1, _, _, er1, sc1 = results[0][t][:5]
+        f2, _, _, er2, sc2 = results[1][t][:5]
         ok = f1 & f2
         sc = sc1 + sc2
         er = er1 + er2
@@ -1870,7 +1877,7 @@ def _pair_match(engines, chunks, windows, pair_stage, stats_pair=None):
             if len(hit) == 0:
                 continue
             task = tasks_by_side[side][t]
-            _, qs, qe, er, _ = results[side][t]
+            _, qs, qe, er, _, as_a, ae_a = results[side][t]
             ws_ev, we_ev = ws[hit].copy(), we[hit].copy()
             as_front, removed, adj_rel = _apply_match_windows(
                 task, mod.action, ws, we, hit, qs[hit], qe[hit]
@@ -1881,7 +1888,8 @@ def _pair_match(engines, chunks, windows, pair_stage, stats_pair=None):
                          errors=er[hit], as_front=as_front,
                          adjacent=np.zeros(len(hit), np.uint8),
                          sub=np.zeros(len(hit), np.int32),
-                         qs=qs[hit], qe=qe[hit], ws=ws_ev, we=we_ev)
+                         qs=qs[hit], qe=qe[hit], ws=ws_ev, we=we_ev,
+                         astart=as_a[hit], astop=ae_a[hit])
                 )
             astats = mod.adapter_statistics[side][task.adapter]
             adj_pos = chunk.seq_start[hit] + adj_rel

@@ -1241,13 +1241,26 @@ class BatchPipelineEngine:
             )
         return sel, futures
 
-    def _fetch_windows(self, task, sel, futures, lens):
+    def _fetch_windows(self, task, sel, futures, lens, ref_coords=False):
         """Fetch one task's results; returns arrays over `sel`'s
-        positions with coordinates mirrored to forward orientation."""
-        f, qs, qe, er, sc, _, _, _ = self._fetch_task(len(sel), futures)
+        positions with coordinates mirrored to forward orientation.
+        With `ref_coords`, also returns the adapter-side [astart,
+        astop) spans (requires want_ref_coords dispatches so the wide
+        result format carried them) — same mirroring as
+        _adapter_round."""
+        f, qs, qe, er, sc, _, as_, ae = self._fetch_task(len(sel), futures)
         if task.reverse and not task.comparer:
             L = lens[sel]
             qs, qe = L - qe, L - qs
+            if ref_coords:
+                m_len = len(task.spec.reference)
+                as_, ae = m_len - ae, m_len - as_
+        if ref_coords:
+            if task.comparer:
+                # anchored comparers always report the full span
+                as_ = np.zeros_like(qs)
+                ae = np.full_like(qs, len(task.cmp_ref))
+            return f, qs, qe, er, sc, as_, ae
         return f, qs, qe, er, sc
 
     def _resolve_linked(self, task, chunk, starts, lens, front_disp, width):

@@ -531,6 +531,45 @@ def test_fastpath_transform_side_files(tmp_path, monkeypatch, action,
     assert any(outs["1"][1:]), "side files unexpectedly empty"
 
 
+def test_fastpath_pair_adapters_wildcard_file(tmp_path, monkeypatch):
+    """--pair-adapters with --wildcard-file: rows come from the
+    winning pair's R1 match, whose adapter-side [astart, astop) span
+    rides the wide result format through _pair_match."""
+    spy = _spy_engagement(monkeypatch)
+    a1 = "AGATCNGAAGAGNACACGTC"  # N wildcards
+    a2 = "CTGTCTNTTATACNCATCT"
+    rng = random.Random(43)
+    p1, p2 = tmp_path / "w1.fastq", tmp_path / "w2.fastq"
+    with open(p1, "w") as f1, open(p2, "w") as f2:
+        for i in range(500):
+            for side, (f, tpl) in enumerate(((f1, a1), (f2, a2))):
+                L = rng.randint(24, 90)
+                s = "".join(rng.choice("ACGT") for _ in range(L))
+                if i % 2 and L > 30:
+                    ad = "".join(
+                        rng.choice("ACGT") if c == "N" else c for c in tpl
+                    )
+                    p = rng.randint(5, L - 12)
+                    s = (s[:p] + ad + s[p:])[:L]
+                f.write(f"@w{i}/{side+1}\n{s}\n+\n{'I' * len(s)}\n")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out1 = tmp_path / f"wo1-{env}.fastq"
+        wild = tmp_path / f"wild-{env}.txt"
+        main(["--quiet", "--pair-adapters", "-a", "x=" + a1,
+              "-A", "X=" + a2, "--wildcard-file", str(wild),
+              "-o", str(out1), "-p", str(tmp_path / f"wo2-{env}.fastq"),
+              str(p1), str(p2)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        outs[env] = (out1.read_bytes(),
+                     (tmp_path / f"wo2-{env}.fastq").read_bytes(),
+                     wild.read_bytes())
+    assert outs["1"] == outs["0"]
+    assert outs["1"][2], "wildcard file unexpectedly empty"
+
+
 RC_EDIT_CONFIGS = [
     ("strip_xy", ["--revcomp", "--strip-suffix", "/1", "-y", " z{name}",
                   "--zero-cap"]),
