@@ -119,6 +119,17 @@ def xfer_counters() -> dict:
     return dict(XFER)
 
 
+def _wire_lengths(vals: np.ndarray, size: int, wide: bool) -> np.ndarray:
+    """Window lengths as they ride the wire: int16 rows in the packed
+    result format (whose windows are < 2**14 by construction, so the
+    cast is lossless and halves this array's H2D bytes), int32 in wide
+    mode (long reads can exceed int16). Kernels cast back to int32 on
+    device."""
+    sub_len = np.zeros(size, np.int32 if wide else np.int16)
+    sub_len[: len(vals)] = vals
+    return sub_len
+
+
 def _pack2_on() -> bool:
     """2-bit candidate packing (halves the 4-bit lane's H2D bytes;
     reads with N/IUPAC bytes split off to the 4-bit or host-scalar
@@ -172,19 +183,26 @@ def _make_locate_step(
         from .ops.align_pallas import make_pallas_locate
 
         if mesh is None:
-            return jax.jit(make_pallas_locate(spec, pack2=pack2))
+            kernel = make_pallas_locate(spec, pack2=pack2)
+            # lengths arrive int16 (wire format); the kernel wants int32
+            return jax.jit(
+                lambda enc, lengths: kernel(
+                    enc, lengths.astype(jnp.int32)
+                )
+            )
         # per-shard kernel execution; results are concatenated on the
         # batch axis. The kernel declares its output varying over the
         # mesh axis (vma on the pallas_call out_shape), so shard_map's
         # varying-axes type check stays enabled.
         kernel = make_pallas_locate(spec, pack2=pack2, vma_axis=axis)
+        sharded = jax.shard_map(
+            kernel,
+            mesh=mesh,
+            in_specs=(by_read_rows, by_read),
+            out_specs=result_cols,
+        )
         return jax.jit(
-            jax.shard_map(
-                kernel,
-                mesh=mesh,
-                in_specs=(by_read_rows, by_read),
-                out_specs=result_cols,
-            )
+            lambda enc, lengths: sharded(enc, lengths.astype(jnp.int32))
         )
 
     locate = make_batch_locate(spec, packed=packed, pack2=pack2)
@@ -1046,9 +1064,9 @@ class BatchPipelineEngine:
                                       dtype=np.int64),
                             size, width, pack2=p2,
                         )
-                        sub_len = np.zeros(size, np.int32)
-                        sub_len[:take] = (
-                            c_lens[base + off : base + off + take]
+                        sub_len = _wire_lengths(
+                            c_lens[base + off : base + off + take],
+                            size, wide,
                         )
                         XFER["h2d_bytes"] += enc.nbytes + sub_len.nbytes
                         XFER["candidates"] += take
@@ -1105,8 +1123,7 @@ class BatchPipelineEngine:
                             rev[pos, :ln] = row[:ln][::-1]
                         raw = rev
                     enc[:take] = lut[raw]
-                sub_len = np.zeros(size, np.int32)
-                sub_len[:take] = c_lens[off : off + take]
+                sub_len = _wire_lengths(c_lens[off : off + take], size, wide)
                 XFER["h2d_bytes"] += enc.nbytes + sub_len.nbytes
                 XFER["candidates"] += take
                 XFER["dp_rows"] += size * len(members)
@@ -1221,8 +1238,9 @@ class BatchPipelineEngine:
                               dtype=np.int64),
                     size, width, pack2=p2,
                 )
-                sub_len = np.zeros(size, np.int32)
-                sub_len[:take] = c_lens[base + off : base + off + take]
+                sub_len = _wire_lengths(
+                    c_lens[base + off : base + off + take], size, wide
+                )
                 XFER["h2d_bytes"] += enc.nbytes + sub_len.nbytes
                 XFER["candidates"] += take
                 XFER["dp_rows"] += size
