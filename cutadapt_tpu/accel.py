@@ -21,9 +21,13 @@ single-end, paired-end, and interleaved):
   pair-filter modes), --max-n/--max-ee/--max-aer/--discard-casava,
   {name} / paired / combinatorial demultiplexing, sinks
 
-The remaining host-only combinations are noted at their gates
-(e.g. --revcomp with --rename/name edits, side files after a filter
-step, --pair-adapters with --wildcard-file). The engine
+Cross-feature combos ride the engine too: side files with mask/
+lowercase actions, single-end --revcomp with name edits / --rename /
+--zero-cap / demultiplexing / side files (orientation-selected chunk
+before the edits), --pair-adapters with --wildcard-file. The
+remaining host-only combinations are noted at their gates (e.g.
+paired --revcomp with --rename, --revcomp with content predicates,
+side files after a filter step). The engine
 updates the very same modifier/step statistics objects the host path
 would, so reports are identical; tests/test_accel.py asserts this per
 configuration (plus tools/fuzz_parity.py over randomized configs),
@@ -383,15 +387,16 @@ def _translate_single(pipeline, fasta: bool = False):
         if isinstance(
             step, (RestFileWriter, InfoFileWriter, WildcardFileWriter)
         ):
-            # side-channel rows come from match events: need plain
-            # (non-linked, non-rc) matching, and they must run before
-            # any filter (reference step order). mask/lowercase
+            # side-channel rows come from match events and must run
+            # before any filter (reference step order). mask/lowercase
             # actions are fine: rounds trim their working windows the
             # same way, so the recorded match geometry is identical,
             # and the rows never read transformed bytes (info rows
             # slice the original read, rest/wildcard rows the match
-            # window).
-            if filters or sink is not None or rc_stage is not None:
+            # window). --revcomp is fine too: rows slice the
+            # orientation-selected chunk and info rows carry the
+            # '1'/'0' is_rc column.
+            if filters or sink is not None:
                 return None
             has_linked = any(
                 t.kind == "linked"
@@ -423,8 +428,6 @@ def _translate_single(pipeline, fasta: bool = False):
         if isinstance(step, Demultiplexer):
             if sink is not None or cutter is None:
                 return None
-            if rc_stage is not None:
-                return None  # --revcomp demux routing: host path
             writers = list(step._writers.values())
             if step._untrimmed_writer is not None:
                 writers.append(step._untrimmed_writer)
@@ -669,7 +672,8 @@ def _apply_side_stats(stats, stages, cutter, written_lengths,
 
 
 def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
-                     final_ws, final_we, precap_chunk=None):
+                     final_ws, final_we, precap_chunk=None,
+                     rc_flags=None):
     """Write --rest-file / --info-file / --wildcard-file rows for one
     chunk from the
     engine's match events (reference formats: steps.py RestFileWriter
@@ -682,7 +686,13 @@ def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
     With --zero-cap, match rows slice info.original_read on the host —
     captured before the trailing ZeroCapper ran — while unmatched -1
     rows show the current (capped) read: `precap_chunk` supplies the
-    uncapped quality bytes for the match rows (same offsets)."""
+    uncapped quality bytes for the match rows (same offsets).
+
+    With --revcomp, `chunk` is the orientation-selected chunk (the
+    host slices info.original_read.reverse_complement() for rc-chosen
+    reads) and `rc_flags` is the per-read is_rc array: info match rows
+    then carry '1'/'0' in the trailing is_rc column (InfoFileWriter.
+    RC_MAP; reference steps.py) instead of the empty string."""
     buf = chunk.buf
     match_qual_buf = (precap_chunk or chunk).buf
     hs, he = chunk.head_start, chunk.head_end
@@ -770,7 +780,10 @@ def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
                             qtext(qo[r], lo, a),
                             qtext(qo[r], a, b),
                             qtext(qo[r], b, hi),
-                            "",  # is_rc column (revcomp is host-path)
+                            # is_rc column: ''  without --revcomp,
+                            # '1'/'0' with it
+                            "" if rc_flags is None
+                            else ("1" if rc_flags[r] else "0"),
                         )
                     )
                     + "\n"
@@ -1250,6 +1263,7 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
     # emit() instead of using the suffix-at-write rc assembler
     rc_select = rc_stage_obj is not None and (
         rename is not None or name_edits or zero_cap is not None
+        or any(side.values())
     )
 
     def render(chunk, ws, we, mask, stats, writes_fasta):
@@ -1311,6 +1325,10 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
             _emit_side_files(
                 side["rest"], side["info"], side["wildcard"],
                 chunk, stats, side_stage, ws, we, precap_chunk=precap,
+                rc_flags=(
+                    stats.get("is_rc") if rc_stage_obj is not None
+                    else None
+                ),
             )
         written_lengths = None
         if demux is None:

@@ -1712,22 +1712,15 @@ class BatchPipelineEngine:
                 sel = mask[ev["reads"]]
                 if not sel.any():
                     continue
-                events.append(
-                    dict(
-                        task=ev["task"], rc=rc,
-                        reads=ev["reads"][sel],
-                        removed=ev["removed"][sel],
-                        errors=ev["errors"][sel],
-                        as_front=ev["as_front"][sel],
-                        adjacent=ev["adjacent"][sel],
-                        sub=ev["sub"][sel],
-                        # match geometry (window + window-relative
-                        # coords, valid in the chosen orientation's
-                        # chunk) for {match_sequence} rename
-                        qs=ev["qs"][sel], qe=ev["qe"][sel],
-                        ws=ev["ws"][sel], we=ev["we"][sel],
-                    )
-                )
+                # keep every per-hit field (geometry, adapter-side
+                # spans, linked-phase suffixes) — they are valid in
+                # the chosen orientation's chunk, which is what the
+                # side-channel writers and {match_sequence} slice
+                out = {"task": ev["task"], "rc": rc}
+                for k, v in ev.items():
+                    if k != "task":
+                        out[k] = v[sel] if isinstance(v, np.ndarray) else v
+                events.append(out)
         stats["is_rc"] = use_rc
         stats["rc_chunk"] = rc_chunk
         stats["revcomped"] = int((use_rc & matched_any).sum())

@@ -621,6 +621,84 @@ def test_fastpath_revcomp_with_name_edits(tmp_path, monkeypatch, name,
     assert outs["1"][1]["read_counts"]["reverse_complemented"], name
 
 
+def _make_rc_reads(path, seed=47, n=500, adapters=("AGATCGGAAGAGCACACGTC",)):
+    """Reads carrying an adapter in forward or reverse-complement
+    orientation (so --revcomp picks rc for a real share)."""
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rng = random.Random(seed)
+    with open(path, "w") as f:
+        for i in range(n):
+            L = rng.randint(24, 90)
+            s = "".join(rng.choice("ACGT") for _ in range(L))
+            if rng.random() < 0.6 and L > 28:
+                ad = rng.choice(adapters)
+                ad = "".join(
+                    rng.choice("ACGT") if c == "N" else c for c in ad
+                )
+                p = rng.randint(5, L - 12)
+                s = (s[:p] + ad + s[p:])[:L]
+                if rng.random() < 0.5:
+                    s = "".join(comp[c] for c in reversed(s))
+            q = "".join(chr(rng.randint(25, 72)) for _ in s)
+            f.write(f"@r{i}/1 c{i}\n{s}\n+\n{q}\n")
+
+
+def test_fastpath_revcomp_demux(tmp_path, monkeypatch):
+    """--revcomp with {name} demultiplexing: routing ids come from the
+    winning orientation's last match."""
+    spy = _spy_engagement(monkeypatch)
+    b3 = "TTAGGCCAATTAGGCCTTAG"
+    inp = tmp_path / "rd.fastq"
+    _make_rc_reads(inp, seed=53, adapters=(A3, b3))
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        d = tmp_path / f"rd-{env}"
+        d.mkdir()
+        main(["--quiet", "-a", "alpha=" + A3, "-a", "beta=" + b3,
+              "--revcomp", "--untrimmed-output", str(d / "untr.fastq"),
+              "-o", str(d / "dm-{name}.fastq"), str(inp)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        outs[env] = {
+            p.name: p.read_bytes() for p in sorted(d.iterdir())
+        }
+    assert outs["1"] == outs["0"]
+    assert len(outs["1"]) == 3
+
+
+@pytest.mark.parametrize("extra", [
+    [],
+    ["--zero-cap"],
+    ["--strip-suffix", "/1", "-y", " k{name}"],
+], ids=["plain", "zerocap", "edits"])
+def test_fastpath_revcomp_side_files(tmp_path, monkeypatch, extra):
+    """--revcomp with --rest-file / --info-file / --wildcard-file:
+    rows slice the orientation-selected chunk and info match rows
+    carry the '1'/'0' is_rc column (InfoFileWriter.RC_MAP)."""
+    spy = _spy_engagement(monkeypatch)
+    an = "AGATCNGAAGAGCNCACGTC"
+    inp = tmp_path / "rs.fastq"
+    _make_rc_reads(inp, seed=59, adapters=(an,))
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        d = tmp_path / f"rs-{env}"
+        d.mkdir()
+        main(["--quiet", "-u", "2", "-a", "a1=" + an, "--revcomp"]
+             + extra +
+             ["-r", str(d / "rest.txt"), "--info-file", str(d / "info.tsv"),
+              "--wildcard-file", str(d / "wild.txt"),
+              "-o", str(d / "o.fastq"), str(inp)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        outs[env] = {
+            p.name: p.read_bytes() for p in sorted(d.iterdir())
+        }
+    assert outs["1"] == outs["0"]
+    assert b"\t1\n" in outs["1"]["info.tsv"], "no rc-flagged info rows"
+
+
 def test_fastpath_info_file_with_zero_cap(tmp_path, monkeypatch):
     """--zero-cap + --info-file: the host writes match rows from
     info.original_read (quals captured BEFORE the cap) but -1 rows

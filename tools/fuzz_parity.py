@@ -26,6 +26,9 @@ A5 = "CTGTCTCTTATACACATCT"
 AW = "ANGATNACGGA"
 
 
+_COMP = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+
+
 def _records(rng, ad, n, fasta, qual_lo, casava, pair_tag=None):
     recs = []
     for i in range(n):
@@ -34,6 +37,10 @@ def _records(rng, ad, n, fasta, qual_lo, casava, pair_tag=None):
         if rng.random() < 0.5 and L > 24:
             pos = rng.randint(0, L - 20)
             s = (s[:pos] + ad + s[pos:])[:L]
+            if rng.random() < 0.25:
+                # reverse-complement the whole read so --revcomp
+                # genuinely picks the rc orientation for a share
+                s = "".join(_COMP[c] for c in reversed(s))
         com = f"1:{'Y' if i % 2 else 'N'}:0:AT" if casava else f"c{i}"
         name = f"f{i}/{pair_tag}" if pair_tag else f"f{i}"
         if fasta:
