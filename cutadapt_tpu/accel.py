@@ -446,13 +446,6 @@ def _translate_single(pipeline, fasta: bool = False):
             "too_many_expected_errors", "too_high_average_error_rate",
         ):
             return None  # quality-based predicates need FASTQ
-        if rc_stage is not None and t[0] in (
-            "too_many_expected_errors", "too_high_average_error_rate",
-            "too_many_n",
-        ):
-            # content predicates would read forward bytes for reads
-            # whose reverse complement was chosen
-            return None
         filters.append(FilterSpec(t[0], t[1], step))
     if (
         rc_stage is not None

@@ -1779,21 +1779,39 @@ class BatchPipelineEngine:
         filter_counts = []
         filter_dropped = []
         lengths = win_stop - win_start
-        capped = None
-        for f in self.filters:
-            fchunk = chunk
+        capped = {}
+        # content-reading predicates must see the chosen orientation's
+        # bytes under --revcomp: evaluate on both chunks, select per
+        # read (the rc copy shares all offsets, so the same windows
+        # apply)
+        content_kinds = (
+            "too_many_n", "too_many_expected_errors",
+            "too_high_average_error_rate",
+        )
+        is_rc = stats.get("is_rc")
+        rc_chunk = stats.get("rc_chunk")
+
+        def cond(f, src):
+            fchunk = src
             if self.qual_cap_base is not None and f.kind in (
                 "too_many_expected_errors", "too_high_average_error_rate"
             ):
-                if capped is None:
+                if id(src) not in capped:
                     from .io.chunks import zero_cap_chunk
 
-                    capped = zero_cap_chunk(chunk, self.qual_cap_base)
-                fchunk = capped
-            drop = filter_condition(
+                    capped[id(src)] = zero_cap_chunk(
+                        src, self.qual_cap_base
+                    )
+                fchunk = capped[id(src)]
+            return filter_condition(
                 f.kind, f.threshold, fchunk, win_start, win_stop,
                 lengths, matched_any,
             )
+
+        for f in self.filters:
+            drop = cond(f, chunk)
+            if is_rc is not None and f.kind in content_kinds:
+                drop = np.where(is_rc, cond(f, rc_chunk), drop)
             newly = drop & keep
             filter_counts.append(int(newly.sum()))
             filter_dropped.append(newly)

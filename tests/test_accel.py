@@ -643,6 +643,44 @@ def _make_rc_reads(path, seed=47, n=500, adapters=("AGATCGGAAGAGCACACGTC",)):
             f.write(f"@r{i}/1 c{i}\n{s}\n+\n{q}\n")
 
 
+def test_fastpath_revcomp_content_predicates(tmp_path, monkeypatch):
+    """--revcomp with --max-n/--max-ee/--max-aer: the predicates must
+    read the chosen orientation's window bytes (N counts and quality
+    sums over a trimmed window differ between orientations)."""
+    spy = _spy_engagement(monkeypatch)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+    rng = random.Random(67)
+    inp = tmp_path / "cf.fastq"
+    with open(inp, "w") as f:
+        for i in range(600):
+            L = rng.randint(24, 90)
+            s = "".join(rng.choice("ACGTACGTN") for _ in range(L))
+            if rng.random() < 0.6 and L > 28:
+                p = rng.randint(5, L - 12)
+                s = (s[:p] + A3 + s[p:])[:L]
+                if rng.random() < 0.5:
+                    s = "".join(comp[c] for c in reversed(s))
+            q = "".join(chr(rng.randint(35, 72)) for _ in s)
+            f.write(f"@n{i}\n{s}\n+\n{q}\n")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"cfo-{env}.fastq"
+        rep = tmp_path / f"cfrep-{env}.json"
+        main(["--quiet", "--json", str(rep), "-q", "10", "-a", "a1=" + A3,
+              "--revcomp", "--max-n", "2", "--max-ee", "6",
+              "--max-aer", "0.01", "-m", "12",
+              "-o", str(out), str(inp)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        r = json.load(open(rep))
+        r["command_line_arguments"] = None
+        outs[env] = (out.read_bytes(), r)
+    assert outs["1"] == outs["0"]
+    filtered = outs["1"][1]["read_counts"]["filtered"]
+    assert filtered["too_many_n"], "max-n filter never fired"
+
+
 def test_fastpath_revcomp_demux(tmp_path, monkeypatch):
     """--revcomp with {name} demultiplexing: routing ids come from the
     winning orientation's last match."""
