@@ -23,11 +23,11 @@ single-end, paired-end, and interleaved):
 
 Cross-feature combos ride the engine too: side files with mask/
 lowercase actions, single-end --revcomp with name edits / --rename /
---zero-cap / demultiplexing / side files (orientation-selected chunk
-before the edits), --pair-adapters with --wildcard-file. The
-remaining host-only combinations are noted at their gates (e.g.
-paired --revcomp with --rename, --revcomp with content predicates,
-side files after a filter step). The engine
+--zero-cap / demultiplexing / side files / content predicates
+(orientation-selected chunk before the edits), --pair-adapters with
+--wildcard-file. The remaining host-only combinations are noted at
+their gates (e.g. paired --revcomp with --rename, side files after a
+filter step). The engine
 updates the very same modifier/step statistics objects the host path
 would, so reports are identical; tests/test_accel.py asserts this per
 configuration (plus tools/fuzz_parity.py over randomized configs),
@@ -37,6 +37,13 @@ and the whole golden suite passes with CUTADAPT_TPU_BATCH=1 forced
 Activation policy: CUTADAPT_TPU_BATCH=1 forces it on, =0 off; auto
 mode activates for inputs large enough that device compile time
 amortizes. jax imports lazily so small runs never pay for it.
+
+Drivers: at -j 1 a 3-stage thread pipeline (reader / dispatch /
+in-order emit); at -j N a pool of N host workers each running the
+full chunk pipeline with an in-order write committer (_pooled_drive)
+— the batch-path analog of the reference's multicore runner, with
+the alignment moved to the device and the workers parallelizing the
+device-feeding stages instead. CUTADAPT_TPU_WORKERS overrides N.
 """
 
 import os
@@ -58,6 +65,143 @@ CHUNK_RECORDS_BYTES = int(
 )
 
 _STAGE_END = object()
+
+# Multi-worker drive support: emit() bodies route every output-file
+# write through _write(); in the worker pool each chunk's writes are
+# captured into a thread-local list and replayed in input order by the
+# committer thread, so N workers produce byte-identical files to the
+# serial drive. All statistics folds are order-independent merges
+# (+= on counters and histograms) and run in the workers under
+# _STATS_LOCK.
+_CAPTURE = threading.local()
+_STATS_LOCK = threading.RLock()
+
+
+def _write(fh, data) -> None:
+    """Write `data` to output handle `fh` — immediately on the serial
+    drive, deferred to the in-order committer on the pooled drive."""
+    cap = getattr(_CAPTURE, "items", None)
+    if cap is None:
+        fh.write(data)
+    else:
+        cap.append((fh, data))
+
+
+def _drive(producer, submit, emit, cores: int = 1) -> None:
+    """Run the chunk pipeline with the driver matching `cores`:
+    the 3-stage thread pipeline at 1 core (reader / dispatch /
+    in-order emit), or a pool of `cores` full-pipeline workers with
+    an in-order write committer (host parse/encode/DP-collect/assembly
+    parallelize across cores; see BASELINE.md "Local-PCIe plateau").
+    CUTADAPT_TPU_WORKERS overrides the worker count."""
+    env = os.environ.get("CUTADAPT_TPU_WORKERS")
+    workers = int(env) if env else cores
+    if workers <= 1:
+        _pipelined_drive(producer, submit, emit)
+    else:
+        _pooled_drive(producer, submit, emit, workers)
+
+
+def _pooled_drive(producer, submit, emit, workers: int,
+                  depth: Optional[int] = None) -> None:
+    """Drive the batch pipeline with `workers` threads, each running
+    the full host side for its chunk: submit (prefilter + encode +
+    device dispatch) then emit (result fetch, assembly, stats folds,
+    captured writes). The committer (this thread) replays each chunk's
+    captured output writes strictly in input order, so files are
+    byte-identical to the serial drive; statistics folds commute and
+    run in the workers under _STATS_LOCK.
+
+    The device stays fed because a worker blocking on its chunk's DP
+    results leaves the other workers' dispatch/encode running; the
+    hot host work is C++/numpy that releases the GIL, so the stages
+    genuinely overlap on a multi-core host. This is the batch-path
+    analog of the reference's multi-worker runner (reference
+    runners.py:275-412) with DP work moved to the device: workers
+    parallelize the device-feeding stages instead of the alignment.
+    """
+    if depth is None:
+        depth = workers + 2
+    work_q: queue.Queue = queue.Queue(maxsize=depth)
+    done = {}
+    cv = threading.Condition()
+    total = [None]  # chunk count, set once the producer is exhausted
+    stop = threading.Event()
+
+    def read_stage():
+        seq = 0
+        try:
+            for item in producer:
+                if stop.is_set():
+                    break
+                work_q.put((seq, item))
+                seq += 1
+        except BaseException as e:  # noqa: BLE001 - forwarded in order
+            with cv:
+                done[seq] = ("err", e)
+            seq += 1
+        finally:
+            with cv:
+                total[0] = seq
+                cv.notify_all()
+            work_q.put(_STAGE_END)
+
+    def work_stage():
+        while True:
+            got = work_q.get()
+            if got is _STAGE_END:
+                work_q.put(_STAGE_END)  # release sibling workers
+                return
+            seq, item = got
+            if stop.is_set():
+                res = ("skip", None)
+            else:
+                cap = []
+                _CAPTURE.items = cap
+                try:
+                    emit(submit(item))
+                    res = ("ok", cap)
+                except BaseException as e:  # noqa: BLE001
+                    res = ("err", e)
+                finally:
+                    _CAPTURE.items = None
+            with cv:
+                done[seq] = res
+                cv.notify_all()
+
+    reader = threading.Thread(target=read_stage, daemon=True)
+    pool = [
+        threading.Thread(target=work_stage, daemon=True)
+        for _ in range(workers)
+    ]
+    reader.start()
+    for t in pool:
+        t.start()
+    failure = None
+    next_seq = 0
+    while True:
+        with cv:
+            while next_seq not in done and (
+                total[0] is None or next_seq < total[0]
+            ):
+                cv.wait()
+            if next_seq not in done:
+                break  # every produced chunk has been committed
+            kind, payload = done.pop(next_seq)
+        next_seq += 1
+        if kind == "ok" and failure is None:
+            for fh, data in payload:
+                fh.write(data)
+        elif kind == "err" and failure is None:
+            # first error in input order wins, like the serial drive;
+            # later chunks drain without committing
+            failure = payload
+            stop.set()
+    reader.join()
+    for t in pool:
+        t.join()
+    if failure is not None:
+        raise failure
 
 
 def _pipelined_drive(producer, submit, emit, depth: int = 2) -> None:
@@ -541,15 +685,32 @@ def _make_stats_reducer():
     return DeviceStatsReducer(mesh)
 
 
+def _locked(fn):
+    """Serialize a stats-folding helper under _STATS_LOCK (reentrant:
+    _apply_side_stats calls the _record_* helpers)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*a, **kw):
+        with _STATS_LOCK:
+            return fn(*a, **kw)
+
+    return wrapper
+
+
 _ADJ_KEYS = ("A", "C", "G", "T", "")
 _ADJ_CODE = np.full(256, 4, np.int8)
 for _b_i, _b in enumerate(b"ACGT"):
     _ADJ_CODE[_b] = _b_i
 
 
+@_locked
 def _record_removals(end, removed, errors, reducer=None):
     """Fold a removal event batch into EndStatistics — via the device
-    reducer when given, else host-side per unique (length, errors)."""
+    reducer when given, else host-side per unique (length, errors).
+    Like every _record_* helper, serialized by _STATS_LOCK: the pooled
+    drive folds from several worker threads (order-independent +=
+    merges, so only exclusion is needed, not ordering)."""
     if reducer is not None:
         def fold(hist, end=end):
             for ln, er in zip(*np.nonzero(hist)):
@@ -564,6 +725,7 @@ def _record_removals(end, removed, errors, reducer=None):
         end.record_removal(int(p // base), int(p % base), int(c))
 
 
+@_locked
 def _record_adjacent(end, adj_bytes, reducer=None):
     """Adjacent-base tallies (byte 0 and non-ACGT count as '')."""
     codes = _ADJ_CODE[np.asarray(adj_bytes, np.uint8)]
@@ -581,6 +743,7 @@ def _record_adjacent(end, adj_bytes, reducer=None):
             end.adjacent_bases[_ADJ_KEYS[i]] += int(c)
 
 
+@_locked
 def _record_written(wl, side, reducer=None, values=None, hist=None):
     """Written-length histogram for one side: values (per-read kept
     lengths) ride the reducer; hist is the precomputed host bincount."""
@@ -601,6 +764,7 @@ def _hist_to_values(hist):
     return np.repeat(np.arange(len(hist)), hist)
 
 
+@_locked
 def _record_filtered(step, mask, reducer=None):
     """Filter counter for one step: psum'd popcount on the reducer."""
     if reducer is not None:
@@ -612,6 +776,7 @@ def _record_filtered(step, mask, reducer=None):
     step._filtered += int(mask.sum())
 
 
+@_locked
 def _apply_side_stats(stats, stages, cutter, written_lengths,
                       reducer=None):
     """Fold one chunk's engine stats for one side into the host
@@ -639,11 +804,19 @@ def _apply_side_stats(stats, stages, cutter, written_lengths,
             rem = np.asarray(ev["removed"])
             err = np.asarray(ev["errors"])
             adj = np.asarray(ev["adjacent"])
+            # linked adapters emit two events per round (one per
+            # phase) but the host path credits reverse_complemented
+            # once per LinkedMatch; `primary` marks the per-read row
+            prim = (
+                np.asarray(ev["primary"], bool) if "primary" in ev else None
+            )
             for s in (np.unique(sub) if len(sub) else ()):
                 m = sub == s
                 astats = cutter.adapter_statistics[task.adapters[int(s)]]
                 if ev_rc:
-                    astats.reverse_complemented += int(m.sum())
+                    astats.reverse_complemented += int(
+                        m.sum() if prim is None else (m & prim).sum()
+                    )
                 fm = m & asf
                 bm = m & ~asf
                 if fm.any():
@@ -713,8 +886,9 @@ def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
             else:
                 lo, hi = w0 + int(ev["qe"][j]), w1
             if hi > lo:
-                rest_fh.write(
-                    f"{text(ss[r], lo, hi)} {text(hs[r], 0, he[r] - hs[r])}\n"
+                _write(
+                    rest_fh,
+                    f"{text(ss[r], lo, hi)} {text(hs[r], 0, he[r] - hs[r])}\n",
                 )
 
     if wildcard_fh is not None:
@@ -730,8 +904,9 @@ def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
                 for i in range(astop - astart)
                 if adapter_seq[astart + i] == "N" and rel + i < window_len
             ]
-            wildcard_fh.write(
-                f"{''.join(chars)} {text(hs[r], 0, he[r] - hs[r])}\n"
+            _write(
+                wildcard_fh,
+                f"{''.join(chars)} {text(hs[r], 0, he[r] - hs[r])}\n",
             )
 
     if info_fh is not None:
@@ -785,7 +960,7 @@ def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
                     lo = b
                 else:
                     hi = a
-        info_fh.write("".join(rows))
+        _write(info_fh, "".join(rows))
 
 
 def _make_name_editor(edits, rename, chunk, stats, adapter_names,
@@ -1142,22 +1317,27 @@ def _input_format(infile) -> Optional[str]:
     return None
 
 
-def try_run_accelerated(pipeline, infiles, progress) -> Optional[Statistics]:
+def try_run_accelerated(
+    pipeline, infiles, progress, cores: int = 1
+) -> Optional[Statistics]:
     """
     Run the pipeline through the batched engine if eligible; return the
     collected Statistics, or None if the configuration is not eligible
-    (caller falls back to the host path).
+    (caller falls back to the host path). `cores` (the CLI's -j) sets
+    the host worker count feeding the device — see _pooled_drive.
     """
     from .pipeline import PairedEndPipeline, SingleEndPipeline
 
     if isinstance(pipeline, SingleEndPipeline):
-        return _run_single(pipeline, infiles, progress)
+        return _run_single(pipeline, infiles, progress, cores)
     if isinstance(pipeline, PairedEndPipeline):
-        return _run_paired(pipeline, infiles, progress)
+        return _run_paired(pipeline, infiles, progress, cores)
     return None
 
 
-def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
+def _run_single(
+    pipeline, infiles, progress, cores: int = 1
+) -> Optional[Statistics]:
     if infiles.interleaved or len(infiles._files) != 1:
         return None
     infile = infiles._files[0]
@@ -1325,7 +1505,9 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
             )
         written_lengths = None
         if demux is None:
-            out_file.write(render(chunk, ws, we, keep, stats, out_fasta))
+            _write(
+                out_file, render(chunk, ws, we, keep, stats, out_fasta)
+            )
             written_lengths = sink._statistics
         else:
             gids = stats["last_adapter_gid"]
@@ -1354,7 +1536,9 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
                 _record_filtered(demux, keep & (gids == -1), reducer)
             for (ff, writes_fasta), mask in per_file.values():
                 if mask is not None and mask.any():
-                    ff.write(render(chunk, ws, we, mask, stats, writes_fasta))
+                    _write(
+                        ff, render(chunk, ws, we, mask, stats, writes_fasta)
+                    )
                     _record_written(
                         dl, 1, reducer, values=lens_out[mask]
                     )
@@ -1362,19 +1546,23 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
         # filter dropped, in input order, with their state at drop time
         for out, newly in zip(filter_files, stats["filter_dropped_masks"]):
             if out is not None and newly.any():
-                out[0].write(render(chunk, ws, we, newly, stats, out[1]))
+                _write(out[0], render(chunk, ws, we, newly, stats, out[1]))
         if reducer is None:
-            for f, count in zip(filters, stats.get("filter_counts", ())):
-                f.step._filtered += count
+            with _STATS_LOCK:
+                for f, count in zip(
+                    filters, stats.get("filter_counts", ())
+                ):
+                    f.step._filtered += count
         else:
             for f, newly in zip(filters, stats["filter_dropped_masks"]):
                 _record_filtered(f.step, newly, reducer)
-        total_bp += _apply_side_stats(
-            stats, stages, cutter, written_lengths, reducer
-        )
-        n += stats["n"]
-        if progress is not None:
-            progress.update(stats["n"])
+        with _STATS_LOCK:
+            total_bp += _apply_side_stats(
+                stats, stages, cutter, written_lengths, reducer
+            )
+            n += stats["n"]
+            if progress is not None:
+                progress.update(stats["n"])
 
     if fasta_in:
         def producer():
@@ -1405,7 +1593,7 @@ def _run_single(pipeline, infiles, progress) -> Optional[Statistics]:
             parse_fastq_chunk(data)
             for data in read_chunks(infile, CHUNK_RECORDS_BYTES)
         )
-    _pipelined_drive(chunks_iter, engine.submit, emit)
+    _drive(chunks_iter, engine.submit, emit, cores)
     if reducer is not None:
         reducer.fold()  # one D2H of the psum'd counters
     infiles.close()
@@ -2038,13 +2226,19 @@ def _run_rc_pair(engines, rc_pair, chunks, windows):
                 asf = np.asarray(ev["as_front"][sel], bool)
                 adj = ev["adjacent"][sel]
                 sub = ev["sub"][sel]
+                prim = (
+                    np.asarray(ev["primary"], bool)[sel]
+                    if "primary" in ev else None
+                )
                 for s in np.unique(sub):
                     m = sub == s
                     astats = cutter.adapter_statistics[
                         task.adapters[int(s)]
                     ]
                     astats.reverse_complemented += int(
-                        use_rc[reads[m]].sum()
+                        use_rc[
+                            reads[m if prim is None else (m & prim)]
+                        ].sum()
                     )
                     fm = m & asf
                     bm = m & ~asf
@@ -2147,7 +2341,7 @@ def _paired_demux_router(demux, stages1, stages2, pair_stage=None,
             (writer._writer1, c1, ws1, we1, st1, 1),
             (writer._writer2, c2, ws2, we2, st2, 2),
         ):
-            w._file.write(render_for(w, side)(c, ws, we, mask, st))
+            _write(w._file, render_for(w, side)(c, ws, we, mask, st))
             _record_written(
                 demux._statistics, side, reducer,
                 values=(we - ws)[mask],
@@ -2276,7 +2470,9 @@ def _interleaved_parsed_chunks(file, size, fasta=False):
         )
 
 
-def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
+def _run_paired(
+    pipeline, infiles, progress, cores: int = 1
+) -> Optional[Statistics]:
     interleaved_in = infiles.interleaved
     if interleaved_in:
         if len(infiles._files) != 1:
@@ -2467,7 +2663,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         wea[0::2], wea[1::2] = we1, we2
         kp[0::2] = kp[1::2] = mask
         asm = assemble_fasta_window if out_fasta else assemble_window
-        dest.write(asm(full, wsa, wea, kp))
+        _write(dest, asm(full, wsa, wea, kp))
 
     def emit(pend1, pend2, full):
         nonlocal n, bp1, bp2
@@ -2574,11 +2770,13 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
                         isinstance(step.writer._writer, FastaWriter),
                     )
                 else:
-                    step.writer._writer1._file.write(
-                        renders[0](c1, ws1, we1, newly, stats1)
+                    _write(
+                        step.writer._writer1._file,
+                        renders[0](c1, ws1, we1, newly, stats1),
                     )
-                    step.writer._writer2._file.write(
-                        renders[1](c2, ws2, we2, newly, stats2)
+                    _write(
+                        step.writer._writer2._file,
+                        renders[1](c2, ws2, we2, newly, stats2),
                     )
             keep &= ~drop
         if demux is not None:
@@ -2590,15 +2788,20 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
             _record_written(wl, 1, reducer, values=len1[keep])
             _record_written(wl, 2, reducer, values=len2[keep])
         else:
-            out1.write(render1(c1, ws1, we1, keep, stats1))
-            out2.write(render2(c2, ws2, we2, keep, stats2))
+            _write(out1, render1(c1, ws1, we1, keep, stats1))
+            _write(out2, render2(c2, ws2, we2, keep, stats2))
             _record_written(wl, 1, reducer, values=len1[keep])
             _record_written(wl, 2, reducer, values=len2[keep])
-        bp1 += _apply_side_stats(stats1, stages1, cutters[0], None, reducer)
-        bp2 += _apply_side_stats(stats2, stages2, cutters[1], None, reducer)
-        n += stats1["n"]
-        if progress is not None:
-            progress.update(stats1["n"])
+        with _STATS_LOCK:
+            bp1 += _apply_side_stats(
+                stats1, stages1, cutters[0], None, reducer
+            )
+            bp2 += _apply_side_stats(
+                stats2, stages2, cutters[1], None, reducer
+            )
+            n += stats1["n"]
+            if progress is not None:
+                progress.update(stats1["n"])
 
     def chunk_pairs():
         if interleaved_in:
@@ -2629,7 +2832,7 @@ def _run_paired(pipeline, infiles, progress) -> Optional[Statistics]:
         check_names(p1, p2)
         return (engine1.submit(p1), engine2.submit(p2), full)
 
-    _pipelined_drive(chunk_pairs(), submit_pair, lambda item: emit(*item))
+    _drive(chunk_pairs(), submit_pair, lambda item: emit(*item), cores)
     if reducer is not None:
         reducer.fold()  # one D2H of the psum'd counters
     infiles.close()

@@ -27,6 +27,7 @@ MultipleAdapters.match_to at adapters.py:1265-1286.
 """
 
 import os
+import threading
 from functools import lru_cache
 from typing import List, Optional, Sequence
 
@@ -108,6 +109,17 @@ def get_shard_mesh():
 # bytes-on-wire per read and DP rows per candidate are properties of
 # the code, not of the link's mood. bench.py reports them.
 XFER = {"h2d_bytes": 0, "d2h_bytes": 0, "candidates": 0, "dp_rows": 0}
+# dispatches may run on several driver worker threads; += on dict
+# entries is not atomic under the GIL
+_XFER_LOCK = threading.Lock()
+
+
+def _xfer_add(h2d=0, d2h=0, candidates=0, dp_rows=0) -> None:
+    with _XFER_LOCK:
+        XFER["h2d_bytes"] += h2d
+        XFER["d2h_bytes"] += d2h
+        XFER["candidates"] += candidates
+        XFER["dp_rows"] += dp_rows
 
 
 def reset_xfer_counters() -> None:
@@ -438,6 +450,11 @@ class AdapterTask:
             )
 
             spec = self.spec
+            # ScalarAligner.locate is thread-safe (thread-local
+            # scratch); publish _byte_lut before _scalar so a
+            # concurrent driver worker never sees the aligner
+            # without its lut
+            self._byte_lut = query_lut(spec)
             self._scalar = native.ScalarAligner(
                 encode_reference(spec).tobytes(),
                 n_counts(spec),
@@ -449,7 +466,6 @@ class AdapterTask:
                 spec.indel_cost,
                 spec.min_overlap,
             )
-            self._byte_lut = query_lut(spec)
         n = len(starts)
         found = np.zeros(n, bool)
         qs = np.zeros(n, np.int32)
@@ -1068,9 +1084,9 @@ class BatchPipelineEngine:
                             c_lens[base + off : base + off + take],
                             size, wide,
                         )
-                        XFER["h2d_bytes"] += enc.nbytes + sub_len.nbytes
-                        XFER["candidates"] += take
-                        XFER["dp_rows"] += size * len(members)
+                        _xfer_add(h2d=enc.nbytes + sub_len.nbytes,
+                                  candidates=take,
+                                  dp_rows=size * len(members))
                         dev_enc = jax.device_put(enc)
                         dev_len = jax.device_put(sub_len)
                         for i in members:
@@ -1124,9 +1140,8 @@ class BatchPipelineEngine:
                         raw = rev
                     enc[:take] = lut[raw]
                 sub_len = _wire_lengths(c_lens[off : off + take], size, wide)
-                XFER["h2d_bytes"] += enc.nbytes + sub_len.nbytes
-                XFER["candidates"] += take
-                XFER["dp_rows"] += size * len(members)
+                _xfer_add(h2d=enc.nbytes + sub_len.nbytes,
+                          candidates=take, dp_rows=size * len(members))
                 dev_enc = jax.device_put(enc)
                 dev_len = jax.device_put(sub_len)
                 for i in members:
@@ -1241,9 +1256,8 @@ class BatchPipelineEngine:
                 sub_len = _wire_lengths(
                     c_lens[base + off : base + off + take], size, wide
                 )
-                XFER["h2d_bytes"] += enc.nbytes + sub_len.nbytes
-                XFER["candidates"] += take
-                XFER["dp_rows"] += size
+                _xfer_add(h2d=enc.nbytes + sub_len.nbytes,
+                          candidates=take, dp_rows=size)
                 fut = task.step(enc, sub_len, wide=wide, pack2=p2)
                 try:
                     fut.copy_to_host_async()
@@ -1374,7 +1388,7 @@ class BatchPipelineEngine:
                 continue
             off, count, dev, wide = fut
             arr = np.asarray(dev)
-            XFER["d2h_bytes"] += arr.nbytes
+            _xfer_add(d2h=arr.nbytes)
             if wide:
                 f = arr[0, :count].astype(bool)
                 qs, qe, er, sc = (
@@ -1499,6 +1513,12 @@ class BatchPipelineEngine:
                              adjacent=np.zeros(len(fh), np.uint8),
                              sub=np.zeros(len(fh), np.int32),
                              suffix=";1",
+                             # per-read stats (on_reverse_complement)
+                             # credit one LinkedMatch per read per
+                             # round, not one per phase: the 5' phase
+                             # event is the primary, the 3' phase
+                             # event only for back-only matches
+                             primary=np.ones(len(fh), bool),
                              qs=res["front_qs"][pos][ffm],
                              qe=f_qe_all[ffm],
                              ws=ws0[ffm], we=we0[ffm])
@@ -1521,6 +1541,7 @@ class BatchPipelineEngine:
                              adjacent=adjacent,
                              sub=np.zeros(len(bh), np.int32),
                              suffix=";2",
+                             primary=(~ffm)[bfm],
                              qs=b_qs,
                              qe=res["back_qe"][pos][bfm],
                              ws=post_ws, we=we0[bfm])

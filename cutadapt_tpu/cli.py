@@ -1251,7 +1251,9 @@ def _run_pipeline(args, cores, input_paths, file_opener, progress,
 
         runner = SerialPipelineRunner(input_paths.open())
         outfiles, pipeline = build_outfiles_and_pipeline(runner, proxied=False)
-        stats = try_run_accelerated(pipeline, runner._infiles, progress)
+        stats = try_run_accelerated(
+            pipeline, runner._infiles, progress, cores=cores
+        )
         if stats is not None:
             return stats, outfiles
         runner.close()

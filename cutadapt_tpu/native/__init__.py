@@ -194,17 +194,23 @@ def fastq_parse(buf: np.ndarray):
 
 class ScalarAligner:
     """Per-read C++ aligner bound to one reference (the host path's
-    hot loop). Same results as align.py Aligner.locate."""
+    hot loop). Same results as align.py Aligner.locate.
 
-    __slots__ = ("_args", "_out", "_work")
+    Thread-safe: the output and DP work buffers live in thread-local
+    storage, so one instance may be shared by the batch driver's
+    worker pool (each call gets its own scratch)."""
+
+    __slots__ = ("_args", "_m", "_tls")
 
     def __init__(self, reference: bytes, n_counts, effective_length: int,
                  max_error_rate: float, flags: int, compare_ascii: bool,
                  wildcard_ref: bool, indel_cost: int, min_overlap: int):
+        import threading
+
         m = len(reference)
         nc = (ctypes.c_int32 * (m + 1))(*n_counts)
-        self._out = (ctypes.c_int64 * 6)()
-        self._work = (ctypes.c_int32 * (3 * (m + 1)))()
+        self._m = m
+        self._tls = threading.local()
         self._args = (
             reference, m, nc, effective_length,
             float(max_error_rate), int(flags), int(compare_ascii),
@@ -212,13 +218,19 @@ class ScalarAligner:
         )
 
     def locate(self, query: bytes):
+        tls = self._tls
+        try:
+            out, work = tls.buffers
+        except AttributeError:
+            out = (ctypes.c_int64 * 6)()
+            work = (ctypes.c_int32 * (3 * (self._m + 1)))()
+            tls.buffers = (out, work)
         found = _lib.aligner_locate(
-            *self._args, query, len(query), self._out, self._work
+            *self._args, query, len(query), out, work
         )
         if not found:
             return None
-        o = self._out
-        return (o[0], o[1], o[2], o[3], o[4], o[5])
+        return (out[0], out[1], out[2], out[3], out[4], out[5])
 
 
 class ScalarKmerMatcher:

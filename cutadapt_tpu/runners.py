@@ -361,15 +361,18 @@ class ParallelPipelineRunner(PipelineRunner):
 class SerialPipelineRunner(PipelineRunner):
     """Run a pipeline in-process (device engine when eligible)."""
 
-    def __init__(self, infiles: InputFiles):
+    def __init__(self, infiles: InputFiles, cores: int = 1):
         self._infiles = infiles
+        self._cores = cores
 
     def run(
         self, pipeline: Pipeline, progress: Progress, outfiles: OutputFiles
     ) -> Statistics:
         from .accel import try_run_accelerated
 
-        stats = try_run_accelerated(pipeline, self._infiles, progress)
+        stats = try_run_accelerated(
+            pipeline, self._infiles, progress, cores=self._cores
+        )
         if stats is not None:
             return stats
         (n, bp1, bp2) = pipeline.process_reads(self._infiles, progress=progress)

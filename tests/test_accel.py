@@ -102,8 +102,8 @@ def _spy_engagement(monkeypatch):
     state = {}
     original = accel_mod.try_run_accelerated
 
-    def spy(pipeline, infiles, progress):
-        result = original(pipeline, infiles, progress)
+    def spy(pipeline, infiles, progress, *args, **kwargs):
+        result = original(pipeline, infiles, progress, *args, **kwargs)
         state["engaged"] = result is not None
         return result
 
@@ -1045,3 +1045,115 @@ def test_fastpath_bam_input(tmp_path, monkeypatch):
         outs[env] = out.read_bytes()
     assert outs["1"] == outs["0"]
     assert outs["1"].startswith(b"@")
+
+
+def test_pooled_drive_single_end(tmp_path, monkeypatch):
+    """-j N on the batch path: N worker threads each run the full host
+    side for their chunk and the committer replays output writes in
+    input order — every file must be byte-identical to the serial
+    drive (demux outputs, side files, and routed filter outputs
+    included), and the order-independent stats folds must produce an
+    identical report."""
+    spy = _spy_engagement(monkeypatch)
+    rng = random.Random(71)
+    inp = tmp_path / "pool.fastq"
+    with open(inp, "w") as f:
+        for i in range(4000):
+            L = rng.randint(18, 100)
+            s = "".join(rng.choice("ACGTN") for _ in range(L))
+            if rng.random() < 0.5 and L > 28:
+                p = rng.randint(3, L - 18)
+                s = (s[:p] + A3 + s[p:])[:L]
+            q = "".join(chr(rng.randint(35, 72)) for _ in s)
+            f.write(f"@w{i} c\n{s}\n+\n{q}\n")
+    # small chunks so several are in flight per worker
+    monkeypatch.setenv("CUTADAPT_TPU_CHUNK_BYTES", "40000")
+    monkeypatch.setenv("CUTADAPT_TPU_BATCH", "1")
+    outs = {}
+    for workers in ("1", "3"):
+        monkeypatch.setenv("CUTADAPT_TPU_WORKERS", workers)
+        d = tmp_path / f"po-{workers}"
+        d.mkdir()
+        main(["--quiet", "--json", str(d / "r.json"),
+              "-a", "a1=" + A3, "-q", "10", "-m", "12", "--max-n", "3",
+              "--info-file", str(d / "info.txt"),
+              "--too-short-output", str(d / "short.fastq"),
+              "-o", str(d / "out.fastq"), str(inp)])
+        assert spy.get("engaged"), "batch path did not engage"
+        rep = json.load(open(d / "r.json"))
+        rep["command_line_arguments"] = None
+        outs[workers] = (
+            (d / "out.fastq").read_bytes(),
+            (d / "short.fastq").read_bytes(),
+            (d / "info.txt").read_bytes(),
+            rep,
+        )
+    assert outs["1"] == outs["3"]
+
+
+def test_pooled_drive_paired_demux(tmp_path, monkeypatch):
+    """Paired pooled drive with {name} demultiplexing: per-file record
+    order and the merged written-length statistics must not depend on
+    worker completion order."""
+    spy = _spy_engagement(monkeypatch)
+    rng = random.Random(72)
+    barcodes = ["ACGTACGT", "TTGGCCAA"]
+    in1 = tmp_path / "p1.fastq"
+    in2 = tmp_path / "p2.fastq"
+    with open(in1, "w") as f1, open(in2, "w") as f2:
+        for i in range(3000):
+            L = rng.randint(20, 90)
+            s1 = "".join(rng.choice("ACGT") for _ in range(L))
+            if rng.random() < 0.7:
+                s1 = rng.choice(barcodes) + s1[8:]
+            s2 = "".join(rng.choice("ACGT") for _ in range(L))
+            q = "".join(chr(rng.randint(35, 72)) for _ in range(L))
+            f1.write(f"@d{i} x\n{s1}\n+\n{q}\n")
+            f2.write(f"@d{i} x\n{s2}\n+\n{q}\n")
+    monkeypatch.setenv("CUTADAPT_TPU_CHUNK_BYTES", "30000")
+    monkeypatch.setenv("CUTADAPT_TPU_BATCH", "1")
+    outs = {}
+    for workers in ("1", "4"):
+        monkeypatch.setenv("CUTADAPT_TPU_WORKERS", workers)
+        d = tmp_path / f"pd-{workers}"
+        d.mkdir()
+        main(["--quiet", "--json", str(d / "r.json"),
+              "-g", "b1=ACGTACGT", "-g", "b2=TTGGCCAA", "-q", "10",
+              "-o", str(d / "{name}.1.fastq"),
+              "-p", str(d / "{name}.2.fastq"),
+              "--untrimmed-output", str(d / "un.1.fastq"),
+              "--untrimmed-paired-output", str(d / "un.2.fastq"),
+              str(in1), str(in2)])
+        assert spy.get("engaged"), "batch path did not engage"
+        rep = json.load(open(d / "r.json"))
+        rep["command_line_arguments"] = None
+        files = {
+            p.name: p.read_bytes()
+            for p in sorted(d.iterdir()) if p.suffix == ".fastq"
+        }
+        outs[workers] = (files, rep)
+    assert outs["1"] == outs["4"]
+
+
+def test_pooled_drive_error_in_order(tmp_path, monkeypatch):
+    """A malformed record must fail the pooled drive with the serial
+    drive's error (first error in input order), not a worker-race
+    artifact."""
+    rng = random.Random(73)
+    inp = tmp_path / "bad.fastq"
+    with open(inp, "w") as f:
+        for i in range(2000):
+            s = "".join(rng.choice("ACGT") for _ in range(50))
+            q = "I" * 50
+            f.write(f"@e{i}\n{s}\n+\n{q}\n")
+        f.write("@trunc\nACGT\n+\nII\n")  # length mismatch
+    monkeypatch.setenv("CUTADAPT_TPU_CHUNK_BYTES", "20000")
+    monkeypatch.setenv("CUTADAPT_TPU_BATCH", "1")
+    codes = {}
+    for workers in ("1", "3"):
+        monkeypatch.setenv("CUTADAPT_TPU_WORKERS", workers)
+        out = tmp_path / f"err-{workers}.fastq"
+        with pytest.raises(SystemExit) as e:
+            main(["--quiet", "-a", A3, "-o", str(out), str(inp)])
+        codes[workers] = e.value.code
+    assert codes["1"] == codes["3"]

@@ -6,8 +6,9 @@ through cli.main with the batch path forced on and off, and requires
 identical outputs (every file written under the run's output dir,
 demux and side files included), JSON reports, and failure modes. The
 batch run also randomizes CUTADAPT_TPU_PACK2 (2-bit vs 4-bit wire
-lanes) and CUTADAPT_TPU_DEVICE_STATS (device-reduced statistics), both
-of which must be invisible in the results.
+lanes), CUTADAPT_TPU_DEVICE_STATS (device-reduced statistics), and
+CUTADAPT_TPU_WORKERS (pooled multi-worker drive), all of which must
+be invisible in the results.
 Usage: python tools/fuzz_parity.py [iterations] [seed_base]
 """
 import json
@@ -159,6 +160,7 @@ def _main():
       fasta_in = rng.random() < 0.2
       pack2 = rng.choice(["0", "1"])
       dev_stats = rng.choice(["0", "1"])
+      workers = rng.choice(["1", "2", "3"])
       with tempfile.TemporaryDirectory() as tmp:
           inputs = make_input(tmp, rng, paired, fasta_in, interleaved)
           args = random_args(rng, paired)
@@ -169,6 +171,10 @@ def _main():
               os.environ["CUTADAPT_TPU_PACK2"] = pack2 if env == "1" else "1"
               os.environ["CUTADAPT_TPU_DEVICE_STATS"] = (
                   dev_stats if env == "1" else "0"
+              )
+              # worker pool must be invisible in the results too
+              os.environ["CUTADAPT_TPU_WORKERS"] = (
+                  workers if env == "1" else "1"
               )
               out_dir = os.path.join(tmp, f"out{env}")
               os.makedirs(out_dir)
@@ -208,6 +214,7 @@ def _main():
               )
           os.environ.pop("CUTADAPT_TPU_PACK2", None)
           os.environ.pop("CUTADAPT_TPU_DEVICE_STATS", None)
+          os.environ.pop("CUTADAPT_TPU_WORKERS", None)
           # When an input carries MORE THAN ONE defect (e.g. improper
           # pairing AND invalid phred bytes), the per-read host path and
           # the per-chunk batch path may legitimately report different
