@@ -1887,12 +1887,15 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
         pair_filters.append((step, t1, t2, step._pair_filter_mode))
     if sink is None:
         return None
-    # content predicates on a transformed/revcomped side would read
-    # pre-transform bytes
+    # content predicates on a revcomped side would read forward bytes
+    # (per-side rc in a paired pipeline is API-only; the CLI builds
+    # rc_pair). mask/lowercase actions are fine: _pair_condition
+    # adjusts the mask-mode N count via the remainder interval, and
+    # neither transform touches the quality string.
     content_kinds = ("too_many_n", "too_many_expected_errors",
                      "too_high_average_error_rate")
     for st in (stages1, stages2):
-        if _transform_action(st) is None and _revcomp_stage(st) is None:
+        if _revcomp_stage(st) is None:
             continue
         for _, t1, t2, _mode in pair_filters:
             for t in (t1, t2):
@@ -2398,11 +2401,21 @@ def _paired_demux_router(demux, stages1, stages2, pair_stage=None,
     return route
 
 
-def _pair_condition(t, chunk, ws, we, lengths, matched):
+def _pair_condition(t, chunk, ws, we, lengths, matched, stats=None):
     from .batch_pipeline import filter_condition
 
     kind, thr = t
-    return filter_condition(kind, thr, chunk, ws, we, lengths, matched)
+    # under a mask action the host predicate sees the masked read:
+    # bytes outside the remainder interval are 'N' (filter_condition
+    # adjusts the N count; lowercase and the quality string are
+    # unaffected by transforms)
+    mask_rem = None
+    if stats is not None and stats.get("transform_action") == "mask":
+        mask_rem = stats["remainder"]
+    return filter_condition(
+        kind, thr, chunk, ws, we, lengths, matched,
+        mask_remainder=mask_rem,
+    )
 
 
 def _slice_parsed(parsed, sl):
@@ -2747,12 +2760,12 @@ def _run_paired(
             pair_filters, filter_renders
         ):
             if t2 is None:
-                drop = _pair_condition(t1, c1, ws1, we1, len1, m1)
+                drop = _pair_condition(t1, c1, ws1, we1, len1, m1, stats1)
             elif t1 is None:
-                drop = _pair_condition(t2, c2, ws2, we2, len2, m2)
+                drop = _pair_condition(t2, c2, ws2, we2, len2, m2, stats2)
             else:
-                d1 = _pair_condition(t1, c1, ws1, we1, len1, m1)
-                d2 = _pair_condition(t2, c2, ws2, we2, len2, m2)
+                d1 = _pair_condition(t1, c1, ws1, we1, len1, m1, stats1)
+                d2 = _pair_condition(t2, c2, ws2, we2, len2, m2, stats2)
                 if mode == "any":
                     drop = d1 | d2
                 elif mode == "both":

@@ -697,9 +697,16 @@ class FilterSpec:
 
 
 def filter_condition(kind, threshold, chunk, win_start, win_stop,
-                     lengths, matched):
+                     lengths, matched, mask_remainder=None):
     """Per-read boolean 'predicate holds' vector for one filter kind,
-    with exact host-predicate semantics (predicates.py)."""
+    with exact host-predicate semantics (predicates.py).
+
+    `mask_remainder` is the (start, stop) remainder interval of the
+    mask action's adapter stage, when one ran: the host predicate sees
+    the masked read, whose bytes outside the remainder are all 'N', so
+    the N count is the remainder's N count plus the masked byte count.
+    (Only too_many_n needs this: lowercase leaves 'n'/'N' counts
+    unchanged, and the quality string is never transformed.)"""
     if kind == "too_short":
         return lengths < threshold
     if kind == "too_long":
@@ -709,9 +716,14 @@ def filter_condition(kind, threshold, chunk, win_start, win_stop,
     if kind == "discard_untrimmed":
         return ~matched
     if kind == "too_many_n":
-        nc = native.count_n(
-            chunk.buf, chunk.seq_start, win_start, win_stop
-        )
+        if mask_remainder is not None:
+            rs, re_ = mask_remainder
+            nc = native.count_n(chunk.buf, chunk.seq_start, rs, re_)
+            nc = nc + (lengths - (re_ - rs))
+        else:
+            nc = native.count_n(
+                chunk.buf, chunk.seq_start, win_start, win_stop
+            )
         if threshold < 1.0:  # proportion of the read length
             out = np.zeros(len(lengths), bool)
             nz = lengths > 0
@@ -1780,6 +1792,7 @@ class BatchPipelineEngine:
                         stats["remainder"] = (
                             win_start.copy(), win_stop.copy()
                         )
+                        stats["transform_action"] = stage.action
                     win_start, win_stop = saved
                     pending.win_start, pending.win_stop = saved
             stats["adapter_events"] = events_all
@@ -1827,6 +1840,11 @@ class BatchPipelineEngine:
             return filter_condition(
                 f.kind, f.threshold, fchunk, win_start, win_stop,
                 lengths, matched_any,
+                mask_remainder=(
+                    stats["remainder"]
+                    if stats.get("transform_action") == "mask"
+                    else None
+                ),
             )
 
         for f in self.filters:

@@ -681,6 +681,92 @@ def test_fastpath_revcomp_content_predicates(tmp_path, monkeypatch):
     assert filtered["too_many_n"], "max-n filter never fired"
 
 
+def test_fastpath_mask_content_predicates(tmp_path, monkeypatch):
+    """--action=mask with --max-n: the host predicate counts Ns in the
+    MASKED read (masked bytes are all N), so the engine must add the
+    masked byte count to the remainder window's N count. --max-ee and
+    -m are unaffected (qualities untouched, full-extent lengths) but
+    ride along to pin that. Fractional --max-n divides by the full
+    extent length too."""
+    spy = _spy_engagement(monkeypatch)
+    rng = random.Random(91)
+    inp = tmp_path / "mk.fastq"
+    with open(inp, "w") as f:
+        for i in range(800):
+            L = rng.randint(25, 80)
+            s = "".join(rng.choice("ACGTN") for _ in range(L))
+            if rng.random() < 0.6:
+                p = rng.randint(5, max(6, L - 14))
+                s = (s[:p] + A3 + s[p:])[:L]
+            q = "".join(chr(rng.randint(35, 72)) for _ in s)
+            f.write(f"@m{i}\n{s}\n+\n{q}\n")
+    for maxn in ("3", "0.2"):
+        outs = {}
+        for env in ("1", "0"):
+            monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+            out = tmp_path / f"mk-{maxn}-{env}.fastq"
+            rep = tmp_path / f"mkrep-{maxn}-{env}.json"
+            main(["--quiet", "--json", str(rep), "--action=mask",
+                  "-a", "a1=" + A3, "--max-n", maxn, "--max-ee", "8",
+                  "-m", "30", "-o", str(out), str(inp)])
+            if env == "1":
+                assert spy.get("engaged"), "batch path did not engage"
+            r = json.load(open(rep))
+            r["command_line_arguments"] = None
+            outs[env] = (out.read_bytes(), r)
+        assert outs["1"] == outs["0"]
+        filtered = outs["1"][1]["read_counts"]["filtered"]
+        assert filtered["too_many_n"], "max-n filter never fired"
+
+
+def test_fastpath_paired_transform_content_predicates(
+    tmp_path, monkeypatch
+):
+    """Paired --action=mask/lowercase with content predicates: the
+    per-side remainder intervals must feed the pair filters (mask adds
+    Ns per side; lowercase leaves counts unchanged)."""
+    spy = _spy_engagement(monkeypatch)
+    b3 = "CTGTCTCTTATAC"
+    rng = random.Random(92)
+    in1 = tmp_path / "mt1.fastq"
+    in2 = tmp_path / "mt2.fastq"
+    with open(in1, "w") as f1, open(in2, "w") as f2:
+        for i in range(800):
+            L = rng.randint(25, 80)
+            s1 = "".join(rng.choice("ACGTN") for _ in range(L))
+            s2 = "".join(rng.choice("ACGTN") for _ in range(L))
+            if rng.random() < 0.6:
+                p = rng.randint(5, max(6, L - 14))
+                s1 = (s1[:p] + A3 + s1[p:])[:L]
+            if rng.random() < 0.5:
+                p = rng.randint(5, max(6, L - 14))
+                s2 = (s2[:p] + b3 + s2[p:])[:L]
+            q1 = "".join(chr(rng.randint(35, 72)) for _ in s1)
+            q2 = "".join(chr(rng.randint(35, 72)) for _ in s2)
+            f1.write(f"@t{i} x\n{s1}\n+\n{q1}\n")
+            f2.write(f"@t{i} x\n{s2}\n+\n{q2}\n")
+    for act in ("mask", "lowercase"):
+        outs = {}
+        for env in ("1", "0"):
+            monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+            o1 = tmp_path / f"mt-{act}-o1-{env}.fastq"
+            o2 = tmp_path / f"mt-{act}-o2-{env}.fastq"
+            rep = tmp_path / f"mtrep-{act}-{env}.json"
+            main(["--quiet", "--json", str(rep), f"--action={act}",
+                  "-a", "a1=" + A3, "-A", "a2=" + b3,
+                  "--max-n", "3", "--max-ee", "8",
+                  "--pair-filter", "any",
+                  "-o", str(o1), "-p", str(o2), str(in1), str(in2)])
+            if env == "1":
+                assert spy.get("engaged"), "batch path did not engage"
+            r = json.load(open(rep))
+            r["command_line_arguments"] = None
+            outs[env] = (o1.read_bytes(), o2.read_bytes(), r)
+        assert outs["1"] == outs["0"]
+        filtered = outs["1"][2]["read_counts"]["filtered"]
+        assert filtered["too_many_n"], "max-n filter never fired"
+
+
 def test_fastpath_revcomp_demux(tmp_path, monkeypatch):
     """--revcomp with {name} demultiplexing: routing ids come from the
     winning orientation's last match."""
