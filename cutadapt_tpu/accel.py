@@ -1130,7 +1130,8 @@ def _last_match_geometry(stats, n_records):
 
 
 def _paired_rename_headers(
-    chunks, rename, gids_pair, names_pair, cuts_pair, geometry_pair
+    chunks, rename, gids_pair, names_pair, cuts_pair, geometry_pair,
+    cut_chunks=None,
 ):
     """Renamed header chunks for both sides of a pair under
     PairedEndRenamer semantics (reference modifiers.py:700-803):
@@ -1150,7 +1151,7 @@ def _paired_rename_headers(
     need_split = bool({"id", "comment"} & plain_used) or True  # id check
     need_cuts = bool({"cut_prefix", "cut_suffix"} & plain_used)
 
-    def side_values(chunk, i, gids, names, cuts, geometry):
+    def side_values(chunk, i, gids, names, cuts, geometry, cut_chunk):
         buf = chunk.buf
         header = bytes(
             buf[chunk.head_start[i] : chunk.head_end[i]]
@@ -1172,28 +1173,31 @@ def _paired_rename_headers(
                 names[g].encode("latin-1") if g >= 0 else b"no_adapter"
             )
         if need_cuts:
-            ss = int(chunk.seq_start[i])
-            start, end = 0, int(chunk.seq_len[i])
+            cbuf = cut_chunk.buf
+            ss = int(cut_chunk.seq_start[i])
+            start, end = 0, int(cut_chunk.seq_len[i])
             prefix = suffix = b""
             for length in cuts:
                 if length > 0:
                     stop = min(start + length, end)
-                    prefix = bytes(buf[ss + start : ss + stop])
+                    prefix = bytes(cbuf[ss + start : ss + stop])
                     start = stop
                 elif length < 0:
                     begin = max(end + length, start)
-                    suffix = bytes(buf[ss + begin : ss + end])
+                    suffix = bytes(cbuf[ss + begin : ss + end])
                     end = begin
             values["cut_prefix"] = prefix
             values["cut_suffix"] = suffix
         return values
 
+    if cut_chunks is None:
+        cut_chunks = chunks
     n = chunks[0].n_records
     new_heads = ([], [])
     for i in range(n):
         sides = tuple(
             side_values(chunks[k], i, gids_pair[k], names_pair[k],
-                        cuts_pair[k], geometry_pair[k])
+                        cuts_pair[k], geometry_pair[k], cut_chunks[k])
             for k in (0, 1)
         )
 
@@ -1832,17 +1836,24 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
             sink = step
             continue
         if isinstance(step, (PairedDemultiplexer, CombinatorialDemultiplexer)):
-            if sink is not None or interleaved or rc_pair is not None:
+            if sink is not None or interleaved:
                 return None
             # routing needs adapter matches: R1 decides for paired
-            # demux (the winning pair index with --pair-adapters),
+            # demux (the winning pair index with --pair-adapters,
+            # the chosen orientation's match with paired --revcomp),
             # both sides for combinatorial
             if isinstance(step, CombinatorialDemultiplexer):
-                if pair_stage is not None or cutters[1] is None:
+                if pair_stage is not None:
                     return None
-                if cutters[0] is None:
+                if rc_pair is not None:
+                    if rc_pair[0] is None or rc_pair[1] is None:
+                        return None
+                elif cutters[0] is None or cutters[1] is None:
                     return None
-            elif cutters[0] is None and pair_stage is None:
+            elif (
+                cutters[0] is None and pair_stage is None
+                and (rc_pair is None or rc_pair[0] is None)
+            ):
                 return None
             if any(
                 _revcomp_stage(st) is not None
@@ -1912,8 +1923,9 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
         if isinstance(w, InterleavedSequenceWriter)
     ]
     if inter_writers:
-        if rc_pair is not None:
-            return None
+        # (rc_pair is fine: emit rebuilds the combined chunk from the
+        # orientation-selected slots, and rc stages are trim-only so
+        # plain window assembly applies)
         if any(
             _transform_action(st) is not None
             or _revcomp_stage(st) is not None
@@ -1922,7 +1934,7 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
             return None
     any_edits = any(side_edits) or any(z is not None for z in zero_caps)
     if any_edits:
-        if rc_pair is not None or rename is not None:
+        if rename is not None:
             return None
         if any(
             _transform_action(st) is not None or _revcomp_stage(st)
@@ -1932,18 +1944,21 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
         # (zero-cap + expected-error filters and name edits + casava
         # need no gates here: the paired drive caps and edits each
         # side's chunk before the pair filters are evaluated, matching
-        # the host's modifier-then-step order)
+        # the host's modifier-then-step order. rc_pair is fine too:
+        # edits apply to the orientation-selected slots, after the
+        # ' rc' suffix, like the host's modifier order)
     if rename is not None:
-        if rc_pair is not None:
-            return None
         if any(
             _transform_action(st) is not None or _revcomp_stage(st)
             for st in (stages1, stages2)
         ):
             return None
+        rename_scan = list((stages1, stages2))
+        if rc_pair is not None:
+            rename_scan.append([s for s in rc_pair[:2] if s is not None])
         if "match_sequence" in rename_fields and any(
             t.kind == "linked"
-            for st in (stages1, stages2)
+            for st in rename_scan
             for x in st if hasattr(x, "tasks")
             for t in x.tasks
         ):
@@ -2190,7 +2205,7 @@ def _run_rc_pair(engines, rc_pair, chunks, windows):
         if stage is None:
             return (
                 np.zeros(B, bool), [], ws.copy(), we.copy(),
-                np.zeros(B, np.int32),
+                np.zeros(B, np.int32), np.full(B, -1, np.int32),
             )
         ws, we = ws.copy(), we.copy()
         width = engine._bucket_length(
@@ -2201,7 +2216,7 @@ def _run_rc_pair(engines, rc_pair, chunks, windows):
         matched, events = engine._run_rounds(
             stage, chunk, ws, we, width, None, gid, score
         )
-        return matched, events, ws, we, score
+        return matched, events, ws, we, score, gid
 
     # orientation A: slots follow the physical sides; B: sides swapped
     a1 = run(stage1, c1, ws1, we1)
@@ -2256,6 +2271,26 @@ def _run_rc_pair(engines, rc_pair, chunks, windows):
     suffix = mod._suffix or ""
     slot1 = _select_paired_chunk(c1, 0, c2, off2, combined, use_rc, suffix)
     slot2 = _select_paired_chunk(c2, off2, c1, 0, combined, use_rc, suffix)
+
+    def slot_extras(straight, swapped):
+        """The chosen orientation's last-match gid and geometry for one
+        output slot, for demux routing / {adapter_name} /
+        {match_sequence}: relative coordinates are valid against the
+        slot chunk, which carries the same per-read bytes the chosen
+        run searched."""
+        gid = np.where(use_rc, swapped[5], straight[5])
+        has = np.zeros(B, bool)
+        a = np.zeros(B, np.int32)
+        b = np.zeros(B, np.int32)
+        for run_result, mask in ((straight, ~use_rc), (swapped, use_rc)):
+            for ev in run_result[1]:
+                sel = mask[ev["reads"]]
+                r = ev["reads"][sel]
+                has[r] = True
+                a[r] = (ev["ws"] + ev["qs"])[sel]
+                b[r] = (ev["ws"] + ev["qe"])[sel]
+        return gid, (has, a, b)
+
     out = (
         slot1,
         slot2,
@@ -2265,6 +2300,8 @@ def _run_rc_pair(engines, rc_pair, chunks, windows):
         np.where(use_rc, b2[3], a2[3]),
         np.where(use_rc, b1[0], a1[0]),
         np.where(use_rc, b2[0], a2[0]),
+        slot_extras(a1, b1),
+        slot_extras(a2, b2),
     )
     return out
 
@@ -2306,7 +2343,7 @@ def _make_side_render(stages_s, assemble_s, writes_fasta):
 
 
 def _paired_demux_router(demux, stages1, stages2, pair_stage=None,
-                         reducer=None):
+                         reducer=None, rc_pair=None):
     """Routing function for paired/combinatorial demultiplexing on the
     batch path: R1's last match routes paired demux (with
     --pair-adapters, the winning pair's R1 adapter), the (R1, R2)
@@ -2318,13 +2355,20 @@ def _paired_demux_router(demux, stages1, stages2, pair_stage=None,
 
     if pair_stage is not None:
         names1 = [t.adapter.name for t in pair_stage[0]]
+    elif rc_pair is not None:
+        # paired --revcomp: routing gids come from the chosen
+        # orientation's run of the rc stages
+        names1 = [a.name for a in rc_pair[0].flat_adapters]
     else:
         stage1 = next(s for s in stages1 if hasattr(s, "flat_adapters"))
         names1 = [a.name for a in stage1.flat_adapters]
     combinatorial = isinstance(demux, CombinatorialDemultiplexer)
     if combinatorial:
-        stage2 = next(s for s in stages2 if hasattr(s, "flat_adapters"))
-        names2 = [a.name for a in stage2.flat_adapters]
+        if rc_pair is not None:
+            names2 = [a.name for a in rc_pair[1].flat_adapters]
+        else:
+            stage2 = next(s for s in stages2 if hasattr(s, "flat_adapters"))
+            names2 = [a.name for a in stage2.flat_adapters]
     asm = (_stages_assembler(stages1), _stages_assembler(stages2))
     render_cache = {}
 
@@ -2582,7 +2626,7 @@ def _run_paired(
             )
     else:
         router = _paired_demux_router(
-            demux, stages1, stages2, pair_stage, reducer
+            demux, stages1, stages2, pair_stage, reducer, rc_pair
         )
     filter_renders = [
         (
@@ -2613,6 +2657,13 @@ def _run_paired(
                 # per-side stage lists
                 rename_names.append(
                     [t.adapter.name for t in pair_stage[side]]
+                )
+            elif rc_pair is not None:
+                # paired --revcomp: the cutters live on the rc stages
+                stage = rc_pair[side]
+                rename_names.append(
+                    [a.name for a in stage.flat_adapters]
+                    if stage is not None else []
                 )
             else:
                 stage = next(
@@ -2692,10 +2743,17 @@ def _run_paired(
                 stats_pair=(stats1, stats2),
             )
         elif rc_pair is not None:
-            (c1, c2, ws1, we1, ws2, we2, m1, m2) = _run_rc_pair(
+            (c1, c2, ws1, we1, ws2, we2, m1, m2,
+             (gid1, geom1), (gid2, geom2)) = _run_rc_pair(
                 (engine1, engine2), rc_pair, (c1, c2),
                 ((ws1, we1), (ws2, we2)),
             )
+            # the chosen orientation's routing ids / match geometry
+            # replace the (empty) pre-swap engine stats
+            stats1["last_adapter_gid"] = gid1
+            stats2["last_adapter_gid"] = gid2
+            stats1["rc_pair_geometry"] = geom1
+            stats2["rc_pair_geometry"] = geom2
             ws1, we1 = _apply_post_stages(
                 engine1, post_stages[0], c1, ws1, we1
             )
@@ -2729,8 +2787,16 @@ def _run_paired(
                 (stats1["last_adapter_gid"], stats2["last_adapter_gid"]),
                 rename_names, rename_cuts,
                 (
-                    _last_match_geometry(stats1, c1.n_records),
-                    _last_match_geometry(stats2, c2.n_records),
+                    stats1.get("rc_pair_geometry")
+                    or _last_match_geometry(stats1, c1.n_records),
+                    stats2.get("rc_pair_geometry")
+                    or _last_match_geometry(stats2, c2.n_records),
+                ),
+                # cut bytes come from the physical sides (host: the
+                # cutter records them before the orientation swap)
+                cut_chunks=(
+                    (pend1.parsed, pend2.parsed)
+                    if rc_pair is not None else None
                 ),
             )
         if (inter_out is not None or any_inter_filter) and (

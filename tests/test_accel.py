@@ -791,6 +791,129 @@ def test_fastpath_revcomp_demux(tmp_path, monkeypatch):
     assert len(outs["1"]) == 3
 
 
+def _make_rc_pair_files(tmp_path, seed=31, n=1200,
+                        a1="AGATCGGAAGAGC", a2="CTGTCTCTTATAC"):
+    """Paired files where a real share of pairs matches better with
+    R1/R2 swapped (adapters planted on the opposite files), so paired
+    --revcomp picks the rc orientation for them."""
+    rng = random.Random(seed)
+    in1 = tmp_path / "rcp1.fastq"
+    in2 = tmp_path / "rcp2.fastq"
+    with open(in1, "w") as f1, open(in2, "w") as f2:
+        for i in range(n):
+            L = rng.randint(30, 90)
+            s1 = "".join(rng.choice("ACGT") for _ in range(L))
+            s2 = "".join(rng.choice("ACGT") for _ in range(L))
+            r = rng.random()
+            if r < 0.35:  # straight
+                p = rng.randint(5, max(6, L - 14))
+                s1 = (s1[:p] + a1 + s1[p:])[:L]
+                if rng.random() < 0.5:
+                    p = rng.randint(5, max(6, L - 14))
+                    s2 = (s2[:p] + a2 + s2[p:])[:L]
+            elif r < 0.7:  # swapped: adapters on the opposite files
+                p = rng.randint(5, max(6, L - 14))
+                s2 = (s2[:p] + a1 + s2[p:])[:L]
+                if rng.random() < 0.5:
+                    p = rng.randint(5, max(6, L - 14))
+                    s1 = (s1[:p] + a2 + s1[p:])[:L]
+            q1 = "".join(chr(rng.randint(35, 72)) for _ in s1)
+            q2 = "".join(chr(rng.randint(35, 72)) for _ in s2)
+            f1.write(f"@v{i} c{i} x\n{s1}\n+\n{q1}\n")
+            f2.write(f"@v{i} c{i} x\n{s2}\n+\n{q2}\n")
+    return in1, in2
+
+
+@pytest.mark.parametrize("name,args", [
+    ("rename_adapter", ["-g", "ad1=AGATCGGAAGAGC", "-G",
+                        "ad2=CTGTCTCTTATAC", "--rename",
+                        "{id}_{rn} ad={adapter_name}"]),
+    ("rename_match", ["-g", "ad1=AGATCGGAAGAGC", "-G",
+                      "ad2=CTGTCTCTTATAC", "--rename",
+                      "{id} {comment} m={match_sequence}"]),
+    ("rename_cuts", ["-u", "3", "-U", "-2", "-g", "ad1=AGATCGGAAGAGC",
+                     "-G", "ad2=CTGTCTCTTATAC", "--rename",
+                     "{id} p={r1.cut_prefix} s={r2.cut_suffix}"]),
+    ("name_edits", ["-a", "ad1=AGATCGGAAGAGC", "-A",
+                    "ad2=CTGTCTCTTATAC",
+                    "--strip-suffix", " rc", "-y", " L={length}",
+                    "--zero-cap"]),
+    ("interleaved_out", ["-a", "ad1=AGATCGGAAGAGC", "-A",
+                         "ad2=CTGTCTCTTATAC", "--interleaved"]),
+], ids=lambda x: x if isinstance(x, str) else "")
+def test_fastpath_paired_revcomp_combos(tmp_path, monkeypatch, name,
+                                        args):
+    """Paired --revcomp with --rename (incl. physical-side cut bytes
+    and chosen-orientation match geometry), trailing name edits /
+    --zero-cap, and interleaved output: all must ride the engine and
+    match the host byte-for-byte."""
+    spy = _spy_engagement(monkeypatch)
+    in1, in2 = _make_rc_pair_files(tmp_path)
+    interleaved_out = "--interleaved" in args
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        d = tmp_path / f"rcp-{name}-{env}"
+        d.mkdir()
+        argv = ["--quiet", "--revcomp", "--json", str(d / "r.json")]
+        argv += args + ["-o", str(d / "o1.fastq")]
+        if not interleaved_out:
+            argv += ["-p", str(d / "o2.fastq")]
+        argv += [str(in1), str(in2)]
+        main(argv)
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        rep = json.load(open(d / "r.json"))
+        rep["command_line_arguments"] = None
+        outs[env] = (
+            {p.name: p.read_bytes()
+             for p in sorted(d.iterdir()) if p.suffix == ".fastq"},
+            rep,
+        )
+    assert outs["1"] == outs["0"]
+    assert outs["1"][1]["read_counts"]["reverse_complemented"] > 100
+
+
+@pytest.mark.parametrize("combinatorial", [False, True],
+                         ids=["paired", "combinatorial"])
+def test_fastpath_paired_revcomp_demux(tmp_path, monkeypatch,
+                                       combinatorial):
+    """Paired --revcomp with {name} / {name1}_{name2} demultiplexing:
+    routing gids come from the chosen orientation's matches."""
+    spy = _spy_engagement(monkeypatch)
+    in1, in2 = _make_rc_pair_files(tmp_path, seed=33)
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        d = tmp_path / f"rcd-{combinatorial}-{env}"
+        d.mkdir()
+        argv = ["--quiet", "--revcomp", "--json", str(d / "r.json"),
+                "-g", "b1=AGATCGGAAGAGC", "-g", "b2=TTCCGGAACCGG"]
+        if combinatorial:
+            argv += ["-G", "c1=CTGTCTCTTATAC", "-G", "c2=GGAACCTTGGAA",
+                     "-o", str(d / "{name1}_{name2}.1.fastq"),
+                     "-p", str(d / "{name1}_{name2}.2.fastq")]
+        else:
+            argv += ["-G", "ad2=CTGTCTCTTATAC",
+                     "-o", str(d / "{name}.1.fastq"),
+                     "-p", str(d / "{name}.2.fastq"),
+                     "--untrimmed-output", str(d / "un.1.fastq"),
+                     "--untrimmed-paired-output", str(d / "un.2.fastq")]
+        argv += [str(in1), str(in2)]
+        main(argv)
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        rep = json.load(open(d / "r.json"))
+        rep["command_line_arguments"] = None
+        outs[env] = (
+            {p.name: p.read_bytes()
+             for p in sorted(d.iterdir()) if p.suffix == ".fastq"},
+            rep,
+        )
+    assert outs["1"] == outs["0"]
+    assert len(outs["1"][0]) >= 4
+
+
 @pytest.mark.parametrize("extra", [
     [],
     ["--zero-cap"],
