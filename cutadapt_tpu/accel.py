@@ -22,12 +22,15 @@ single-end, paired-end, and interleaved):
   {name} / paired / combinatorial demultiplexing, sinks
 
 Cross-feature combos ride the engine too: side files with mask/
-lowercase actions, single-end --revcomp with name edits / --rename /
---zero-cap / demultiplexing / side files / content predicates
-(orientation-selected chunk before the edits), --pair-adapters with
---wildcard-file. The remaining host-only combinations are noted at
-their gates (e.g. paired --revcomp with --rename, side files after a
-filter step). The engine
+lowercase actions, --revcomp (single and paired) with name edits /
+--rename / --zero-cap / demultiplexing / content predicates /
+interleaved output (orientation-selected chunks before the edits;
+cut bytes recovered from the physical sides), single-end --revcomp
+with side files, mask actions with content predicates (masked bytes
+count as N), --pair-adapters with --wildcard-file. The remaining
+host-only combinations are noted at their gates (e.g. paired
+--revcomp with side files — a reference info-row quirk — or side
+files after a filter step). The engine
 updates the very same modifier/step statistics objects the host path
 would, so reports are identical; tests/test_accel.py asserts this per
 configuration (plus tools/fuzz_parity.py over randomized configs),
@@ -1793,7 +1796,13 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
             # them before any filter, and they need plain (non-linked,
             # non-rc) matching on the sides they read (mask/lowercase
             # actions record identical match geometry and the rows
-            # never read transformed bytes, so they pass)
+            # never read transformed bytes, so they pass). Paired
+            # --revcomp stays host-path on purpose: the host
+            # InfoFileWriter walks info.original_read — the PHYSICAL
+            # side's read — reverse-complemented, while the matches
+            # were found on the swapped partner (reference
+            # steps.py:233 + modifiers.py's swap keeps infos with
+            # their slots), a quirk the host path reproduces exactly
             if pair_filters or sink is not None or rc_pair is not None:
                 return None
             if _revcomp_stage(stages1) is not None:
