@@ -1677,7 +1677,7 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
         if pair_stage is not None:
             return None  # --pair-adapters must be the last modifier
         if isinstance(mod, PairedReverseComplementer):
-            if rc_pair is not None or cutters != [None, None] or interleaved:
+            if rc_pair is not None or cutters != [None, None]:
                 return None
             rc_stages = []
             for c in (mod.adapter_cutter1, mod.adapter_cutter2):

@@ -874,6 +874,49 @@ def test_fastpath_paired_revcomp_combos(tmp_path, monkeypatch, name,
     assert outs["1"][1]["read_counts"]["reverse_complemented"] > 100
 
 
+@pytest.mark.parametrize("inter_out", [False, True],
+                         ids=["two_files_out", "interleaved_out"])
+def test_fastpath_paired_revcomp_interleaved_in(tmp_path, monkeypatch,
+                                                inter_out):
+    """Paired --revcomp with interleaved input (and optionally
+    interleaved output): the orientation swap applies to the
+    de-interleaved pair chunks."""
+    spy = _spy_engagement(monkeypatch)
+    in1, in2 = _make_rc_pair_files(tmp_path, seed=37)
+    inp = tmp_path / "rcil.fastq"
+    with open(in1) as f1, open(in2) as f2, open(inp, "w") as out:
+        while True:
+            rec1 = [f1.readline() for _ in range(4)]
+            rec2 = [f2.readline() for _ in range(4)]
+            if not rec1[0]:
+                break
+            out.writelines(rec1 + rec2)
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        d = tmp_path / f"rcil-{inter_out}-{env}"
+        d.mkdir()
+        argv = ["--quiet", "--interleaved", "--revcomp",
+                "--json", str(d / "r.json"),
+                "-g", "ad1=AGATCGGAAGAGC", "-G", "ad2=CTGTCTCTTATAC",
+                "-m", "20", "-o", str(d / "o1.fastq")]
+        if not inter_out:
+            argv += ["-p", str(d / "o2.fastq")]
+        argv += [str(inp)]
+        main(argv)
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        rep = json.load(open(d / "r.json"))
+        rep["command_line_arguments"] = None
+        outs[env] = (
+            {p.name: p.read_bytes()
+             for p in sorted(d.iterdir()) if p.suffix == ".fastq"},
+            rep,
+        )
+    assert outs["1"] == outs["0"]
+    assert outs["1"][1]["read_counts"]["reverse_complemented"] > 100
+
+
 @pytest.mark.parametrize("combinatorial", [False, True],
                          ids=["paired", "combinatorial"])
 def test_fastpath_paired_revcomp_demux(tmp_path, monkeypatch,
