@@ -107,7 +107,35 @@ def split_records(data: bytes, records_per_chunk: int):
     return [data[a:b] for a, b in zip(bounds[:-1], bounds[1:])], n_records
 
 
+def _device_backend_reachable(timeout: float = 240.0) -> bool:
+    """Probe the configured device backend in a subprocess: a wedged
+    tunnel hangs backend init forever, which would hang the whole
+    bench. Returns True when a non-CPU device comes up in time."""
+    import subprocess
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True  # no tunnel backend configured; nothing to wedge
+    try:
+        r = subprocess.run(
+            [
+                sys.executable, "-c",
+                "import jax; print(jax.devices()[0].platform)",
+            ],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return r.returncode == 0 and r.stdout.strip() not in ("", "cpu")
+
+
 def main():
+    backend_note = None
+    if not _device_backend_reachable():
+        # fall back to CPU rather than hanging the round's bench run;
+        # the variance-stable counters (B/read, DP rows) stay valid
+        backend_note = "cpu-fallback: device tunnel unreachable"
+        log("WARNING:", backend_note)
+
     from cutadapt_tpu.adapters import BackAdapter
     from cutadapt_tpu.batch_pipeline import (
         AdapterStage,
@@ -119,6 +147,12 @@ def main():
     )
 
     import jax
+
+    if backend_note is not None:
+        # the axon sitecustomize pins jax_platforms through the config
+        # API at interpreter start; this must be undone the same way
+        # (env alone does not take effect after that)
+        jax.config.update("jax_platforms", "cpu")
 
     # persistent compilation cache: compile times over a device tunnel
     # are highly variable, cache makes repeat runs predictable
@@ -298,6 +332,9 @@ def main():
                 # multi-core-equivalent comparison
                 "vs_8core_equiv": round(rps / (host_rps * 8), 2),
                 "pallas_parity": pallas_parity,
+                "backend": (
+                    backend_note or jax.default_backend()
+                ),
                 "cli_reads_per_sec": (
                     round(cli_rps, 1) if cli_rps is not None else None
                 ),
