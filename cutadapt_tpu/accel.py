@@ -376,7 +376,11 @@ def _translate_modifier(mod, has_cutter):
         from . import native
 
         inner = mod.adapter_cutter
-        if has_cutter or inner.action != "trim" or not native.AVAILABLE:
+        if (
+            has_cutter
+            or inner.action not in ("trim", None, "mask", "lowercase")
+            or not native.AVAILABLE
+        ):
             return None
         tasks = _translate_tasks(inner)
         if tasks is None:
@@ -384,7 +388,7 @@ def _translate_modifier(mod, has_cutter):
         return (
             RevcompStage(
                 tasks, times=inner.times, modifier=mod,
-                suffix=mod._suffix,
+                suffix=mod._suffix, action=inner.action,
             ),
             inner,
         )
@@ -1443,7 +1447,7 @@ def _run_single(
     # emit() instead of using the suffix-at-write rc assembler
     rc_select = rc_stage_obj is not None and (
         rename is not None or name_edits or zero_cap is not None
-        or any(side.values())
+        or any(side.values()) or transform_mode is not None
     )
 
     def render(chunk, ws, we, mask, stats, writes_fasta):
@@ -1467,6 +1471,17 @@ def _run_single(
                 return assemble_fasta_window(sel, ws, we, mask)
             return assemble_fasta_window(chunk, ws, we, mask)
         if stats.get("rc_selected"):
+            if transform_mode is not None:
+                # the remainder coordinates are per-read relative, so
+                # they hold against the orientation-selected chunk
+                from . import native as _native
+
+                rs, re_ = stats["remainder"]
+                return _native.assemble_fastq_transform(
+                    chunk.buf, chunk.head_start, chunk.head_end,
+                    chunk.seq_start, chunk.qual_start,
+                    ws, we, rs, re_, mask, transform_mode,
+                )
             return assemble_window(chunk, ws, we, mask)
         return assemble(chunk, ws, we, mask, stats)
 

@@ -667,11 +667,15 @@ class AdapterStage(Stage):
 
 class RevcompStage(AdapterStage):
     """--revcomp: try forward and reverse-complement, keep the better
-    (reference ReverseComplementer, modifiers.py:237-279)."""
+    (reference ReverseComplementer, modifiers.py:237-279). The wrapped
+    cutter's action may be trim (windows shrink) or mask/lowercase
+    (windows keep the chosen orientation's extent; the trimmed-window
+    remainder drives the transform assembler)."""
 
-    def __init__(self, tasks, times=1, modifier=None, suffix=" rc"):
+    def __init__(self, tasks, times=1, modifier=None, suffix=" rc",
+                 action="trim"):
         super().__init__(tasks, times=times, modifier=modifier,
-                         action="trim")
+                         action=action)
         self.suffix = suffix
 
 
@@ -1721,6 +1725,12 @@ class BatchPipelineEngine:
         B = chunk.n_records
         rc_chunk, rc_ws, rc_we, fwd_disp, rc_disp = pending.dp_futures
         ws_f, we_f = win_start.copy(), win_stop.copy()
+        # mask/lowercase/--no-trim keep the chosen orientation's input
+        # extent; for the transforms the trimmed windows become the
+        # transform remainder
+        keep_windows = stage.action in (None, "mask", "lowercase")
+        if keep_windows:
+            rc_ws0, rc_we0 = rc_ws.copy(), rc_we.copy()
         score_f = np.zeros(B, np.int32)
         gid_f = np.full(B, -1, np.int32)
         matched_f, events_f = self._run_rounds(
@@ -1735,8 +1745,19 @@ class BatchPipelineEngine:
         )
         use_rc = score_r > score_f
         matched_any = np.where(use_rc, matched_r, matched_f)
-        pending.win_start[:] = np.where(use_rc, rc_ws, ws_f)
-        pending.win_stop[:] = np.where(use_rc, rc_we, we_f)
+        if keep_windows:
+            if stage.action is not None:
+                stats["remainder"] = (
+                    np.where(use_rc, rc_ws, ws_f),
+                    np.where(use_rc, rc_we, we_f),
+                )
+                stats["transform_action"] = stage.action
+            # win_start/win_stop are the unmutated forward extents
+            pending.win_start[:] = np.where(use_rc, rc_ws0, win_start)
+            pending.win_stop[:] = np.where(use_rc, rc_we0, win_stop)
+        else:
+            pending.win_start[:] = np.where(use_rc, rc_ws, ws_f)
+            pending.win_stop[:] = np.where(use_rc, rc_we, we_f)
         last_gid[:] = np.where(use_rc, gid_r, gid_f)
         events = []
         for evs, mask, rc in ((events_f, ~use_rc, False),

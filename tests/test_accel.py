@@ -719,6 +719,70 @@ def test_fastpath_mask_content_predicates(tmp_path, monkeypatch):
         assert filtered["too_many_n"], "max-n filter never fired"
 
 
+def test_fastpath_revcomp_no_trim(tmp_path, monkeypatch):
+    """--revcomp with --no-trim: output keeps the chosen orientation's
+    full read (plus ' rc' suffix for rc winners); matching still
+    drives --discard-untrimmed."""
+    spy = _spy_engagement(monkeypatch)
+    inp = tmp_path / "rnt.fastq"
+    _make_rc_reads(inp, seed=95)
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"rnt-{env}.fastq"
+        rep = tmp_path / f"rntrep-{env}.json"
+        main(["--quiet", "--json", str(rep), "--revcomp", "--no-trim",
+              "-a", "a1=" + A3, "--discard-untrimmed",
+              "-o", str(out), str(inp)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        r = json.load(open(rep))
+        r["command_line_arguments"] = None
+        outs[env] = (out.read_bytes(), r)
+    assert outs["1"] == outs["0"]
+    assert outs["1"][1]["read_counts"]["reverse_complemented"] > 50
+
+
+@pytest.mark.parametrize("act", ["mask", "lowercase"])
+def test_fastpath_revcomp_transform_actions(tmp_path, monkeypatch, act):
+    """--revcomp with --action=mask/lowercase: the transform assembler
+    runs on the orientation-selected chunk with the chosen
+    orientation's remainder interval, and mask+--max-n counts the
+    masked bytes (composition of the rc and transform paths)."""
+    spy = _spy_engagement(monkeypatch)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+    rng = random.Random(94)
+    inp = tmp_path / "rct.fastq"
+    with open(inp, "w") as f:
+        for i in range(800):
+            L = rng.randint(25, 85)
+            s = "".join(rng.choice("ACGTN") for _ in range(L))
+            if rng.random() < 0.6:
+                p = rng.randint(5, max(6, L - 14))
+                s = (s[:p] + A3 + s[p:])[:L]
+                if rng.random() < 0.5:
+                    s = "".join(comp[c] for c in reversed(s))
+            q = "".join(chr(rng.randint(35, 72)) for _ in s)
+            f.write(f"@rt{i} c\n{s}\n+\n{q}\n")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"rct-{act}-{env}.fastq"
+        rep = tmp_path / f"rctrep-{act}-{env}.json"
+        main(["--quiet", "--json", str(rep), "--revcomp",
+              f"--action={act}", "-a", "a1=" + A3, "-q", "10",
+              "--max-n", "4", "--max-ee", "9", "-m", "30",
+              "-o", str(out), str(inp)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        r = json.load(open(rep))
+        r["command_line_arguments"] = None
+        outs[env] = (out.read_bytes(), r)
+    assert outs["1"] == outs["0"]
+    assert outs["1"][1]["read_counts"]["reverse_complemented"] > 50
+    assert outs["1"][1]["read_counts"]["filtered"]["too_many_n"]
+
+
 def test_fastpath_paired_transform_content_predicates(
     tmp_path, monkeypatch
 ):
