@@ -656,9 +656,25 @@ def _stages_assembler(stages):
         return fn
     action = _transform_action(stages)
     if action is None:
-        return lambda chunk, ws, we, mask, stats: assemble_window(
-            chunk, ws, we, mask
-        )
+        # no static transform stage — but the paired --revcomp stage
+        # lives outside the per-side stage lists and publishes its
+        # mask/lowercase action through the stats, so check at runtime
+        def plain(chunk, ws, we, mask, stats):
+            tm = _TRANSFORM_MODES.get(
+                (stats or {}).get("transform_action")
+            )
+            if tm is not None:
+                from . import native
+
+                rs, re_ = stats["remainder"]
+                return native.assemble_fastq_transform(
+                    chunk.buf, chunk.head_start, chunk.head_end,
+                    chunk.seq_start, chunk.qual_start,
+                    ws, we, rs, re_, mask, tm,
+                )
+            return assemble_window(chunk, ws, we, mask)
+
+        return plain
     from . import native
 
     mode = 1 if action == "mask" else 2
@@ -671,6 +687,9 @@ def _stages_assembler(stages):
         )
 
     return fn
+
+
+_TRANSFORM_MODES = {"mask": 1, "lowercase": 2}
 
 
 def _make_stats_reducer():
@@ -1699,14 +1718,19 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
                 if c is None:
                     rc_stages.append(None)
                     continue
-                if c.action != "trim":
+                if c.action not in ("trim", None, "mask", "lowercase"):
                     return None
+                if c.action in ("mask", "lowercase"):
+                    from . import native
+
+                    if not native.AVAILABLE:
+                        return None  # transform assembly is native-only
                 tasks = _translate_tasks(c)
                 if tasks is None:
                     return None
                 rc_stages.append(
                     AdapterStage(tasks, times=c.times, modifier=c,
-                                 action="trim")
+                                 action=c.action)
                 )
             rc_pair = (rc_stages[0], rc_stages[1], mod)
             continue
@@ -1946,10 +1970,17 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
         ) + [step.writer for step, _t1, _t2, _m in pair_filters]
         if isinstance(w, InterleavedSequenceWriter)
     ]
+    rc_pair_transform = rc_pair is not None and any(
+        s is not None and s.action in ("mask", "lowercase")
+        for s in rc_pair[:2]
+    )
     if inter_writers:
-        # (rc_pair is fine: emit rebuilds the combined chunk from the
-        # orientation-selected slots, and rc stages are trim-only so
-        # plain window assembly applies)
+        # (trim-mode rc_pair is fine: emit rebuilds the combined chunk
+        # from the orientation-selected slots and plain window
+        # assembly applies; with mask/lowercase rc stages the
+        # interleaved assembler would skip the transform)
+        if rc_pair_transform:
+            return None
         if any(
             _transform_action(st) is not None
             or _revcomp_stage(st) is not None
@@ -1960,7 +1991,7 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
     if any_edits:
         if rename is not None:
             return None
-        if any(
+        if rc_pair_transform or any(
             _transform_action(st) is not None or _revcomp_stage(st)
             for st in (stages1, stages2)
         ):
@@ -1972,7 +2003,7 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
         # edits apply to the orientation-selected slots, after the
         # ' rc' suffix, like the host's modifier order)
     if rename is not None:
-        if any(
+        if rc_pair_transform or any(
             _transform_action(st) is not None or _revcomp_stage(st)
             for st in (stages1, stages2)
         ):
@@ -2295,6 +2326,23 @@ def _run_rc_pair(engines, rc_pair, chunks, windows):
     suffix = mod._suffix or ""
     slot1 = _select_paired_chunk(c1, 0, c2, off2, combined, use_rc, suffix)
     slot2 = _select_paired_chunk(c2, off2, c1, 0, combined, use_rc, suffix)
+    action = next(
+        (s.action for s in (stage1, stage2) if s is not None), "trim"
+    )
+    keep_windows = action in (None, "mask", "lowercase")
+
+    def slot_windows(straight, swapped, entry_straight, entry_swapped):
+        """Output windows and transform remainder for one slot: trim
+        mode emits the trimmed windows; window-keeping actions emit
+        the chosen orientation's input extent, with the trimmed
+        windows as the remainder."""
+        t_ws = np.where(use_rc, swapped[2], straight[2])
+        t_we = np.where(use_rc, swapped[3], straight[3])
+        if not keep_windows:
+            return t_ws, t_we, None
+        ws = np.where(use_rc, entry_swapped[0], entry_straight[0])
+        we = np.where(use_rc, entry_swapped[1], entry_straight[1])
+        return ws, we, (t_ws, t_we)
 
     def slot_extras(straight, swapped):
         """The chosen orientation's last-match gid and geometry for one
@@ -2315,17 +2363,20 @@ def _run_rc_pair(engines, rc_pair, chunks, windows):
                 b[r] = (ev["ws"] + ev["qe"])[sel]
         return gid, (has, a, b)
 
+    o_ws1, o_we1, rem1 = slot_windows(a1, b1, (ws1, we1), (ws2, we2))
+    o_ws2, o_we2, rem2 = slot_windows(a2, b2, (ws2, we2), (ws1, we1))
     out = (
         slot1,
         slot2,
-        np.where(use_rc, b1[2], a1[2]),
-        np.where(use_rc, b1[3], a1[3]),
-        np.where(use_rc, b2[2], a2[2]),
-        np.where(use_rc, b2[3], a2[3]),
+        o_ws1,
+        o_we1,
+        o_ws2,
+        o_we2,
         np.where(use_rc, b1[0], a1[0]),
         np.where(use_rc, b2[0], a2[0]),
         slot_extras(a1, b1),
         slot_extras(a2, b2),
+        (action, rem1, rem2),
     )
     return out
 
@@ -2355,13 +2406,21 @@ def _make_side_render(stages_s, assemble_s, writes_fasta):
         return assemble_s
     from .io.chunks import assemble_fasta_transform, assemble_fasta_window
 
-    tm = {"mask": 1, "lowercase": 2}.get(_transform_action(stages_s))
-    if tm is None:
-        return lambda c, ws, we, m, st: assemble_fasta_window(c, ws, we, m)
+    tm_static = {"mask": 1, "lowercase": 2}.get(_transform_action(stages_s))
+    if tm_static is None:
+        # the paired --revcomp stage publishes its action via stats
+        def plain(c, ws, we, m, st):
+            tm = _TRANSFORM_MODES.get((st or {}).get("transform_action"))
+            if tm is not None:
+                rs, re_ = st["remainder"]
+                return assemble_fasta_transform(c, ws, we, rs, re_, m, tm)
+            return assemble_fasta_window(c, ws, we, m)
+
+        return plain
 
     def fn(c, ws, we, m, st):
         rs, re_ = st["remainder"]
-        return assemble_fasta_transform(c, ws, we, rs, re_, m, tm)
+        return assemble_fasta_transform(c, ws, we, rs, re_, m, tm_static)
 
     return fn
 
@@ -2768,7 +2827,8 @@ def _run_paired(
             )
         elif rc_pair is not None:
             (c1, c2, ws1, we1, ws2, we2, m1, m2,
-             (gid1, geom1), (gid2, geom2)) = _run_rc_pair(
+             (gid1, geom1), (gid2, geom2),
+             (rc_action, rem1, rem2)) = _run_rc_pair(
                 (engine1, engine2), rc_pair, (c1, c2),
                 ((ws1, we1), (ws2, we2)),
             )
@@ -2778,6 +2838,13 @@ def _run_paired(
             stats2["last_adapter_gid"] = gid2
             stats1["rc_pair_geometry"] = geom1
             stats2["rc_pair_geometry"] = geom2
+            if rem1 is not None and rc_action is not None:
+                # mask/lowercase: the renders and the mask N-count
+                # read the remainder + action from the stats
+                stats1["remainder"] = rem1
+                stats2["remainder"] = rem2
+                stats1["transform_action"] = rc_action
+                stats2["transform_action"] = rc_action
             ws1, we1 = _apply_post_stages(
                 engine1, post_stages[0], c1, ws1, we1
             )

@@ -904,6 +904,13 @@ def _make_rc_pair_files(tmp_path, seed=31, n=1200,
                     "--zero-cap"]),
     ("interleaved_out", ["-a", "ad1=AGATCGGAAGAGC", "-A",
                          "ad2=CTGTCTCTTATAC", "--interleaved"]),
+    ("mask_action", ["-a", "ad1=AGATCGGAAGAGC", "-A",
+                     "ad2=CTGTCTCTTATAC", "--action=mask",
+                     "--max-n", "4", "--max-ee", "9"]),
+    ("lowercase_action", ["-a", "ad1=AGATCGGAAGAGC", "-A",
+                          "ad2=CTGTCTCTTATAC", "--action=lowercase"]),
+    ("no_trim", ["-a", "ad1=AGATCGGAAGAGC", "-A", "ad2=CTGTCTCTTATAC",
+                 "--no-trim", "--discard-untrimmed"]),
 ], ids=lambda x: x if isinstance(x, str) else "")
 def test_fastpath_paired_revcomp_combos(tmp_path, monkeypatch, name,
                                         args):
