@@ -27,29 +27,32 @@ from .fastq import open_sequence_file
 from .records import UnknownFileFormat
 
 try:
-    import resource
+    import resource as _resource
 except ImportError:  # Windows
-    resource = None  # type: ignore
+    _resource = None  # type: ignore
 
 
 def raise_open_files_limit(n: int) -> None:
     """Raise the soft open-files rlimit by n (capped at the hard limit)."""
-    if resource is None:
+    if _resource is None:
         return
-    soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
-    resource.setrlimit(resource.RLIMIT_NOFILE, (min(soft + n, hard), hard))
+    lim = _resource.getrlimit(_resource.RLIMIT_NOFILE)
+    bumped = min(lim[0] + n, lim[1])
+    _resource.setrlimit(_resource.RLIMIT_NOFILE, (bumped, lim[1]))
 
 
 def open_raise_limit(func, *args, **kwargs):
     """Call an open()-like function; on EMFILE bump the rlimit and retry."""
-    try:
-        return func(*args, **kwargs)
-    except OSError as e:
-        if e.errno != errno.EMFILE:  # not "Too many open files"
-            raise
-        logger.debug("Too many open files, attempting to raise soft limit")
-        raise_open_files_limit(8)
-        return func(*args, **kwargs)
+    for attempt in (0, 1):
+        try:
+            return func(*args, **kwargs)
+        except OSError as e:
+            if attempt or e.errno != errno.EMFILE:
+                raise  # either a different error, or the retry failed too
+            logger.debug(
+                "Too many open files, attempting to raise soft limit"
+            )
+            raise_open_files_limit(8)
 
 
 def xopen_rb_raise_limit(path: str):
@@ -69,12 +72,13 @@ class FileOpener:
         self.threads = threads
 
     def xopen(self, path, mode):
+        writing = "w" in mode
         return open_raise_limit(
             xopen,
             path,
             mode,
             compresslevel=self.compression_level,
-            threads=self.threads if "w" in mode else 0,
+            threads=self.threads if writing else 0,
         )
 
     def sequence_open(self, *args, **kwargs):
@@ -90,18 +94,18 @@ class InputFiles:
         interleaved: bool = False,
         fileformat: Optional[str] = None,
     ):
-        assert all(f is not None for f in files)
+        assert None not in files
         self._files = files
         self.interleaved = interleaved
         self.fileformat = fileformat
 
     def open(self):
-        return open_sequence_file(
-            *self._files,
+        opts = dict(
             interleaved=self.interleaved,
             mode="r",
             fileformat=self.fileformat,
         )
+        return open_sequence_file(*self._files, **opts)
 
     def close(self) -> None:
         for f in self._files:
@@ -114,7 +118,7 @@ class InputPaths:
         self.interleaved = interleaved
 
     def open(self) -> InputFiles:
-        files = [xopen_rb_raise_limit(p) for p in self.paths]
+        opened = [xopen_rb_raise_limit(p) for p in self.paths]
         byte_range = os.environ.get("CUTADAPT_TPU_BYTE_RANGE")
         if byte_range:
             # multi-host input sharding: this process reads only its
@@ -125,11 +129,11 @@ class InputPaths:
                 parse_byte_range_env,
             )
 
-            ranges = parse_byte_range_env(byte_range)
-            files = [
-                RangeReader(f, *rng) for f, rng in zip(files, ranges)
+            opened = [
+                RangeReader(f, *rng)
+                for f, rng in zip(opened, parse_byte_range_env(byte_range))
             ]
-        return InputFiles(*files, interleaved=self.interleaved)
+        return InputFiles(*opened, interleaved=self.interleaved)
 
 
 class ProxyWriter(ABC):
@@ -138,27 +142,30 @@ class ProxyWriter(ABC):
 
     _buffers: List[io.BytesIO]
 
+    def _flush(self) -> None:
+        pass
+
+    @staticmethod
+    def _take(buf: io.BytesIO) -> bytes:
+        blob = buf.getvalue()
+        buf.seek(0)
+        buf.truncate()
+        return blob
+
     def drain(self) -> List[bytes]:
         """Return and clear the accumulated bytes, one blob per
         underlying output."""
         self._flush()
-        blobs = []
-        for buf in self._buffers:
-            blobs.append(buf.getvalue())
-            buf.seek(0)
-            buf.truncate()
-        return blobs
-
-    def _flush(self) -> None:
-        pass
+        return [self._take(b) for b in self._buffers]
 
 
 class ProxyTextFile(ProxyWriter):
     """A text-mode file object backed by an in-memory buffer."""
 
     def __init__(self):
-        self._buffers = [io.BytesIO()]
-        self._file = io.TextIOWrapper(self._buffers[0])
+        backing = io.BytesIO()
+        self._buffers = [backing]
+        self._file = io.TextIOWrapper(backing)
 
     def write(self, text):
         self._file.write(text)
@@ -173,6 +180,12 @@ class ProxyTextFile(ProxyWriter):
         self.__init__()
 
 
+def _named_buffer(path) -> io.BytesIO:
+    buf = io.BytesIO()
+    buf.name = os.fspath(path)  # format detection reads .name
+    return buf
+
+
 class ProxyRecordWriter(ProxyWriter):
     """A record writer backed by in-memory buffers (one per output
     path); the path names only determine the output format."""
@@ -180,11 +193,7 @@ class ProxyRecordWriter(ProxyWriter):
     def __init__(self, paths: List[Path], **kwargs):
         self._paths = paths
         self._kwargs = kwargs
-        self._buffers = []
-        for path in paths:
-            buf = io.BytesIO()
-            buf.name = os.fspath(path)  # format detection reads .name
-            self._buffers.append(buf)
+        self._buffers = [_named_buffer(p) for p in paths]
         self._writer = open_raise_limit(
             open_sequence_file, *self._buffers, mode="w", **kwargs
         )
@@ -196,8 +205,11 @@ class ProxyRecordWriter(ProxyWriter):
         return (self._paths, self._kwargs)
 
     def __setstate__(self, state):
-        paths, kwargs = state
-        self.__init__(paths, **kwargs)
+        self.__init__(state[0], **state[1])
+
+
+# tags for the OutputFiles registry below
+_BINARY, _BINARY_KEEP_OPEN, _TEXT, _WRITER, _PROXY = range(5)
 
 
 class OutputFiles:
@@ -206,6 +218,10 @@ class OutputFiles:
     open returns a proxy writing into memory; the real binary files
     stay in the main process, which writes drained proxy bytes to them
     in chunk-index order.
+
+    Everything opened lands in one tagged registry; the accessors and
+    close() select from it, which keeps binary files (incl. stdout,
+    which must never be closed) and proxies in their creation order.
     """
 
     def __init__(
@@ -216,31 +232,35 @@ class OutputFiles:
         interleaved: bool,
         file_opener: Optional[FileOpener] = None,
     ):
-        self._file_opener = file_opener if file_opener is not None else FileOpener()
-        self._binary_files: List[BinaryIO] = []
-        self._binary_files_to_close: List[BinaryIO] = []
-        self._text_files: List[TextIO] = []
-        self._writers: List[Any] = []
-        self._proxy_files: List[ProxyWriter] = []
+        self._file_opener = file_opener or FileOpener()
+        self._registry: List[Any] = []  # (tag, object) pairs
         self._proxied = proxied
         self._qualities = qualities
         self._interleaved = interleaved
 
+    def _add(self, tag: int, obj):
+        self._registry.append((tag, obj))
+        return obj
+
+    def _select(self, *tags: int) -> List[Any]:
+        return [obj for tag, obj in self._registry if tag in tags]
+
     def _open_binary(self, path) -> BinaryIO:
-        f = self._file_opener.xopen(path, "wb")
-        self._binary_files.append(f)
-        self._binary_files_to_close.append(f)
-        return f
+        return self._add(_BINARY, self._file_opener.xopen(path, "wb"))
 
     def open_text(self, path):
-        if not self._proxied:
-            f = self._file_opener.xopen(path, "wt")
-            self._text_files.append(f)
-            return f
-        self._open_binary(path)
-        proxy = ProxyTextFile()
-        self._proxy_files.append(proxy)
-        return proxy
+        if self._proxied:
+            self._open_binary(path)
+            return self._add(_PROXY, ProxyTextFile())
+        return self._add(_TEXT, self._file_opener.xopen(path, "wt"))
+
+    def _record_kwargs(self, interleaved: bool, fasta: bool) -> Dict[str, Any]:
+        kwargs: Dict[str, Any] = dict(
+            qualities=self._qualities, interleaved=interleaved
+        )
+        if fasta:
+            kwargs["fileformat"] = "fasta"
+        return kwargs
 
     def open_record_writer(
         self, *paths, interleaved: bool = False, force_fasta: bool = False
@@ -249,59 +269,53 @@ class OutputFiles:
             raise ValueError("Expected one or two paths")
         if interleaved and len(paths) != 1:
             raise ValueError("Cannot write to two files when interleaved is True")
-        kwargs: Dict[str, Any] = dict(
-            qualities=self._qualities, interleaved=interleaved
+        # force_fasta only affects the '-' (stdout-like) single output
+        kwargs = self._record_kwargs(
+            interleaved,
+            force_fasta and len(paths) == 1 and paths[0] == "-",
         )
-        if len(paths) == 1 and paths[0] == "-" and force_fasta:
-            kwargs["fileformat"] = "fasta"
         if paths == (None,):
             paths = ("-",)
-        assert all(path is not None for path in paths)
-        binary_files = [self._open_binary(path) for path in paths]
+        assert None not in paths
+        streams = [self._open_binary(path) for path in paths]
         if self._proxied:
-            proxy = ProxyRecordWriter([Path(p) for p in paths], **kwargs)
-            self._proxy_files.append(proxy)
-            return proxy
-        writer = self._file_opener.sequence_open(
-            *binary_files, mode="w", **kwargs
+            return self._add(
+                _PROXY, ProxyRecordWriter([Path(p) for p in paths], **kwargs)
+            )
+        return self._add(
+            _WRITER,
+            self._file_opener.sequence_open(*streams, mode="w", **kwargs),
         )
-        self._writers.append(writer)
-        return writer
 
     def open_stdout_record_writer(
         self, interleaved: bool = False, force_fasta: bool = False
     ):
-        self._binary_files.append(sys.stdout.buffer)
-        kwargs: Dict[str, Any] = dict(
-            qualities=self._qualities, interleaved=interleaved
-        )
-        if force_fasta:
-            kwargs["fileformat"] = "fasta"
+        self._add(_BINARY_KEEP_OPEN, sys.stdout.buffer)
+        kwargs = self._record_kwargs(interleaved, force_fasta)
         if self._proxied:
-            proxy = ProxyRecordWriter([Path("-")], **kwargs)
-            self._proxy_files.append(proxy)
-            return proxy
-        writer = self._file_opener.sequence_open(
-            sys.stdout.buffer, mode="w", **kwargs
+            return self._add(_PROXY, ProxyRecordWriter([Path("-")], **kwargs))
+        return self._add(
+            _WRITER,
+            self._file_opener.sequence_open(
+                sys.stdout.buffer, mode="w", **kwargs
+            ),
         )
-        self._writers.append(writer)
-        return writer
 
     def binary_files(self) -> List[BinaryIO]:
-        return self._binary_files[:]
+        return self._select(_BINARY, _BINARY_KEEP_OPEN)
 
     def proxy_files(self) -> List[ProxyWriter]:
-        return self._proxy_files
+        return self._select(_PROXY)
 
     def close(self) -> None:
         """Close all output files that are not stdout."""
-        if not self._proxied:
-            for f in self._text_files:
-                f.close()
-            for w in self._writers:
-                w.close()
-        for f in self._binary_files_to_close:
-            f.close()
+        closable = [_BINARY] if self._proxied else [_BINARY, _TEXT, _WRITER]
+        # note order: in non-proxied mode text/record writers flush
+        # into their binary files as they close, before those close
+        for tag in (_TEXT, _WRITER, _BINARY):
+            if tag in closable:
+                for obj in self._select(tag):
+                    obj.close()
 
 
 class FileFormat(Enum):
@@ -310,7 +324,7 @@ class FileFormat(Enum):
     BAM = 3
 
     def has_qualities(self) -> bool:
-        return self in (FileFormat.FASTQ, FileFormat.BAM)
+        return self is not FileFormat.FASTA
 
 
 # first bytes -> detected format; '@' doubles as the empty-input default
@@ -322,13 +336,17 @@ _MAGIC_PREFIXES = (
 )
 
 
+def _peek_magic(file: BinaryIO, n: int = 4) -> bytes:
+    if not file.seekable():
+        return file.peek(n)[:n]  # type: ignore[attr-defined]
+    pos = file.tell()
+    head = file.read(n)
+    file.seek(pos)
+    return head
+
+
 def detect_file_format(file: BinaryIO) -> FileFormat:
-    if file.seekable():
-        pos = file.tell()
-        magic = file.read(4)
-        file.seek(pos)
-    else:
-        magic = file.peek(4)[0:4]  # type: ignore
+    magic = _peek_magic(file)
     if magic == b"":
         # pretend FASTQ for empty input
         return FileFormat.FASTQ

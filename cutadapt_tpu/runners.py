@@ -27,8 +27,10 @@ import sys
 import traceback
 from abc import ABC, abstractmethod
 from contextlib import ExitStack
+from itertools import count
 from multiprocessing.connection import Connection
-from typing import Iterator, List, Optional, Sequence, Tuple
+from types import SimpleNamespace
+from typing import Iterator, List, Optional, Tuple
 
 from .io.fastq import read_chunks, read_paired_chunks
 from .io.files import (
@@ -36,7 +38,6 @@ from .io.files import (
     InputFiles,
     InputPaths,
     OutputFiles,
-    ProxyWriter,
     detect_file_format,
     xopen_rb_raise_limit,
 )
@@ -63,13 +64,19 @@ def receive_checked(connection: Connection):
     """Receive one control value; re-raise a shipped failure after
     terminating all children."""
     value = connection.recv()
-    if value == CHUNK_FAILED:
-        exc, tb_text = connection.recv()
-        logger.debug("%s", tb_text)
-        for child in multiprocessing.active_children():
-            child.terminate()
-        raise exc
-    return value
+    if value != CHUNK_FAILED:
+        return value
+    exc, tb_text = connection.recv()
+    logger.debug("%s", tb_text)
+    for child in multiprocessing.active_children():
+        child.terminate()
+    raise exc
+
+
+def _pipes(n: int):
+    """n one-way pipes as (receive_ends, send_ends) tuples."""
+    made = [mpctx.Pipe(duplex=False) for _ in range(n)]
+    return tuple(p[0] for p in made), tuple(p[1] for p in made)
 
 
 class ReaderProcess(mpctx.Process):
@@ -78,65 +85,78 @@ class ReaderProcess(mpctx.Process):
     whichever worker requests work next. Detects the input file format
     first and ships it back over a dedicated pipe (inputs may be
     non-seekable pipes, so only this process can look at the bytes).
+
+    All construction parameters travel to the child as one pickled
+    namespace (`self._c`).
     """
 
-    def __init__(
-        self,
-        *paths: str,
-        file_format_connection: Connection,
-        connections: Sequence[Connection],
-        queue: multiprocessing.Queue,
-        buffer_size: int,
-        stdin_fd,
-    ):
+    def __init__(self, *paths: str, file_format_connection, connections,
+                 queue, buffer_size: int, stdin_fd):
         super().__init__()
         if not 1 <= len(paths) <= 2:
             raise ValueError("Reading requires one or two input files")
-        self._paths = paths
-        self._file_format_connection = file_format_connection
-        self.connections = connections
-        self.queue = queue
-        self.buffer_size = buffer_size
-        self.stdin_fd = stdin_fd
+        self._c = SimpleNamespace(
+            paths=paths,
+            format_conn=file_format_connection,
+            worker_conns=tuple(connections),
+            queue=queue,
+            buffer_size=buffer_size,
+            stdin_fd=stdin_fd,
+        )
 
-    def run(self):
-        if self.stdin_fd != -1:
+    # the parallel runner reads these back for orchestration/tests
+    @property
+    def connections(self):
+        return self._c.worker_conns
+
+    @property
+    def queue(self):
+        return self._c.queue
+
+    def _next_requester(self) -> Connection:
+        return self._c.worker_conns[self._c.queue.get()]
+
+    def _reattach_stdin(self) -> None:
+        if self._c.stdin_fd != -1:
             # stdin was replaced by the parent; reattach it
             sys.stdin.close()
-            sys.stdin = os.fdopen(self.stdin_fd)
+            sys.stdin = os.fdopen(self._c.stdin_fd)
+
+    def run(self):
+        self._reattach_stdin()
         try:
             with ExitStack() as stack:
                 try:
-                    files = [
-                        stack.enter_context(xopen_rb_raise_limit(path))
-                        for path in self._paths
+                    opened = [
+                        stack.enter_context(xopen_rb_raise_limit(p))
+                        for p in self._c.paths
                     ]
-                    detected = detect_file_format(files[0])
+                    detected = detect_file_format(opened[0])
                 except Exception as e:
-                    send_failure(self._file_format_connection, e)
+                    send_failure(self._c.format_conn, e)
                     raise
-                self._file_format_connection.send(detected)
-                for index, chunks in enumerate(self._chunk_stream(files)):
-                    self._dispatch(index, chunks)
+                self._c.format_conn.send(detected)
+                self._serve(opened)
             # orderly end: one poison pill per worker
-            for _ in range(len(self.connections)):
-                self.connections[self.queue.get()].send(CHUNK_DONE)
+            for _ in self._c.worker_conns:
+                self._next_requester().send(CHUNK_DONE)
         except Exception as e:
-            for connection in self.connections:
-                send_failure(connection, e)
+            for conn in self._c.worker_conns:
+                send_failure(conn, e)
 
-    def _chunk_stream(self, files) -> Iterator[Tuple[memoryview, ...]]:
-        if len(files) == 2:
-            yield from read_paired_chunks(files[0], files[1], self.buffer_size)
+    def _serve(self, opened) -> None:
+        for index, parts in enumerate(self._chunk_stream(opened)):
+            conn = self._next_requester()
+            conn.send(index)
+            for part in parts:
+                conn.send_bytes(part)
+
+    def _chunk_stream(self, opened) -> Iterator[Tuple[memoryview, ...]]:
+        size = self._c.buffer_size
+        if len(opened) == 2:
+            yield from read_paired_chunks(opened[0], opened[1], size)
         else:
-            for chunk in read_chunks(files[0], self.buffer_size):
-                yield (chunk,)
-
-    def _dispatch(self, index: int, chunks: Tuple[memoryview, ...]) -> None:
-        connection = self.connections[self.queue.get()]
-        connection.send(index)
-        for chunk in chunks:
-            connection.send_bytes(chunk)
+            yield from ((c,) for c in read_chunks(opened[0], size))
 
 
 class WorkerProcess(mpctx.Process):
@@ -146,73 +166,72 @@ class WorkerProcess(mpctx.Process):
     index; finishes with CHUNK_DONE plus its accumulated Statistics.
     """
 
-    def __init__(
-        self,
-        id_: int,
-        pipeline: Pipeline,
-        inpaths: InputPaths,
-        proxy_files: List[ProxyWriter],
-        read_pipe: Connection,
-        write_pipe: Connection,
-        need_work_queue: multiprocessing.Queue,
-        file_format,
-    ):
+    def __init__(self, id_: int, pipeline: Pipeline, inpaths: InputPaths,
+                 proxy_files, read_pipe, write_pipe, need_work_queue,
+                 file_format):
         super().__init__()
-        self._id = id_
-        self._pipeline = pipeline
-        self._n_input_files = len(inpaths.paths)
-        self._interleaved_input = inpaths.interleaved
-        self._read_pipe = read_pipe
-        self._write_pipe = write_pipe
-        self._need_work_queue = need_work_queue
-        self._proxy_files = proxy_files
-        self._file_format = file_format
+        self._c = SimpleNamespace(
+            id=id_,
+            pipeline=pipeline,
+            n_inputs=len(inpaths.paths),
+            interleaved=inpaths.interleaved,
+            read_pipe=read_pipe,
+            write_pipe=write_pipe,
+            queue=need_work_queue,
+            proxies=proxy_files,
+            file_format=file_format,
+        )
+
+    def _incoming(self) -> Iterator[int]:
+        """Chunk indexes as the reader grants them; ends at the poison
+        pill, re-raises a shipped reader failure."""
+        c = self._c
+        while True:
+            c.queue.put(c.id)
+            got = c.read_pipe.recv()
+            if got == CHUNK_DONE:
+                return
+            if got == CHUNK_FAILED:
+                exc, tb_text = c.read_pipe.recv()
+                logger.error("%s", tb_text)
+                raise exc
+            yield got
 
     def run(self):
+        c = self._c
         try:
             stats = Statistics()
-            while True:
-                self._need_work_queue.put(self._id)
-                chunk_index = self._read_pipe.recv()
-                if chunk_index == CHUNK_DONE:
-                    break
-                if chunk_index == CHUNK_FAILED:
-                    exc, tb_text = self._read_pipe.recv()
-                    logger.error("%s", tb_text)
-                    raise exc
+            for chunk_index in self._incoming():
                 stats += self._process_chunk(chunk_index)
-
             # counters living in the pipeline objects are collected once
             stats += Statistics().collect(
                 0,
                 0,
-                0 if self._pipeline.paired else None,
-                self._pipeline._modifiers,
-                self._pipeline._steps,
+                0 if c.pipeline.paired else None,
+                c.pipeline._modifiers,
+                c.pipeline._steps,
             )
-            self._write_pipe.send(CHUNK_DONE)
-            self._write_pipe.send(stats)
+            c.write_pipe.send(CHUNK_DONE)
+            c.write_pipe.send(stats)
         except Exception as e:
-            send_failure(self._write_pipe, e)
+            send_failure(c.write_pipe, e)
 
     def _process_chunk(self, chunk_index: int) -> Statistics:
         """Run the pipeline over one received chunk and ship the
         resulting output bytes."""
-        buffers = [
-            io.BytesIO(self._read_pipe.recv_bytes())
-            for _ in range(self._n_input_files)
-        ]
+        c = self._c
+        payloads = [c.read_pipe.recv_bytes() for _ in range(c.n_inputs)]
         infiles = InputFiles(
-            *buffers,
-            interleaved=self._interleaved_input,
-            fileformat=self._file_format,
+            *map(io.BytesIO, payloads),
+            interleaved=c.interleaved,
+            fileformat=c.file_format,
         )
-        (n, bp1, bp2) = self._pipeline.process_reads(infiles)
-        self._write_pipe.send(chunk_index)
-        self._write_pipe.send(n)
-        for proxy in self._proxy_files:
+        (n, bp1, bp2) = c.pipeline.process_reads(infiles)
+        c.write_pipe.send(chunk_index)
+        c.write_pipe.send(n)
+        for proxy in c.proxies:
             for blob in proxy.drain():
-                self._write_pipe.send_bytes(blob)
+                c.write_pipe.send_bytes(blob)
         return Statistics().collect(n, bp1, bp2, [], [])
 
 
@@ -224,14 +243,15 @@ class OrderedChunkWriter:
 
     def __init__(self, outfile):
         self._pending = {}
-        self._next_index = 0
+        self._order = count()
+        self._due = next(self._order)
         self._outfile = outfile
 
     def write(self, data: bytes, index: int):
         self._pending[index] = data
-        while self._next_index in self._pending:
-            self._outfile.write(self._pending.pop(self._next_index))
-            self._next_index += 1
+        while self._due in self._pending:
+            self._outfile.write(self._pending.pop(self._due))
+            self._due = next(self._order)
 
     def wrote_everything(self):
         return not self._pending
@@ -259,6 +279,14 @@ class PipelineRunner(ABC):
         self.close()
 
 
+def _parent_stdin_fd() -> int:
+    try:
+        return sys.stdin.fileno()
+    except io.UnsupportedOperation:
+        # stdin replaced by an object without a file descriptor
+        return -1
+
+
 class ParallelPipelineRunner(PipelineRunner):
     """
     Reader process -> n worker processes -> in-order main-process
@@ -277,55 +305,47 @@ class ParallelPipelineRunner(PipelineRunner):
         self._buffer_size = 4 * 1024**2 if buffer_size is None else buffer_size
         self._need_work_queue: multiprocessing.Queue = mpctx.Queue()
         # pipes the workers receive their chunks on
-        receive_ends, send_ends = zip(
-            *(mpctx.Pipe(duplex=False) for _ in range(n_workers))
+        self._connections, reader_side = _pipes(n_workers)
+        self._input_file_format = self._start_reader(reader_side)
+        bam = self._input_file_format is FileFormat.BAM
+        # individual BAM record chunks carry no header
+        self._format_string = (
+            "bam_no_header" if bam else self._input_file_format.name.lower()
         )
-        self._connections = receive_ends
-        try:
-            stdin_fd = sys.stdin.fileno()
-        except io.UnsupportedOperation:
-            # stdin replaced by an object without a file descriptor
-            stdin_fd = -1
+
+    def _start_reader(self, worker_sides) -> FileFormat:
         format_recv, format_send = mpctx.Pipe(duplex=False)
-        self._reader_process = ReaderProcess(
-            *inpaths.paths,
+        reader = ReaderProcess(
+            *self._inpaths.paths,
             file_format_connection=format_send,
-            connections=send_ends,
+            connections=worker_sides,
             queue=self._need_work_queue,
             buffer_size=self._buffer_size,
-            stdin_fd=stdin_fd,
+            stdin_fd=_parent_stdin_fd(),
         )
-        self._reader_process.daemon = True
-        self._reader_process.start()
-        self._input_file_format: FileFormat = receive_checked(format_recv)
-        if self._input_file_format is FileFormat.BAM:
-            # individual BAM record chunks carry no header
-            self._format_string = "bam_no_header"
-        else:
-            self._format_string = self._input_file_format.name.lower()
+        reader.daemon = True
+        reader.start()
+        self._reader_process = reader
+        return receive_checked(format_recv)
 
-    def _launch_workers(
-        self, pipeline, proxy_files
-    ) -> Tuple[List[WorkerProcess], List[Connection]]:
+    def _launch_workers(self, pipeline, proxy_files):
+        result_recv, result_send = _pipes(self._n_workers)
         workers = []
-        result_connections = []
         for index in range(self._n_workers):
-            recv_end, send_end = mpctx.Pipe(duplex=False)
             worker = WorkerProcess(
                 index,
                 pipeline,
                 self._inpaths,
                 proxy_files,
                 self._connections[index],
-                send_end,
+                result_send[index],
                 self._need_work_queue,
                 file_format=self._format_string,
             )
             worker.daemon = True
             worker.start()
             workers.append(worker)
-            result_connections.append(recv_end)
-        return workers, result_connections
+        return workers, list(result_recv)
 
     def run(self, pipeline, progress, outfiles: OutputFiles) -> Statistics:
         workers, connections = self._launch_workers(
@@ -340,14 +360,12 @@ class ParallelPipelineRunner(PipelineRunner):
                     stats += receive_checked(connection)
                     connections.remove(connection)
                     continue
-                n_reads = receive_checked(connection)
-                progress.update(n_reads)
+                progress.update(receive_checked(connection))
                 for writer in writers:
                     writer.write(connection.recv_bytes(), chunk_index)
         assert all(writer.wrote_everything() for writer in writers)
-        for worker in workers:
-            worker.join()
-        self._reader_process.join()
+        for proc in workers + [self._reader_process]:
+            proc.join()
         progress.close()
         return stats
 
