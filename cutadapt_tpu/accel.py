@@ -1989,8 +1989,6 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
             return None
     any_edits = any(side_edits) or any(z is not None for z in zero_caps)
     if any_edits:
-        if rename is not None:
-            return None
         if rc_pair_transform or any(
             _transform_action(st) is not None or _revcomp_stage(st)
             for st in (stages1, stages2)
@@ -2001,7 +1999,10 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
         # side's chunk before the pair filters are evaluated, matching
         # the host's modifier-then-step order. rc_pair is fine too:
         # edits apply to the orientation-selected slots, after the
-        # ' rc' suffix, like the host's modifier order)
+        # ' rc' suffix, like the host's modifier order. --rename is
+        # fine as well: emit edits headers per side first, then
+        # renames — the renamer sees the edited names, like the host's
+        # modifier order; -x/-y with --rename is a CLI usage error)
     if rename is not None:
         if rc_pair_transform or any(
             _transform_action(st) is not None or _revcomp_stage(st)

@@ -911,6 +911,10 @@ def _make_rc_pair_files(tmp_path, seed=31, n=1200,
                           "ad2=CTGTCTCTTATAC", "--action=lowercase"]),
     ("no_trim", ["-a", "ad1=AGATCGGAAGAGC", "-A", "ad2=CTGTCTCTTATAC",
                  "--no-trim", "--discard-untrimmed"]),
+    ("rename_plus_edits", ["-a", "ad1=AGATCGGAAGAGC", "-A",
+                           "ad2=CTGTCTCTTATAC", "--strip-suffix", " rc",
+                           "--zero-cap", "--rename",
+                           "{id} a={adapter_name}"]),
 ], ids=lambda x: x if isinstance(x, str) else "")
 def test_fastpath_paired_revcomp_combos(tmp_path, monkeypatch, name,
                                         args):
@@ -943,6 +947,36 @@ def test_fastpath_paired_revcomp_combos(tmp_path, monkeypatch, name,
         )
     assert outs["1"] == outs["0"]
     assert outs["1"][1]["read_counts"]["reverse_complemented"] > 100
+
+
+def test_fastpath_paired_rename_with_name_edits(tmp_path, monkeypatch):
+    """Paired --rename combined with --strip-suffix/--length-tag/
+    --zero-cap (legal combos; only -x/-y conflict with --rename):
+    edits apply per side first, then the renamer sees the edited
+    names, matching the host's modifier order."""
+    spy = _spy_engagement(monkeypatch)
+    in1, in2 = _make_rc_pair_files(tmp_path, seed=39)
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        d = tmp_path / f"rne-{env}"
+        d.mkdir()
+        main(["--quiet", "--json", str(d / "r.json"),
+              "-a", "ad1=AGATCGGAAGAGC", "-A", "ad2=CTGTCTCTTATAC",
+              "--strip-suffix", " x", "--length-tag", "length=",
+              "--zero-cap", "--rename", "{id} L={comment} a={adapter_name}",
+              "-q", "10", "--max-ee", "9",
+              "-o", str(d / "o1.fastq"), "-p", str(d / "o2.fastq"),
+              str(in1), str(in2)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        rep = json.load(open(d / "r.json"))
+        rep["command_line_arguments"] = None
+        outs[env] = (
+            (d / "o1.fastq").read_bytes(), (d / "o2.fastq").read_bytes(),
+            rep,
+        )
+    assert outs["1"] == outs["0"]
 
 
 @pytest.mark.parametrize("inter_out", [False, True],
