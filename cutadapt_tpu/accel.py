@@ -514,7 +514,9 @@ def _translate_single(pipeline, fasta: bool = False):
         from .batch_pipeline import AdapterStage
 
         if fasta and rc_stage is not None:
-            return None  # the rc assembler is fastq-only
+            # FASTA chunks alias quality offsets to the sequence: the
+            # rc copy must complement sequences only
+            rc_stage.has_quals = False
         # later stages would see un-transformed / forward bytes
         if not isinstance(stages[-1], AdapterStage):
             return None

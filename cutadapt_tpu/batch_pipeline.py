@@ -677,6 +677,10 @@ class RevcompStage(AdapterStage):
         super().__init__(tasks, times=times, modifier=modifier,
                          action=action)
         self.suffix = suffix
+        # FASTA chunks alias their quality offsets to the sequence, so
+        # the rc copy must not reverse "qualities" there (the driver
+        # clears this for FASTA input)
+        self.has_quals = True
 
 
 def _complement_table() -> np.ndarray:
@@ -686,6 +690,22 @@ def _complement_table() -> np.ndarray:
     for k, v in _COMPLEMENT_TABLE.items():
         tbl[k] = ord(v)
     return tbl
+
+
+def _revcomp_sequences_only(rc_buf: np.ndarray, parsed) -> None:
+    """Reverse-complement each record's sequence bytes in rc_buf,
+    leaving everything else untouched — for FASTA chunks, whose
+    quality offsets alias the sequence region."""
+    lens = parsed.seq_len.astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return
+    reps = np.repeat(np.arange(len(lens)), lens)
+    offs = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    starts = parsed.seq_start[reps]
+    src = starts + offs
+    dst = starts + (lens[reps] - 1 - offs)
+    rc_buf[dst] = _complement_table()[parsed.buf[src]]
 
 
 class FilterSpec:
@@ -1655,10 +1675,13 @@ class BatchPipelineEngine:
                 # a reverse-complemented copy of the chunk shares all
                 # offsets, so the same tasks match the rc reads
                 rc_buf = parsed.buf.copy()
-                native.reverse_complement_records(
-                    rc_buf, parsed.seq_start, parsed.seq_len,
-                    parsed.qual_start, _complement_table(),
-                )
+                if stage.has_quals:
+                    native.reverse_complement_records(
+                        rc_buf, parsed.seq_start, parsed.seq_len,
+                        parsed.qual_start, _complement_table(),
+                    )
+                else:
+                    _revcomp_sequences_only(rc_buf, parsed)
                 from .io.chunks import ParsedChunk
 
                 rc_chunk = ParsedChunk(

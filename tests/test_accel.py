@@ -719,6 +719,91 @@ def test_fastpath_mask_content_predicates(tmp_path, monkeypatch):
         assert filtered["too_many_n"], "max-n filter never fired"
 
 
+def test_fastpath_revcomp_fasta_in(tmp_path, monkeypatch):
+    """--revcomp with FASTA input: the rc copy complements sequences
+    only (FASTA chunks alias quality offsets to the sequence), and
+    demux/--rename ride the orientation-selected chunk."""
+    spy = _spy_engagement(monkeypatch)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+    rng = random.Random(96)
+    b3 = "TTCCGGAACCGG"
+    inp = tmp_path / "rcf.fasta"
+    with open(inp, "w") as f:
+        for i in range(700):
+            L = rng.randint(25, 85)
+            s = "".join(rng.choice("ACGTN") for _ in range(L))
+            if rng.random() < 0.6:
+                p = rng.randint(5, max(6, L - 14))
+                ad = A3 if rng.random() < 0.6 else b3
+                s = (s[:p] + ad + s[p:])[:L]
+                if rng.random() < 0.5:
+                    s = "".join(comp[c] for c in reversed(s))
+            f.write(f">f{i} c\n{s}\n")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        d = tmp_path / f"rcf-{env}"
+        d.mkdir()
+        main(["--quiet", "--json", str(d / "r.json"), "--revcomp",
+              "-a", "a1=" + A3, "-a", "a2=" + b3, "--max-n", "4",
+              "--rename", "{id} ad={adapter_name}",
+              "--untrimmed-output", str(d / "un.fasta"),
+              "-o", str(d / "{name}.fasta"), str(inp)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        rep = json.load(open(d / "r.json"))
+        rep["command_line_arguments"] = None
+        outs[env] = (
+            {p.name: p.read_bytes()
+             for p in sorted(d.iterdir()) if p.suffix == ".fasta"},
+            rep,
+        )
+    assert outs["1"] == outs["0"]
+    assert outs["1"][1]["read_counts"]["reverse_complemented"] > 50
+
+
+def test_fastpath_paired_revcomp_fasta_in(tmp_path, monkeypatch):
+    """Paired --revcomp on FASTA inputs: the orientation swap carries
+    no quality bytes at all."""
+    spy = _spy_engagement(monkeypatch)
+    rng = random.Random(97)
+    a1, a2 = "AGATCGGAAGAGC", "CTGTCTCTTATAC"
+    in1 = tmp_path / "pf1.fasta"
+    in2 = tmp_path / "pf2.fasta"
+    with open(in1, "w") as f1, open(in2, "w") as f2:
+        for i in range(700):
+            L = rng.randint(30, 90)
+            s1 = "".join(rng.choice("ACGT") for _ in range(L))
+            s2 = "".join(rng.choice("ACGT") for _ in range(L))
+            p = rng.randint(5, max(6, L - 14))
+            r = rng.random()
+            if r < 0.35:
+                s1 = (s1[:p] + a1 + s1[p:])[:L]
+            elif r < 0.7:
+                s2 = (s2[:p] + a1 + s2[p:])[:L]
+            f1.write(f">p{i} x\n{s1}\n")
+            f2.write(f">p{i} x\n{s2}\n")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        d = tmp_path / f"pfr-{env}"
+        d.mkdir()
+        main(["--quiet", "--json", str(d / "r.json"), "--revcomp",
+              "-a", f"ad1={a1}", "-A", f"ad2={a2}", "-m", "15",
+              "-o", str(d / "o1.fasta"), "-p", str(d / "o2.fasta"),
+              str(in1), str(in2)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        rep = json.load(open(d / "r.json"))
+        rep["command_line_arguments"] = None
+        outs[env] = (
+            (d / "o1.fasta").read_bytes(), (d / "o2.fasta").read_bytes(),
+            rep,
+        )
+    assert outs["1"] == outs["0"]
+    assert outs["1"][2]["read_counts"]["reverse_complemented"] > 50
+
+
 def test_fastpath_revcomp_no_trim(tmp_path, monkeypatch):
     """--revcomp with --no-trim: output keeps the chosen orientation's
     full read (plus ' rc' suffix for rc winners); matching still
