@@ -2006,9 +2006,14 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
         # renames — the renamer sees the edited names, like the host's
         # modifier order; -x/-y with --rename is a CLI usage error)
     if rename is not None:
+        # mask/lowercase actions are fine with --rename: the rename
+        # fields slice the chunk's original bytes ({match_sequence} is
+        # the match-time sequence, pre-transform, like the host's
+        # match objects) and the transform happens at write time.
+        # Per-side rc stays gated (API-only); a transforming rc_pair
+        # too (the selected-slot remainder interplay is untested)
         if rc_pair_transform or any(
-            _transform_action(st) is not None or _revcomp_stage(st)
-            for st in (stages1, stages2)
+            _revcomp_stage(st) is not None for st in (stages1, stages2)
         ):
             return None
         rename_scan = list((stages1, stages2))

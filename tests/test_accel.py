@@ -1034,6 +1034,36 @@ def test_fastpath_paired_revcomp_combos(tmp_path, monkeypatch, name,
     assert outs["1"][1]["read_counts"]["reverse_complemented"] > 100
 
 
+@pytest.mark.parametrize("act", ["mask", "lowercase"])
+def test_fastpath_paired_rename_with_transform(tmp_path, monkeypatch,
+                                               act):
+    """Paired --rename with --action=mask/lowercase: rename fields
+    slice the original (pre-transform) bytes like the host's match
+    objects; the transform applies at write time."""
+    spy = _spy_engagement(monkeypatch)
+    in1, in2 = _make_rc_pair_files(tmp_path, seed=43)
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        d = tmp_path / f"rnt-{act}-{env}"
+        d.mkdir()
+        main(["--quiet", "--json", str(d / "r.json"), f"--action={act}",
+              "-a", "ad1=AGATCGGAAGAGC", "-A", "ad2=CTGTCTCTTATAC",
+              "--rename", "{id} a={adapter_name} m={match_sequence}",
+              "--max-n", "5",
+              "-o", str(d / "o1.fastq"), "-p", str(d / "o2.fastq"),
+              str(in1), str(in2)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        rep = json.load(open(d / "r.json"))
+        rep["command_line_arguments"] = None
+        outs[env] = (
+            (d / "o1.fastq").read_bytes(), (d / "o2.fastq").read_bytes(),
+            rep,
+        )
+    assert outs["1"] == outs["0"]
+
+
 def test_fastpath_paired_rename_with_name_edits(tmp_path, monkeypatch):
     """Paired --rename combined with --strip-suffix/--length-tag/
     --zero-cap (legal combos; only -x/-y conflict with --rename):
