@@ -24,10 +24,11 @@ single-end, paired-end, and interleaved):
 Cross-feature combos ride the engine too: side files with mask/
 lowercase actions, --revcomp (single and paired) with name edits /
 --rename / --zero-cap / demultiplexing / content predicates /
-interleaved output (orientation-selected chunks before the edits;
-cut bytes recovered from the physical sides), single-end --revcomp
-with side files, mask actions with content predicates (masked bytes
-count as N), --pair-adapters with --wildcard-file. The remaining
+interleaved IO / FASTA input / mask+lowercase+--no-trim actions
+(orientation-selected chunks before the edits; cut bytes recovered
+from the physical sides), single-end --revcomp with side files, mask
+actions with content predicates (masked bytes count as N) and with
+--rename, --pair-adapters with --wildcard-file. The remaining
 host-only combinations are noted at their gates (e.g. paired
 --revcomp with side files — a reference info-row quirk — or side
 files after a filter step). The engine
