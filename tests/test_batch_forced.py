@@ -6,7 +6,8 @@ path by default, so without this lane nothing would continuously prove
 the claim that the full golden suite passes through the batch engine.
 Runs the two end-to-end suites in a subprocess with
 CUTADAPT_TPU_BATCH=1 (compile results come from the persistent test
-cache, so the second run is cheap).
+cache, so the second run is cheap) — once on the serial drive and once
+with the pooled 3-worker drive, which must be byte-identical.
 """
 
 import os
@@ -17,9 +18,14 @@ import pytest
 
 
 @pytest.mark.timeout(1800)
-def test_golden_suites_with_batch_forced():
+@pytest.mark.parametrize("workers", ["1", "3"])
+def test_golden_suites_with_batch_forced(workers):
     here = os.path.dirname(__file__)
-    env = {**os.environ, "CUTADAPT_TPU_BATCH": "1"}
+    env = {
+        **os.environ,
+        "CUTADAPT_TPU_BATCH": "1",
+        "CUTADAPT_TPU_WORKERS": workers,
+    }
     proc = subprocess.run(
         [
             sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
