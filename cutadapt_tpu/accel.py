@@ -1790,11 +1790,14 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
     from .batch_pipeline import AdapterStage
 
     for st in (stages1, stages2):
-        has_special = (
-            _transform_action(st) is not None
-            or _revcomp_stage(st) is not None
-        )
-        if has_special and (interleaved or not isinstance(st[-1], AdapterStage)):
+        rc_side = _revcomp_stage(st) is not None
+        has_special = _transform_action(st) is not None or rc_side
+        # later stages would see un-transformed / forward bytes
+        if has_special and not isinstance(st[-1], AdapterStage):
+            return None
+        # (transforms with interleaved input are fine: renders and the
+        # interleaved writer read the remainder from the stats)
+        if rc_side and interleaved:
             return None
     if fasta:
         from .batch_pipeline import NextseqStage, QualityStage
@@ -1978,16 +1981,14 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
         for s in rc_pair[:2]
     )
     if inter_writers:
-        # (trim-mode rc_pair is fine: emit rebuilds the combined chunk
-        # from the orientation-selected slots and plain window
-        # assembly applies; with mask/lowercase rc stages the
-        # interleaved assembler would skip the transform)
-        if rc_pair_transform:
-            return None
+        # (rc_pair and transforms are fine: emit rebuilds the combined
+        # chunk from the orientation-selected slots, and the
+        # interleaved writer applies mask/lowercase via the per-side
+        # remainder intervals from the stats. Per-side rc is API-only
+        # and keeps its gate: its suffix-at-write assembler has no
+        # interleaved form)
         if any(
-            _transform_action(st) is not None
-            or _revcomp_stage(st) is not None
-            for st in (stages1, stages2)
+            _revcomp_stage(st) is not None for st in (stages1, stages2)
         ):
             return None
     any_edits = any(side_edits) or any(z is not None for z in zero_caps)
@@ -2808,7 +2809,8 @@ def _run_paired(
                     line=None,
                 )
 
-    def interleave_write(dest, full, ws1, we1, ws2, we2, mask, out_fasta):
+    def interleave_write(dest, full, ws1, we1, ws2, we2, mask, out_fasta,
+                         st1=None, st2=None):
         from .io.chunks import assemble_fasta_window, assemble_window
 
         N2 = full.n_records
@@ -2818,6 +2820,38 @@ def _run_paired(
         wsa[0::2], wsa[1::2] = ws1, ws2
         wea[0::2], wea[1::2] = we1, we2
         kp[0::2] = kp[1::2] = mask
+        tm = _TRANSFORM_MODES.get(
+            (st1 or {}).get("transform_action")
+            or (st2 or {}).get("transform_action")
+        )
+        if tm is not None:
+            # mask/lowercase: interleave each side's remainder interval
+            # (a side without an adapter stage masks nothing — its
+            # remainder is its whole window)
+            rsa = np.empty(N2, np.int32)
+            rea = np.empty(N2, np.int32)
+            rsa[0::2], rea[0::2] = (st1 or {}).get(
+                "remainder", (ws1, we1)
+            )
+            rsa[1::2], rea[1::2] = (st2 or {}).get(
+                "remainder", (ws2, we2)
+            )
+            if out_fasta:
+                from .io.chunks import assemble_fasta_transform
+
+                blob = assemble_fasta_transform(
+                    full, wsa, wea, rsa, rea, kp, tm
+                )
+            else:
+                from . import native as _native
+
+                blob = _native.assemble_fastq_transform(
+                    full.buf, full.head_start, full.head_end,
+                    full.seq_start, full.qual_start,
+                    wsa, wea, rsa, rea, kp, tm,
+                )
+            _write(dest, blob)
+            return
         asm = assemble_fasta_window if out_fasta else assemble_window
         _write(dest, asm(full, wsa, wea, kp))
 
@@ -2947,6 +2981,7 @@ def _run_paired(
                         step.writer._writer._file, full,
                         ws1, we1, ws2, we2, newly,
                         isinstance(step.writer._writer, FastaWriter),
+                        stats1, stats2,
                     )
                 else:
                     _write(
@@ -2962,7 +2997,8 @@ def _run_paired(
             router(c1, c2, ws1, we1, ws2, we2, keep, stats1, stats2)
         elif inter_out is not None:
             interleave_write(
-                inter_out, full, ws1, we1, ws2, we2, keep, inter_fasta
+                inter_out, full, ws1, we1, ws2, we2, keep, inter_fasta,
+                stats1, stats2,
             )
             _record_written(wl, 1, reducer, values=len1[keep])
             _record_written(wl, 2, reducer, values=len2[keep])

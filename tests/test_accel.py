@@ -1064,6 +1064,53 @@ def test_fastpath_paired_rename_with_transform(tmp_path, monkeypatch,
     assert outs["1"] == outs["0"]
 
 
+@pytest.mark.parametrize("shape", ["two_to_il", "il_to_il", "il_to_two"])
+def test_fastpath_interleaved_transform_actions(tmp_path, monkeypatch,
+                                                shape):
+    """mask/lowercase actions with interleaved input and/or output:
+    the interleaved writer applies the transform via the per-side
+    remainder intervals, including stacked with paired --revcomp."""
+    spy = _spy_engagement(monkeypatch)
+    in1, in2 = _make_rc_pair_files(tmp_path, seed=45)
+    il = tmp_path / "ilt.fastq"
+    with open(in1) as f1, open(in2) as f2, open(il, "w") as out:
+        while True:
+            rec1 = [f1.readline() for _ in range(4)]
+            rec2 = [f2.readline() for _ in range(4)]
+            if not rec1[0]:
+                break
+            out.writelines(rec1 + rec2)
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        d = tmp_path / f"ilt-{shape}-{env}"
+        d.mkdir()
+        argv = ["--quiet", "--json", str(d / "r.json"), "--action=mask",
+                "-a", "ad1=AGATCGGAAGAGC", "-A", "ad2=CTGTCTCTTATAC",
+                "--max-n", "5"]
+        if shape == "two_to_il":
+            argv += ["--revcomp", "--interleaved",
+                     "-o", str(d / "o.fastq"), str(in1), str(in2)]
+        elif shape == "il_to_il":
+            argv += ["--interleaved", "-o", str(d / "o.fastq"), str(il)]
+        else:
+            argv += ["--interleaved", "-o", str(d / "o1.fastq"),
+                     "-p", str(d / "o2.fastq"), str(il)]
+        main(argv)
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        rep = json.load(open(d / "r.json"))
+        rep["command_line_arguments"] = None
+        outs[env] = (
+            {p.name: p.read_bytes()
+             for p in sorted(d.iterdir()) if p.suffix == ".fastq"},
+            rep,
+        )
+    assert outs["1"] == outs["0"]
+    filtered = outs["1"][1]["read_counts"]["filtered"]
+    assert filtered["too_many_n"], "mask-fed max-n never fired"
+
+
 def test_fastpath_paired_rename_with_name_edits(tmp_path, monkeypatch):
     """Paired --rename combined with --strip-suffix/--length-tag/
     --zero-cap (legal combos; only -x/-y conflict with --rename):
