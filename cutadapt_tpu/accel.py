@@ -1976,10 +1976,6 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
         ) + [step.writer for step, _t1, _t2, _m in pair_filters]
         if isinstance(w, InterleavedSequenceWriter)
     ]
-    rc_pair_transform = rc_pair is not None and any(
-        s is not None and s.action in ("mask", "lowercase")
-        for s in rc_pair[:2]
-    )
     if inter_writers:
         # (rc_pair and transforms are fine: emit rebuilds the combined
         # chunk from the orientation-selected slots, and the
@@ -1993,9 +1989,8 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
             return None
     any_edits = any(side_edits) or any(z is not None for z in zero_caps)
     if any_edits:
-        if rc_pair_transform or any(
-            _transform_action(st) is not None or _revcomp_stage(st)
-            for st in (stages1, stages2)
+        if any(
+            _revcomp_stage(st) is not None for st in (stages1, stages2)
         ):
             return None
         # (zero-cap + expected-error filters and name edits + casava
@@ -2008,13 +2003,15 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
         # renames — the renamer sees the edited names, like the host's
         # modifier order; -x/-y with --rename is a CLI usage error)
     if rename is not None:
-        # mask/lowercase actions are fine with --rename: the rename
-        # fields slice the chunk's original bytes ({match_sequence} is
-        # the match-time sequence, pre-transform, like the host's
-        # match objects) and the transform happens at write time.
-        # Per-side rc stays gated (API-only); a transforming rc_pair
-        # too (the selected-slot remainder interplay is untested)
-        if rc_pair_transform or any(
+        # mask/lowercase actions are fine with --rename (with or
+        # without the paired-revcomp swap): the rename fields slice
+        # the chunk's original bytes ({match_sequence} is the
+        # match-time sequence, pre-transform, like the host's match
+        # objects) and the transform happens at write time, reading
+        # the remainder by per-read relative coordinates that hold
+        # against the renamed chunk. Per-side rc stays gated
+        # (API-only)
+        if any(
             _revcomp_stage(st) is not None for st in (stages1, stages2)
         ):
             return None

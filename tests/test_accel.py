@@ -1000,6 +1000,14 @@ def _make_rc_pair_files(tmp_path, seed=31, n=1200,
                            "ad2=CTGTCTCTTATAC", "--strip-suffix", " rc",
                            "--zero-cap", "--rename",
                            "{id} a={adapter_name}"]),
+    ("mask_plus_rename", ["-a", "ad1=AGATCGGAAGAGC", "-A",
+                          "ad2=CTGTCTCTTATAC", "--action=mask",
+                          "--max-n", "5", "--rename",
+                          "{id} a={adapter_name} m={match_sequence}"]),
+    ("lowercase_plus_edits", ["-a", "ad1=AGATCGGAAGAGC", "-A",
+                              "ad2=CTGTCTCTTATAC", "--action=lowercase",
+                              "--strip-suffix", " rc", "--length-tag",
+                              "length=", "--zero-cap"]),
 ], ids=lambda x: x if isinstance(x, str) else "")
 def test_fastpath_paired_revcomp_combos(tmp_path, monkeypatch, name,
                                         args):
