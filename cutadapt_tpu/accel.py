@@ -604,16 +604,6 @@ def _translate_single(pipeline, fasta: bool = False):
         ):
             return None  # quality-based predicates need FASTQ
         filters.append(FilterSpec(t[0], t[1], step))
-    if (
-        rc_stage is not None
-        and (rename is not None or name_edits)
-        and any(f.kind == "casava_filtered" for f in filters)
-    ):
-        # the casava filter must read the edited headers, and the
-        # edits must in turn see the chosen orientation's ' rc'
-        # suffix; the pre-filter edit hook runs before the rc
-        # selection, so the host path owns this ordering
-        return None
     if sink is None:
         return None
     return SingleTranslation(
@@ -1450,13 +1440,26 @@ def _run_single(
             # host order is modifiers before steps, so the casava
             # filter must read the EDITED headers: hand the engine a
             # hook that edits before its filter pass (emit() then
-            # picks the edited chunk up from stats)
+            # picks the edited chunk up from stats). With --revcomp
+            # the edits must in turn see the chosen orientation's
+            # ' rc' suffix, so the hook selects the orientation chunk
+            # first (the hook runs after the rc stage — stats already
+            # carry is_rc)
             def _prefilter_edit(chunk, stats, ws, we):
+                original = chunk
+                if "is_rc" in stats:
+                    rc = stats["rc_chunk"]
+                    chunk = _select_paired_chunk(
+                        chunk, 0, rc, len(chunk.buf),
+                        np.concatenate([chunk.buf, rc.buf]),
+                        stats["is_rc"], rc_stage_obj.suffix or "",
+                    )
+                    stats["rc_selected"] = True
                 return _edit_headers(
                     chunk,
                     _make_name_editor(
                         name_edits, rename, chunk, stats, rename_names,
-                        rename_cuts, ws, we,
+                        rename_cuts, ws, we, cut_chunk=original,
                     ),
                 )
 

@@ -804,6 +804,50 @@ def test_fastpath_paired_revcomp_fasta_in(tmp_path, monkeypatch):
     assert outs["1"][2]["read_counts"]["reverse_complemented"] > 50
 
 
+@pytest.mark.parametrize("extra", [
+    ["--rename", "{id}_{adapter_name} {comment}"],
+    ["--strip-suffix", "x"],
+    ["--length-tag", "length="],
+], ids=["rename", "strip", "lentag"])
+def test_fastpath_casava_revcomp_name_edits(tmp_path, monkeypatch,
+                                            extra):
+    """--discard-casava with --revcomp and name edits / --rename: the
+    casava filter reads the edited headers, and the edits see the
+    chosen orientation's ' rc' suffix (the pre-filter hook selects the
+    orientation before editing)."""
+    spy = _spy_engagement(monkeypatch)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rng = random.Random(98)
+    inp = tmp_path / "cas.fastq"
+    with open(inp, "w") as f:
+        for i in range(800):
+            L = rng.randint(25, 80)
+            s = "".join(rng.choice("ACGT") for _ in range(L))
+            if rng.random() < 0.6:
+                p = rng.randint(5, max(6, L - 14))
+                s = (s[:p] + A3 + s[p:])[:L]
+                if rng.random() < 0.5:
+                    s = "".join(comp[c] for c in reversed(s))
+            flag = "Y" if rng.random() < 0.3 else "N"
+            f.write(f"@c{i} 1:{flag}:0:ATCACG\n{s}\n+\n{'I' * len(s)}\n")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        out = tmp_path / f"cas-{env}.fastq"
+        rep = tmp_path / f"casrep-{env}.json"
+        main(["--quiet", "--json", str(rep), "--revcomp",
+              "--discard-casava", "-a", "a1=" + A3]
+             + extra + ["-o", str(out), str(inp)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        r = json.load(open(rep))
+        r["command_line_arguments"] = None
+        outs[env] = (out.read_bytes(), r)
+    assert outs["1"] == outs["0"]
+    filtered = outs["1"][1]["read_counts"]["filtered"]
+    assert filtered["casava_filtered"], "casava filter never fired"
+
+
 def test_fastpath_revcomp_no_trim(tmp_path, monkeypatch):
     """--revcomp with --no-trim: output keeps the chosen orientation's
     full read (plus ' rc' suffix for rc winners); matching still
