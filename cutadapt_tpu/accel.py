@@ -29,12 +29,13 @@ interleaved IO / FASTA input / mask+lowercase+--no-trim actions
 from the physical sides), single-end --revcomp with side files, mask/
 lowercase actions with content predicates (masked bytes count as N),
 --rename, name edits, and interleaved IO — all stackable with the
-paired swap — and --pair-adapters with --wildcard-file. The few
-remaining host-only combinations are noted at their gates: paired
---revcomp with side files (a reference info-row quirk the host path
-reproduces), single-end casava filter + --revcomp + name edits (edit
-ordering), side files after a filter step (not CLI-constructible),
-and per-side rc stages in paired pipelines (API-only). The engine
+paired swap — casava + --revcomp + name edits (the pre-filter hook
+selects the orientation before editing), and --pair-adapters with
+--wildcard-file. The few remaining host-only combinations are noted
+at their gates: paired --revcomp with side files (a reference
+info-row quirk the host path reproduces), side files after a filter
+step (not CLI-constructible), and per-side rc stages in paired
+pipelines (API-only). The engine
 updates the very same modifier/step statistics objects the host path
 would, so reports are identical; tests/test_accel.py asserts this per
 configuration (plus tools/fuzz_parity.py over randomized configs),
