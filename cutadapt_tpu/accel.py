@@ -1490,13 +1490,18 @@ def _run_single(
                 )
             if rc_stage_obj is not None and not stats.get("rc_selected"):
                 # pick each read's chosen orientation (the rc copy
-                # shares all offsets), appending the rc name suffix
-                rc = stats["rc_chunk"]
-                sel = _select_paired_chunk(
-                    chunk, 0, rc, len(chunk.buf),
-                    np.concatenate([chunk.buf, rc.buf]),
-                    stats["is_rc"], rc_stage_obj.suffix or "",
-                )
+                # shares all offsets), appending the rc name suffix —
+                # built once per chunk (demux calls render per output
+                # file, so cache the selected chunk in the stats)
+                sel = stats.get("rc_fasta_selected")
+                if sel is None:
+                    rc = stats["rc_chunk"]
+                    sel = _select_paired_chunk(
+                        chunk, 0, rc, len(chunk.buf),
+                        np.concatenate([chunk.buf, rc.buf]),
+                        stats["is_rc"], rc_stage_obj.suffix or "",
+                    )
+                    stats["rc_fasta_selected"] = sel
                 return assemble_fasta_window(sel, ws, we, mask)
             return assemble_fasta_window(chunk, ws, we, mask)
         if stats.get("rc_selected"):
@@ -2154,7 +2159,8 @@ def _pair_match(engines, chunks, windows, pair_stage, stats_pair=None):
         # index per side (-1 where no pair matched)
         stats_pair[0]["last_adapter_gid"] = best
         stats_pair[1]["last_adapter_gid"] = best
-    mod.with_adapters += int(matched.sum())
+    with _STATS_LOCK:  # pooled drive: emit() runs on worker threads
+        mod.with_adapters += int(matched.sum())
     for side in (0, 1):
         chunk = chunks[side]
         ws, we = windows[side]
@@ -2294,46 +2300,47 @@ def _run_rc_pair(engines, rc_pair, chunks, windows):
     b2 = run(stage2, c1, ws1, we1)
     use_rc = (b1[4] + b2[4]) > (a1[4] + a2[4])
 
-    mod.reverse_complemented += int(use_rc.sum())
-    for stage, straight, swapped in ((stage1, a1, b1), (stage2, a2, b2)):
-        if stage is None:
-            continue
-        cutter = stage.modifier
-        matched = np.where(use_rc, swapped[0], straight[0])
-        cutter.with_adapters += int(matched.sum())
-        for run_result, mask in ((straight, ~use_rc), (swapped, use_rc)):
-            for ev in run_result[1]:
-                sel = mask[ev["reads"]]
-                if not sel.any():
-                    continue
-                task = stage.tasks[ev["task"]]
-                reads = ev["reads"][sel]
-                rem = ev["removed"][sel]
-                err = ev["errors"][sel]
-                asf = np.asarray(ev["as_front"][sel], bool)
-                adj = ev["adjacent"][sel]
-                sub = ev["sub"][sel]
-                prim = (
-                    np.asarray(ev["primary"], bool)[sel]
-                    if "primary" in ev else None
-                )
-                for s in np.unique(sub):
-                    m = sub == s
-                    astats = cutter.adapter_statistics[
-                        task.adapters[int(s)]
-                    ]
-                    astats.reverse_complemented += int(
-                        use_rc[
-                            reads[m if prim is None else (m & prim)]
-                        ].sum()
+    with _STATS_LOCK:  # pooled drive: emit() runs on worker threads
+        mod.reverse_complemented += int(use_rc.sum())
+        for stage, straight, swapped in ((stage1, a1, b1), (stage2, a2, b2)):
+            if stage is None:
+                continue
+            cutter = stage.modifier
+            matched = np.where(use_rc, swapped[0], straight[0])
+            cutter.with_adapters += int(matched.sum())
+            for run_result, mask in ((straight, ~use_rc), (swapped, use_rc)):
+                for ev in run_result[1]:
+                    sel = mask[ev["reads"]]
+                    if not sel.any():
+                        continue
+                    task = stage.tasks[ev["task"]]
+                    reads = ev["reads"][sel]
+                    rem = ev["removed"][sel]
+                    err = ev["errors"][sel]
+                    asf = np.asarray(ev["as_front"][sel], bool)
+                    adj = ev["adjacent"][sel]
+                    sub = ev["sub"][sel]
+                    prim = (
+                        np.asarray(ev["primary"], bool)[sel]
+                        if "primary" in ev else None
                     )
-                    fm = m & asf
-                    bm = m & ~asf
-                    if fm.any():
-                        _record_removals(astats.front, rem[fm], err[fm])
-                    if bm.any():
-                        _record_removals(astats.back, rem[bm], err[bm])
-                        _record_adjacent(astats.back, adj[bm])
+                    for s in np.unique(sub):
+                        m = sub == s
+                        astats = cutter.adapter_statistics[
+                            task.adapters[int(s)]
+                        ]
+                        astats.reverse_complemented += int(
+                            use_rc[
+                                reads[m if prim is None else (m & prim)]
+                            ].sum()
+                        )
+                        fm = m & asf
+                        bm = m & ~asf
+                        if fm.any():
+                            _record_removals(astats.front, rem[fm], err[fm])
+                        if bm.any():
+                            _record_removals(astats.back, rem[bm], err[bm])
+                            _record_adjacent(astats.back, adj[bm])
 
     combined = np.concatenate([c1.buf, c2.buf])
     off2 = len(c1.buf)
@@ -2402,13 +2409,14 @@ def _apply_post_stages(engine, post_stages, chunk, ws, we):
     stats = {}
     for si, stage in enumerate(post_stages):
         ws, we = engine._apply_host_stage(si, stage, chunk, ws, we, stats)
-    for si, trimmed in stats.get("quality_trimmed", {}).items():
-        post_stages[si].modifier.trimmed_bases += trimmed
-    for si, removed in stats.get("poly_a_removed", {}).items():
-        mod = post_stages[si].modifier
-        for length, count in enumerate(np.bincount(removed)):
-            if count:
-                mod.trimmed_bases[int(length)] += int(count)
+    with _STATS_LOCK:  # pooled drive: emit() runs on worker threads
+        for si, trimmed in stats.get("quality_trimmed", {}).items():
+            post_stages[si].modifier.trimmed_bases += trimmed
+        for si, removed in stats.get("poly_a_removed", {}).items():
+            mod = post_stages[si].modifier
+            for length, count in enumerate(np.bincount(removed)):
+                if count:
+                    mod.trimmed_bases[int(length)] += int(count)
     return ws, we
 
 

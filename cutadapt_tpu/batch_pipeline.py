@@ -933,8 +933,13 @@ class BatchPipelineEngine:
 
     def warmup(self, max_len: int) -> None:
         """Compile every adapter task's DP program for each batch shape
-        that can occur for reads up to max_len."""
+        that can occur for reads up to max_len — with the exact runtime
+        signatures: int16 length rows in the packed (non-wide) result
+        format, and BOTH wire lanes of a 2-bit task (dirty N/IUPAC
+        batches overflow to a 4-bit device lane)."""
         width = self._bucket_length(max_len)
+        wide = self.want_ref_coords or width >= (1 << _QS_BITS)
+        len_dt = np.int32 if wide else np.int16
         for stage in self.stages:
             if not isinstance(stage, AdapterStage):
                 continue
@@ -946,21 +951,21 @@ class BatchPipelineEngine:
                 for t in subtasks:
                     if t.comparer:
                         continue
-                    p2 = t.packed and native.AVAILABLE and _pack2_on()
-                    if p2:
-                        w_in = width // 4
+                    if t.packed and native.AVAILABLE and _pack2_on():
+                        lanes = [(True, width // 4), (False, width // 2)]
                     elif t.packed:
-                        w_in = width // 2
+                        lanes = [(False, width // 2)]
                     else:
-                        w_in = width
+                        lanes = [(False, width)]
                     s = self.min_dp_batch
                     while s <= self.max_dp_batch:
                         sp = mesh_padded(s)
-                        t.step(
-                            np.zeros((sp, w_in), np.uint8),
-                            np.zeros(sp, np.int32),
-                            pack2=p2,
-                        ).block_until_ready()
+                        for p2, w_in in lanes:
+                            t.step(
+                                np.zeros((sp, w_in), np.uint8),
+                                np.zeros(sp, len_dt),
+                                wide=wide, pack2=p2,
+                            ).block_until_ready()
                         s *= 2
 
     def _encode(self, task, chunk, starts, lens, sel, rows, width,

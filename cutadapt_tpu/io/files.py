@@ -118,21 +118,15 @@ class InputPaths:
         self.interleaved = interleaved
 
     def open(self) -> InputFiles:
-        opened = [xopen_rb_raise_limit(p) for p in self.paths]
-        byte_range = os.environ.get("CUTADAPT_TPU_BYTE_RANGE")
-        if byte_range:
-            # multi-host input sharding: this process reads only its
-            # record-aligned byte range of each input (see
-            # parallel/multihost.py for the plan/merge contract)
-            from ..parallel.multihost import (
-                RangeReader,
-                parse_byte_range_env,
-            )
+        # multi-host input sharding: this process reads only its
+        # record-aligned byte range of each input (see
+        # parallel/multihost.py for the plan/merge contract)
+        from ..parallel.multihost import maybe_range_readers
 
-            opened = [
-                RangeReader(f, *rng)
-                for f, rng in zip(opened, parse_byte_range_env(byte_range))
-            ]
+        opened = maybe_range_readers(
+            [xopen_rb_raise_limit(p) for p in self.paths],
+            os.environ.get("CUTADAPT_TPU_BYTE_RANGE"),
+        )
         return InputFiles(*opened, interleaved=self.interleaved)
 
 

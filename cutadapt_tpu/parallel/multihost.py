@@ -43,12 +43,13 @@ import numpy as np
 _SCAN_BLOCK = 8 * 1024 * 1024
 
 
-def _record_starts_stream(path: str, fmt: str):
-    """Yield (record_index, byte_offset) for every record start, plus
-    a final (n_records, file_size) sentinel. One streaming pass."""
+def _record_start_blocks(path: str, fmt: str):
+    """Yield (block_base_offset, record_start_offsets_in_block) numpy
+    batches for one streaming pass, then a final (file_size, None)
+    sentinel — per-block vectorized, never one Python object per
+    record."""
     nl = 10
     offset = 0
-    rec = 0
     line_count = 0  # lines seen (fastq: record starts at line % 4 == 0)
     at_line_start = True
     with open(path, "rb") as f:
@@ -57,44 +58,64 @@ def _record_starts_stream(path: str, fmt: str):
             if not block:
                 break
             buf = np.frombuffer(block, np.uint8)
-            newlines = np.flatnonzero(buf == nl)
             # line starts in this block: after every newline, plus the
             # block start when the previous block ended a line
-            line_starts = newlines + 1
+            line_starts = np.flatnonzero(buf == nl) + 1
             if at_line_start:
                 line_starts = np.concatenate(([0], line_starts))
             line_starts = line_starts[line_starts < len(buf)]
             if fmt == "fastq":
-                idx = (line_count + np.arange(len(line_starts))) % 4 == 0
-                for p in line_starts[idx]:
-                    yield rec, offset + int(p)
-                    rec += 1
+                recs = line_starts[
+                    (line_count + np.arange(len(line_starts))) % 4 == 0
+                ]
             else:  # fasta: records start at '>' in column 0
-                hits = line_starts[buf[line_starts] == ord(">")]
-                for p in hits:
-                    yield rec, offset + int(p)
-                    rec += 1
+                recs = line_starts[buf[line_starts] == ord(">")]
+            yield offset, recs
             line_count += len(line_starts)
             at_line_start = bool(len(buf)) and buf[-1] == nl
             offset += len(buf)
-    yield rec, offset
+    yield offset, None
+
+
+def _count_records(path: str, fmt: str) -> Tuple[int, int]:
+    """(record count, file size) in one streaming pass, O(1) memory."""
+    n = 0
+    for base, recs in _record_start_blocks(path, fmt):
+        if recs is None:
+            return n, base
+        n += len(recs)
+    return n, 0
+
+
+def _offsets_at(path: str, fmt: str, targets: Sequence[int]) -> List[int]:
+    """Byte offsets of the record starts at the given (sorted) record
+    indexes — one streaming pass holding only the current block."""
+    out = []
+    pos = 0
+    seen = 0
+    for base, recs in _record_start_blocks(path, fmt):
+        if recs is None or pos >= len(targets):
+            break
+        while pos < len(targets) and targets[pos] < seen + len(recs):
+            out.append(base + int(recs[targets[pos] - seen]))
+            pos += 1
+        seen += len(recs)
+    return out
 
 
 def plan_shards(
     path: str, n_hosts: int, fmt: str = "fastq"
 ) -> List[Tuple[int, int]]:
     """Contiguous record-aligned byte ranges splitting `path` into
-    n_hosts near-equal record counts. Needs one counting pass first
-    (record totals), then reuses the same pass's boundary offsets."""
-    # single pass: collect every record offset's running count at the
-    # fractions once the total is known -> two passes are avoided by
-    # sampling all offsets into an array
-    offsets = [off for _, off in _record_starts_stream(path, fmt)]
-    size = offsets[-1]
-    offsets = offsets[:-1]  # drop the sentinel
-    n = len(offsets)
-    bounds = [offsets[(n * h) // n_hosts] if n else 0
-              for h in range(n_hosts)] + [size]
+    n_hosts near-equal record counts. Two vectorized streaming passes
+    (count, then the n_hosts boundary offsets) with O(n_hosts) memory
+    — pod-scale inputs never materialize per-record state."""
+    n, size = _count_records(path, fmt)
+    if n == 0:
+        bounds = [0] * n_hosts + [size]
+    else:
+        targets = [(n * h) // n_hosts for h in range(n_hosts)]
+        bounds = _offsets_at(path, fmt, targets) + [size]
     return [(bounds[h], bounds[h + 1]) for h in range(n_hosts)]
 
 
@@ -103,47 +124,84 @@ def plan_paired_shards(
 ) -> List[Tuple[Tuple[int, int], Tuple[int, int]]]:
     """Per-host ((start1, end1), (start2, end2)) ranges with EQUAL
     record counts on both sides (required for pair synchronization)."""
-    plans = []
-    for path in (path1, path2):
-        offsets = [off for _, off in _record_starts_stream(path, fmt)]
-        size = offsets[-1]
-        offsets = offsets[:-1]
-        plans.append((offsets, size))
-    n = min(len(plans[0][0]), len(plans[1][0]))
-    out = []
-    for h in range(n_hosts):
-        lo, hi = (n * h) // n_hosts, (n * (h + 1)) // n_hosts
-        rng = []
-        for offsets, size in plans:
-            start = offsets[lo] if lo < len(offsets) else size
-            end = offsets[hi] if hi < len(offsets) else size
-            rng.append((start, end))
-        out.append((rng[0], rng[1]))
-    return out
+    counts = [_count_records(p, fmt) for p in (path1, path2)]
+    n = min(c[0] for c in counts)
+    # boundary record indexes 0..n (index n maps to file size)
+    targets = [(n * h) // n_hosts for h in range(n_hosts + 1)]
+    sides = []
+    for path, (n_side, size) in zip((path1, path2), counts):
+        inner = [t for t in targets if t < n_side]
+        offs = _offsets_at(path, fmt, inner)
+        offs += [size] * (len(targets) - len(inner))
+        sides.append(offs)
+    return [
+        ((sides[0][h], sides[0][h + 1]), (sides[1][h], sides[1][h + 1]))
+        for h in range(n_hosts)
+    ]
 
 
 class RangeReader:
     """A binary file restricted to [start, end) — the per-host input
-    shard view the chunk readers consume."""
+    shard view the chunk readers consume. Supports every access
+    pattern the readers use: block ``read`` (chunk pipeline),
+    ``readline``/iteration (per-read host parser), ``readinto``."""
 
     def __init__(self, file: BinaryIO, start: int, end: int):
         self._file = file
         self._end = end
         file.seek(start)
 
+    def _remaining(self) -> int:
+        return self._end - self._file.tell()
+
     def read(self, n: int = -1) -> bytes:
-        remaining = self._end - self._file.tell()
+        remaining = self._remaining()
         if remaining <= 0:
             return b""
         if n is None or n < 0 or n > remaining:
             n = remaining
         return self._file.read(n)
 
+    def readline(self, limit: int = -1) -> bytes:
+        remaining = self._remaining()
+        if remaining <= 0:
+            return b""
+        if limit is None or limit < 0 or limit > remaining:
+            limit = remaining
+        return self._file.readline(limit)
+
+    def readinto(self, b) -> int:
+        remaining = self._remaining()
+        if remaining <= 0:
+            return 0
+        if len(b) > remaining:
+            b = memoryview(b)[:remaining]
+        return self._file.readinto(b)
+
+    def __iter__(self):
+        # iteration must respect the range end: type-level special
+        # method lookup would bypass __getattr__ delegation, so the
+        # host parser's `for line in file` needs this explicitly
+        return iter(self.readline, b"")
+
     def close(self):
         self._file.close()
 
     def __getattr__(self, name):
         return getattr(self._file, name)
+
+
+def maybe_range_readers(files, env_value: Optional[str]):
+    """Wrap open input streams in their CUTADAPT_TPU_BYTE_RANGE shard
+    views when the env is set; pass through otherwise. Every input
+    opener (in-process and the reader process) must go through this so
+    the shard contract holds on all execution paths."""
+    if not env_value:
+        return files
+    return [
+        RangeReader(f, *rng)
+        for f, rng in zip(files, parse_byte_range_env(env_value))
+    ]
 
 
 def parse_byte_range_env(value: str) -> List[Tuple[int, int]]:

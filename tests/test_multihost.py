@@ -152,3 +152,40 @@ def test_plan_shards_fasta(tmp_path):
         # every boundary is a record start
         assert data[start:start + 1] == b">"
         assert data[start - 1:start] == b"\n"
+
+
+@pytest.mark.parametrize("mode", ["host_serial", "host_multiproc"])
+def test_shards_on_fallback_paths(tmp_path, mode):
+    """The byte-range shard contract must hold on EVERY execution
+    path, not only the batch engine: the per-read host fallback
+    (batch off) and the multiprocessing runner (-j 2, whose reader
+    process re-opens the raw paths) must both respect the range and
+    concatenate to the single-run byte stream."""
+    inp = os.fspath(tmp_path / "in.fastq")
+    _write_fastq(inp, 1501, random.Random(7), ADAPTER)
+
+    base = ["--quiet", "-a", f"ad={ADAPTER}", "-q", "12", "-m", "10"]
+    if mode == "host_multiproc":
+        base = ["-j", "2"] + base
+    full_out = os.fspath(tmp_path / "full.fastq")
+    _run(
+        base + ["-o", full_out, inp],
+        {"CUTADAPT_TPU_BATCH": "0"},
+    )
+
+    shards = plan_shards(inp, 3, "fastq")
+    parts = []
+    for h, (start, end) in enumerate(shards):
+        out = os.fspath(tmp_path / f"fb{h}.fastq")
+        _run(
+            base + ["-o", out, inp],
+            {
+                "CUTADAPT_TPU_BATCH": "0",
+                "CUTADAPT_TPU_BYTE_RANGE": f"{start}:{end}",
+            },
+        )
+        parts.append(out)
+
+    merged = b"".join(open(p, "rb").read() for p in parts)
+    assert merged == open(full_out, "rb").read()
+    assert merged  # not vacuous
