@@ -1794,6 +1794,19 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
                 # stages after the swap apply to the mixed output slots
                 if stage_cutter is not None:
                     return None
+                if rc_pair[side] is not None and rc_pair[side].action in (
+                    "mask", "lowercase"
+                ):
+                    from .batch_pipeline import NEndStage, PolyAStage
+
+                    # sequence-reading post stages must see the
+                    # TRANSFORMED bytes (host order: the rc cutter
+                    # masks/lowercases first, then --trim-n/--poly-a
+                    # run — 'n'/masked-N bytes behave differently);
+                    # the engine's window stages read original bytes,
+                    # so these combinations stay host-path
+                    if isinstance(stage, (NEndStage, PolyAStage)):
+                        return None
                 post_stages[side].append(stage)
                 continue
             if stage_cutter is not None:

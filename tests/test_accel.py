@@ -1163,6 +1163,56 @@ def test_fastpath_interleaved_transform_actions(tmp_path, monkeypatch,
     assert filtered["too_many_n"], "mask-fed max-n never fired"
 
 
+@pytest.mark.parametrize("post", [["--trim-n"], ["--poly-a"]],
+                         ids=["trim_n", "poly_a"])
+def test_fastpath_paired_revcomp_transform_post_stage(tmp_path,
+                                                      monkeypatch,
+                                                      post):
+    """A transforming paired --revcomp with a sequence-reading post
+    stage (--trim-n/--poly-a) must fall back to the host path: those
+    stages read the TRANSFORMED bytes on the host (lowercased 'n' is
+    not trimmed, masked N is), which the engine's window stages do
+    not see. Pinned here so the gate is not removed without an
+    implementation (found by the parity fuzzer on lowercase+trim-n)."""
+    spy = _spy_engagement(monkeypatch)
+    rng = random.Random(99)
+    in1 = tmp_path / "pp1.fastq"
+    in2 = tmp_path / "pp2.fastq"
+    with open(in1, "w") as f1, open(in2, "w") as f2:
+        for i in range(400):
+            L = rng.randint(30, 80)
+            s1 = "".join(rng.choice("ACGTN") for _ in range(L))
+            s2 = "".join(rng.choice("ACGTN") for _ in range(L))
+            if rng.random() < 0.6:
+                p = rng.randint(5, max(6, L - 14))
+                s1 = (s1[:p] + A3 + s1[p:])[:L]
+            q = "I" * L
+            f1.write(f"@pp{i}\n{s1}\n+\n{q}\n")
+            f2.write(f"@pp{i}\n{s2}\n+\n{q}\n")
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        d = tmp_path / f"pp-{post[0][2:]}-{env}"
+        d.mkdir()
+        main(["--quiet", "--json", str(d / "r.json"), "--revcomp",
+              "--action=lowercase", "-a", "ad1=" + A3,
+              "-A", "ad2=CTGTCTCTTATAC"] + post +
+             ["-o", str(d / "o1.fastq"), "-p", str(d / "o2.fastq"),
+              str(in1), str(in2)])
+        if env == "1":
+            assert not spy.get("engaged"), (
+                "combo engaged the engine without transformed-byte "
+                "support in the post stages"
+            )
+        rep = json.load(open(d / "r.json"))
+        rep["command_line_arguments"] = None
+        outs[env] = (
+            (d / "o1.fastq").read_bytes(), (d / "o2.fastq").read_bytes(),
+            rep,
+        )
+    assert outs["1"] == outs["0"]
+
+
 def test_fastpath_paired_rename_with_name_edits(tmp_path, monkeypatch):
     """Paired --rename combined with --strip-suffix/--length-tag/
     --zero-cap (legal combos; only -x/-y conflict with --rename):
