@@ -68,9 +68,11 @@ AUTO_SIZE_THRESHOLD = 64 * 1024 * 1024  # bytes
 # Streaming chunk size: small enough that several chunks are in flight
 # (the 3-stage thread pipeline needs >= 3 chunks to overlap), large
 # enough that per-dispatch device round-trip latency amortizes.
-CHUNK_RECORDS_BYTES = int(
-    os.environ.get("CUTADAPT_TPU_CHUNK_BYTES", 16 * 1024 * 1024)
-)
+def _chunk_bytes() -> int:
+    """Chunk size for the engine's record-aligned input chunks; read
+    per run so CUTADAPT_TPU_CHUNK_BYTES works regardless of when this
+    module was first imported."""
+    return int(os.environ.get("CUTADAPT_TPU_CHUNK_BYTES", 16 * 1024 * 1024))
 
 _STAGE_END = object()
 
@@ -1623,7 +1625,7 @@ def _run_single(
     if fasta_in:
         def producer():
             line = 0
-            for data in read_chunks(infile, CHUNK_RECORDS_BYTES):
+            for data in read_chunks(infile, _chunk_bytes()):
                 yield parse_fasta_chunk(data, first_line=line)
                 line += int(
                     (np.frombuffer(data, np.uint8) == 10).sum()
@@ -1642,12 +1644,12 @@ def _run_single(
         quals_required = not all(fasta_outputs) or side["info"] is not None
         chunks_iter = (
             parse_bam_chunk(data, quals_required)
-            for data in read_chunks(infile, CHUNK_RECORDS_BYTES)
+            for data in read_chunks(infile, _chunk_bytes())
         )
     else:
         chunks_iter = (
             parse_fastq_chunk(data)
-            for data in read_chunks(infile, CHUNK_RECORDS_BYTES)
+            for data in read_chunks(infile, _chunk_bytes())
         )
     _drive(chunks_iter, engine.submit, emit, cores)
     if reducer is not None:
@@ -3046,7 +3048,7 @@ def _run_paired(
     def chunk_pairs():
         if interleaved_in:
             for full in _interleaved_parsed_chunks(
-                f1, CHUNK_RECORDS_BYTES, fasta=fasta_in
+                f1, _chunk_bytes(), fasta=fasta_in
             ):
                 yield (
                     _slice_parsed(full, slice(0, None, 2)),
@@ -3057,14 +3059,14 @@ def _run_paired(
             from .io.chunks import parse_fasta_chunk
 
             lines = [0, 0]
-            for d1, d2 in read_paired_chunks(f1, f2, CHUNK_RECORDS_BYTES):
+            for d1, d2 in read_paired_chunks(f1, f2, _chunk_bytes()):
                 p1 = parse_fasta_chunk(d1, first_line=lines[0])
                 p2 = parse_fasta_chunk(d2, first_line=lines[1])
                 lines[0] += int((np.frombuffer(d1, np.uint8) == 10).sum())
                 lines[1] += int((np.frombuffer(d2, np.uint8) == 10).sum())
                 yield p1, p2, None
         else:
-            for d1, d2 in read_paired_chunks(f1, f2, CHUNK_RECORDS_BYTES):
+            for d1, d2 in read_paired_chunks(f1, f2, _chunk_bytes()):
                 yield parse_fastq_chunk(d1), parse_fastq_chunk(d2), None
 
     def submit_pair(item):

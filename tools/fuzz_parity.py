@@ -161,6 +161,10 @@ def _main():
       pack2 = rng.choice(["0", "1"])
       dev_stats = rng.choice(["0", "1"])
       workers = rng.choice(["1", "2", "3"])
+      # small chunk sizes force MULTI-CHUNK engine runs (per-chunk
+      # stats accumulation, ordered pooled commits); chunking must be
+      # invisible in the results
+      chunk_bytes = rng.choice(["", "3000", "12000"])
       with tempfile.TemporaryDirectory() as tmp:
           inputs = make_input(tmp, rng, paired, fasta_in, interleaved)
           args = random_args(rng, paired)
@@ -176,6 +180,10 @@ def _main():
               os.environ["CUTADAPT_TPU_WORKERS"] = (
                   workers if env == "1" else "1"
               )
+              if chunk_bytes and env == "1":
+                  os.environ["CUTADAPT_TPU_CHUNK_BYTES"] = chunk_bytes
+              else:
+                  os.environ.pop("CUTADAPT_TPU_CHUNK_BYTES", None)
               out_dir = os.path.join(tmp, f"out{env}")
               os.makedirs(out_dir)
               ext = ".fasta" if "FASTA_OUT" in args or fasta_in else ".fastq"
