@@ -167,7 +167,9 @@ def _assemble_fastq_np(chunk: ParsedChunk, stops: np.ndarray) -> bytes:
     stops = stops.astype(np.int64)
     rec_len = 1 + head_len + 1 + stops + 3 + stops + 1
     out_total = int(rec_len.sum())
-    out = np.empty(out_total, dtype=np.uint8)
+    if out_total == 0:
+        return b""
+    out_obj, out = native._fresh_bytes(out_total)
     rec_start = np.cumsum(rec_len) - rec_len
 
     pos = rec_start
@@ -186,7 +188,7 @@ def _assemble_fastq_np(chunk: ParsedChunk, stops: np.ndarray) -> bytes:
     _scatter_ranges(out, pos, chunk.qual_start, stops, chunk.buf)
     pos = pos + stops
     out[pos] = NEWLINE
-    return out.tobytes()
+    return out_obj
 
 
 def assemble_window(chunk, win_start, win_stop, keep) -> bytes:
@@ -310,7 +312,10 @@ def assemble_fasta_window(chunk, win_start, win_stop, keep) -> bytes:
     head_len = (chunk.head_end - chunk.head_start)[idx]
     seq_len = (win_stop[idx] - win_start[idx]).astype(np.int64)
     rec_len = 1 + head_len + 1 + seq_len + 1
-    out = np.empty(int(rec_len.sum()), dtype=np.uint8)
+    total_out = int(rec_len.sum())
+    if total_out == 0:
+        return b""
+    out_obj, out = native._fresh_bytes(total_out)
     pos = np.cumsum(rec_len) - rec_len
     out[pos] = ord(">")
     pos = pos + 1
@@ -323,7 +328,7 @@ def assemble_fasta_window(chunk, win_start, win_stop, keep) -> bytes:
     )
     pos = pos + seq_len
     out[pos] = NEWLINE
-    return out.tobytes()
+    return out_obj
 
 
 _TO_UPPER = np.arange(256, dtype=np.uint8)
@@ -345,7 +350,10 @@ def assemble_fasta_transform(
     head_len = (chunk.head_end - chunk.head_start)[idx]
     seq_len = (win_stop[idx] - win_start[idx]).astype(np.int64)
     rec_len = 1 + head_len + 1 + seq_len + 1
-    out = np.empty(int(rec_len.sum()), dtype=np.uint8)
+    total_out = int(rec_len.sum())
+    if total_out == 0:
+        return b""
+    out_obj, out = native._fresh_bytes(total_out)
     pos = np.cumsum(rec_len) - rec_len
     out[pos] = ord(">")
     pos = pos + 1
@@ -374,7 +382,7 @@ def assemble_fasta_transform(
             out[oidx[~inside]] = _TO_LOWER[out[oidx[~inside]]]
     pos = pos + seq_len
     out[pos] = NEWLINE
-    return out.tobytes()
+    return out_obj
 
 
 _BAM_CODES = np.frombuffer(b"=ACMGRSVTWYHKDBN", np.uint8)
