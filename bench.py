@@ -107,6 +107,104 @@ def split_records(data: bytes, records_per_chunk: int):
     return [data[a:b] for a, b in zip(bounds[:-1], bounds[1:])], n_records
 
 
+def probe_tunnel(reps: int = 3) -> dict:
+    """Measure the device link itself, independent of any pipeline
+    code: raw H2D MB/s (4 MB device_put) and small-transfer round-trip
+    ms (8-byte put + fetch). Medians over `reps`. These numbers make
+    every other figure in the output interpretable — the tunnel's
+    throughput swings ~3x between runs (BASELINE.md)."""
+    import jax
+    import numpy as np
+
+    mb = np.zeros(4 * 1024 * 1024, np.uint8)
+    tiny = np.zeros(8, np.uint8)
+    # one untimed transfer to set up any lazy backend state
+    np.asarray(jax.device_put(tiny))
+    h2d = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_put(mb).block_until_ready()
+        h2d.append(mb.nbytes / (time.perf_counter() - t0) / 1e6)
+    rtt = []
+    for _ in range(reps + 2):
+        t0 = time.perf_counter()
+        np.asarray(jax.device_put(tiny))
+        rtt.append((time.perf_counter() - t0) * 1e3)
+    h2d.sort()
+    rtt.sort()
+    return {
+        "h2d_mbps": round(h2d[len(h2d) // 2], 1),
+        "rtt_ms": round(rtt[len(rtt) // 2], 2),
+    }
+
+
+def device_kernel_bench(task, width: int, rows: int = 131072,
+                        iters: int = 16) -> dict:
+    """Kernel-only device throughput: pre-stage one encoded candidate
+    batch on device and run `iters` DP kernel invocations inside ONE
+    jitted lax.fori_loop — a single dispatch, so per-call launch/tunnel
+    round trips (which dominate any per-dispatch timing over this
+    link) are excluded; the loop-carried xor and per-iteration input
+    perturbation defeat CSE/loop hoisting. No per-call H2D/D2H or
+    host encode is included, so this measures the aligner kernel
+    itself — the number BASELINE.md's roofline previously asserted
+    (">100M rows/s") without measuring."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from cutadapt_tpu.batch_pipeline import _make_locate_step
+
+    pack2 = task.packed and os.environ.get(
+        "CUTADAPT_TPU_PACK2", "1"
+    ) != "0"
+    if pack2:
+        w_in = width // 4
+    elif task.packed:
+        w_in = width // 2
+    else:
+        w_in = width
+    rng = np.random.RandomState(7)
+    enc = rng.randint(0, 256, size=(rows, w_in)).astype(np.uint8)
+    lens = np.full(rows, min(width, 100), np.int16)
+    enc_d = jax.device_put(enc)
+    lens_d = jax.device_put(lens)
+    backend = task._backend
+    kernel = _make_locate_step(
+        task.spec, task.packed, backend, False, None, pack2
+    )
+    # single-call latency (includes one launch round trip)
+    kernel(enc_d, lens_d).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    kernel(enc_d, lens_d).block_until_ready()
+    call_ms = (time.perf_counter() - t0) * 1e3
+
+    @jax.jit
+    def loop(enc, lengths):
+        def body(i, acc):
+            # vary the input each iteration (same shapes/work) so the
+            # compiler cannot hoist the kernel out of the loop
+            e = enc ^ (i & 1).astype(jnp.uint8)
+            return acc ^ kernel(e, lengths)
+
+        return lax.fori_loop(
+            0, iters, body, jnp.zeros((2, rows), jnp.int32)
+        )
+
+    loop(enc_d, lens_d).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    loop(enc_d, lens_d).block_until_ready()
+    dt = time.perf_counter() - t0
+    return {
+        "device_dp_rows_per_sec": round(rows * iters / dt, 0),
+        "device_call_ms": round(call_ms, 2),
+        "rows": rows,
+        "iters": iters,
+        "backend": backend,
+    }
+
+
 def _device_backend_reachable(timeout: float = 240.0) -> bool:
     """Probe the configured device backend in a subprocess: a wedged
     tunnel hangs backend init forever, which would hang the whole
@@ -163,6 +261,8 @@ def main():
         pass
 
     log(f"devices: {jax.devices()}")
+    tunnel0 = probe_tunnel()
+    log(f"tunnel probe (pre): {tunnel0}")
     log(f"generating {N_READS} synthetic reads ...")
     data = make_dataset(N_READS, READ_LEN)
 
@@ -221,54 +321,97 @@ def main():
             pallas_parity = f"error: {type(e).__name__}"
         log(f"pallas_parity: {pallas_parity}")
 
+    # --- kernel-only device throughput ---------------------------------
+    # What the aligner kernel itself achieves with pre-staged device
+    # buffers: no per-call wire transfers, no host encode.
+    adapter_task = engine.stages[-1].tasks[0]
+    kern_rows, kern_iters = (131072, 8)
+    if jax.default_backend() == "cpu":  # keep the CPU fallback bounded
+        kern_rows, kern_iters = (16384, 2)
+    kernel = device_kernel_bench(
+        adapter_task, engine._bucket_length(READ_LEN),
+        rows=kern_rows, iters=kern_iters,
+    )
+    log(f"device kernel: {kernel['device_dp_rows_per_sec']:,.0f} DP rows/s "
+        f"({kernel['backend']}, {kernel['rows']}x{kernel['iters']} "
+        f"pipelined; single call {kernel['device_call_ms']:.1f} ms)")
+
     # --- decomposed, variance-stable counters -------------------------
     # Bytes-on-wire and DP work per read are properties of the CODE and
-    # stable under the tunnel's 3x throughput swings; stage times come
-    # from one sequential (non-overlapped) pass so each stage's cost is
-    # attributable. reads/s below stays the headline (pipelined).
+    # stable under the tunnel's 3x throughput swings. Stage times come
+    # from sequential (non-overlapped) passes so each stage's cost is
+    # attributable; the MIN over passes per stage filters out one-off
+    # interference (page faults, tunnel stalls, competing processes) —
+    # BENCH_r03's assemble=3110 ns/read was exactly such an artifact
+    # (steady microbenchmark on the same host: ~60-210 ns/read).
     from cutadapt_tpu.batch_pipeline import (
         reset_xfer_counters,
         xfer_counters,
     )
     from cutadapt_tpu.io.chunks import assemble_window, parse_fastq_chunk
 
+    seq_passes = int(os.environ.get("BENCH_SEQ_PASSES", "3"))
     reset_xfer_counters()
-    stage_s = {"parse": 0.0, "dispatch": 0.0, "collect": 0.0,
-               "assemble": 0.0}
-    t_all0 = time.perf_counter()
-    for chunk_data in chunks:
-        t0 = time.perf_counter()
-        parsed = parse_fastq_chunk(chunk_data)
-        t1 = time.perf_counter()
-        pending = engine.submit(parsed)
-        t2 = time.perf_counter()
-        ws, we, keep, _stats = engine.collect(pending)
-        t3 = time.perf_counter()
-        assemble_window(parsed, ws, we, keep)
-        t4 = time.perf_counter()
-        stage_s["parse"] += t1 - t0
-        stage_s["dispatch"] += t2 - t1
-        stage_s["collect"] += t3 - t2
-        stage_s["assemble"] += t4 - t3
-    seq_dt = time.perf_counter() - t_all0
+    stage_min = {"parse": [], "dispatch": [], "collect": [],
+                 "assemble": []}
+    seq_rates = []
+    for _ in range(seq_passes):
+        stage_s = dict.fromkeys(stage_min, 0.0)
+        t_all0 = time.perf_counter()
+        for chunk_data in chunks:
+            t0 = time.perf_counter()
+            parsed = parse_fastq_chunk(chunk_data)
+            t1 = time.perf_counter()
+            pending = engine.submit(parsed)
+            t2 = time.perf_counter()
+            ws, we, keep, _stats = engine.collect(pending)
+            t3 = time.perf_counter()
+            assemble_window(parsed, ws, we, keep)
+            t4 = time.perf_counter()
+            stage_s["parse"] += t1 - t0
+            stage_s["dispatch"] += t2 - t1
+            stage_s["collect"] += t3 - t2
+            stage_s["assemble"] += t4 - t3
+        seq_rates.append(n_records / (time.perf_counter() - t_all0))
+        for k, v in stage_s.items():
+            stage_min[k].append(v)
     xfer = xfer_counters()
     per_read = {
-        k: round(v / n_records * 1e9, 1) for k, v in stage_s.items()
-    }  # ns/read
-    bytes_h2d = xfer["h2d_bytes"] / n_records
-    bytes_d2h = xfer["d2h_bytes"] / n_records
+        k: round(min(v) / n_records * 1e9, 1)
+        for k, v in stage_min.items()
+    }  # ns/read, min over passes (interference-robust)
+    bytes_h2d = xfer["h2d_bytes"] / n_records / seq_passes
+    bytes_d2h = xfer["d2h_bytes"] / n_records / seq_passes
+    # direct reconciliation for the assemble stage: the assembler alone
+    # on the last chunk, best of 3 — stage counter and microbench now
+    # ship in the same JSON so a contradiction is visible immediately
+    asm = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        assemble_window(parsed, ws, we, keep)
+        asm.append((time.perf_counter() - t0) / parsed.n_records * 1e9)
+    assemble_micro = round(min(asm), 1)
     log(
-        f"sequential pass: {n_records / seq_dt:,.0f} reads/s; "
-        f"ns/read {per_read}; "
+        f"sequential passes: best {max(seq_rates):,.0f} reads/s; "
+        f"ns/read (min of {seq_passes}) {per_read}; assemble micro "
+        f"{assemble_micro} ns/read; "
         f"H2D {bytes_h2d:.1f} B/read, D2H {bytes_d2h:.1f} B/read, "
-        f"{xfer['candidates']} candidates, {xfer['dp_rows']} DP rows"
+        f"{xfer['candidates'] // seq_passes} candidates, "
+        f"{xfer['dp_rows'] // seq_passes} DP rows"
     )
 
-    # The device link's throughput fluctuates run to run; measure
-    # several full passes and report the median.
-    passes = int(os.environ.get("BENCH_PASSES", "3"))
+    # --- headline: steady-state pipelined throughput --------------------
+    # The device link's throughput fluctuates ~3x run to run and the
+    # first passes include cache/allocator/tunnel warmup (r03's median
+    # landed on a warming pass: 119k/239k/875k). Protocol: run passes
+    # until two consecutive agree within 20%, then take the median of
+    # >=3 steady passes. Cold (first pass), steady list, and best are
+    # all emitted so the number is interpretable.
+    min_steady = int(os.environ.get("BENCH_PASSES", "3"))
+    max_passes = int(os.environ.get("BENCH_MAX_PASSES", "10"))
     rates = []
-    for p in range(passes):
+    steady_at = None
+    while len(rates) < max_passes:
         t0 = time.perf_counter()
         total_out = 0
         with_adapters = 0
@@ -278,13 +421,31 @@ def main():
         dt = time.perf_counter() - t0
         rates.append(n_records / dt)
         log(
-            f"pass {p + 1}: {rates[-1]:,.0f} reads/s ({dt:.2f}s for "
-            f"{n_records} reads, {with_adapters} with adapters, "
+            f"pass {len(rates)}: {rates[-1]:,.0f} reads/s ({dt:.2f}s "
+            f"for {n_records} reads, {with_adapters} with adapters, "
             f"{total_out/1e6:.1f} MB out)"
         )
-    rates.sort()
-    rps = rates[len(rates) // 2]
-    log(f"TPU engine: median {rps:,.0f} reads/s over {passes} passes")
+        if steady_at is None and len(rates) >= 2:
+            a, b = rates[-2], rates[-1]
+            if abs(a - b) / max(a, b) < 0.20:
+                steady_at = len(rates) - 2  # index of first steady pass
+        if steady_at is not None and len(rates) - steady_at >= min_steady:
+            break
+    if steady_at is None:
+        # never stabilized (pathological tunnel): use the top half so a
+        # warming tail can't define the headline
+        steady = sorted(rates)[len(rates) // 2:]
+        log("WARNING: passes never stabilized within 20%; using top half")
+    else:
+        steady = sorted(rates[steady_at:])
+    rps = steady[len(steady) // 2]
+    log(
+        f"TPU engine: steady-state median {rps:,.0f} reads/s "
+        f"({len(steady)} steady of {len(rates)} passes; "
+        f"cold {rates[0]:,.0f}, best {max(rates):,.0f})"
+    )
+    tunnel1 = probe_tunnel()
+    log(f"tunnel probe (post): {tunnel1}")
 
     # CLI-surface throughput: the same configuration through cli.main
     # (real file in, real file out, threaded driver), steady-state
@@ -306,17 +467,21 @@ def main():
             os.environ["CUTADAPT_TPU_BATCH"] = "1"
             try:
                 cli_rates = []
-                for _ in range(max(2, passes - 1) + 1):
+                for _ in range(4):
                     t0 = time.perf_counter()
                     cli_main(argv)
                     cli_rates.append(
                         n_records / (time.perf_counter() - t0)
                     )
                     logging.root.handlers.clear()
-                # first pass warms compile caches; median of the rest
+                # first run warms compile caches; median of the rest
                 warm = sorted(cli_rates[1:])
                 cli_rps = warm[len(warm) // 2]
-                log(f"CLI surface: median {cli_rps:,.0f} reads/s")
+                cli_best = max(cli_rates)
+                log(
+                    f"CLI surface: median {cli_rps:,.0f} reads/s "
+                    f"(best {cli_best:,.0f})"
+                )
             finally:
                 os.environ.pop("CUTADAPT_TPU_BATCH", None)
 
@@ -335,8 +500,22 @@ def main():
                 "backend": (
                     backend_note or jax.default_backend()
                 ),
+                # measurement-protocol transparency: the headline value
+                # is the steady-state median; cold/best + both tunnel
+                # probes let any single run be interpreted
+                "cold_reads_per_sec": round(rates[0], 1),
+                "best_reads_per_sec": round(max(rates), 1),
+                "steady_passes": [round(r, 1) for r in steady],
+                "n_passes": len(rates),
+                "tunnel_pre": tunnel0,
+                "tunnel_post": tunnel1,
+                "device_kernel": kernel,
+                "assemble_micro_ns_per_read": assemble_micro,
                 "cli_reads_per_sec": (
                     round(cli_rps, 1) if cli_rps is not None else None
+                ),
+                "cli_best_reads_per_sec": (
+                    round(cli_best, 1) if cli_rps is not None else None
                 ),
                 "pack2": os.environ.get("CUTADAPT_TPU_PACK2", "1") != "0",
                 # tunnel-variance-stable decomposition: wire bytes and
@@ -349,7 +528,7 @@ def main():
                 ),
                 "dp_rows_per_read": round(xfer["dp_rows"] / n_records, 3),
                 "stage_ns_per_read": per_read,
-                "sequential_reads_per_sec": round(n_records / seq_dt, 1),
+                "sequential_reads_per_sec": round(max(seq_rates), 1),
                 # what binds on this deployment (see BASELINE.md
                 # "Roofline" for the full accounting)
                 "roofline": (

@@ -54,6 +54,7 @@ the alignment moved to the device and the workers parallelizing the
 device-feeding stages instead. CUTADAPT_TPU_WORKERS overrides N.
 """
 
+import logging
 import os
 import queue
 import threading
@@ -62,9 +63,18 @@ from typing import Optional
 
 import numpy as np
 
+logger = logging.getLogger(__name__)
+
 from .report import Statistics
 
-AUTO_SIZE_THRESHOLD = 64 * 1024 * 1024  # bytes
+# Auto-activation: inputs at least this large (estimated DECOMPRESSED
+# bytes, see _estimated_raw_size) take the device path without
+# CUTADAPT_TPU_BATCH=1. 32 MiB of FASTQ is ~130k reads: ~1-2 s of
+# single-core host work, which is where saved host time starts beating
+# device init + warmup with the persistent compile cache
+# (_setup_jax) — the previous 64 MiB-of-file threshold parked typical
+# multi-million-read gzipped inputs on the host path.
+AUTO_SIZE_THRESHOLD = 32 * 1024 * 1024  # estimated decompressed bytes
 # Streaming chunk size: small enough that several chunks are in flight
 # (the 3-stage thread pipeline needs >= 3 chunks to overlap), large
 # enough that per-dispatch device round-trip latency amortizes.
@@ -1276,18 +1286,45 @@ def _paired_rename_headers(
     return out_chunks[0], out_chunks[1]
 
 
+def _estimated_raw_size(name) -> int:
+    """Estimated DECOMPRESSED input size. gzip stores the raw length
+    mod 2^32 in the trailing ISIZE word — read it so a compressed
+    FASTQ is judged by the work it contains, not its wire size (a
+    20 MB .gz is ~70 MB of reads and firmly worth the device). For
+    bz2/xz (no cheap length field) assume the ~4x text ratio."""
+    size = os.path.getsize(name)
+    lowered = os.fsdecode(name).lower()
+    if lowered.endswith(".gz"):
+        try:
+            with open(name, "rb") as f:
+                f.seek(-4, 2)
+                isize = int.from_bytes(f.read(4), "little")
+            # ISIZE is mod 2^32; trust it only when consistent with
+            # the compressed size (>= 1x, <= 30x)
+            if size <= isize <= size * 30:
+                return isize
+        except OSError:
+            pass
+        return size * 4
+    if lowered.endswith((".bz2", ".xz", ".lzma", ".zst")):
+        return size * 4
+    return size
+
+
 def _activation_allowed(infile) -> bool:
     env = os.environ.get("CUTADAPT_TPU_BATCH")
     if env == "1":
         return True
     if env == "0":
         return False
-    # auto mode: only for large inputs (compile time must amortize)
+    # auto mode: only when the input is large enough that device init
+    # + (cached) compile amortizes against the saved host time; sized
+    # on the estimated decompressed bytes
     name = getattr(infile, "name", None)
     try:
-        if isinstance(name, (str, bytes)) and os.path.getsize(name) >= (
-            AUTO_SIZE_THRESHOLD
-        ):
+        if isinstance(name, (str, bytes)) and _estimated_raw_size(
+            name
+        ) >= AUTO_SIZE_THRESHOLD:
             return True
     except OSError:
         pass
@@ -1305,7 +1342,38 @@ def _setup_jax():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+    _maybe_init_distributed(jax)
     _setup_mesh(jax)
+
+
+def _maybe_init_distributed(jax) -> None:
+    """Opt-in multi-process jax runtime (CUTADAPT_TPU_DIST_COORDINATOR
+    = 'host:port', plus _DIST_NPROCS/_DIST_PID when the platform can't
+    auto-detect them). The multi-host design does NOT need this — each
+    host runs an independent process over its input shard
+    (parallel/multihost.py) and no cross-host collective runs during
+    processing — but pod-slice TPU runtimes require every co-located
+    process to join one jax.distributed world before any of them can
+    initialize its local chips; this hook makes the shard contract
+    usable there. Idempotent; failures fall back to single-process."""
+    coord = os.environ.get("CUTADAPT_TPU_DIST_COORDINATOR")
+    if not coord:
+        return
+    kwargs = {"coordinator_address": coord}
+    nprocs = os.environ.get("CUTADAPT_TPU_DIST_NPROCS")
+    pid = os.environ.get("CUTADAPT_TPU_DIST_PID")
+    if nprocs is not None:
+        kwargs["num_processes"] = int(nprocs)
+    if pid is not None:
+        kwargs["process_id"] = int(pid)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            logger.warning(
+                "jax.distributed.initialize failed (%s); continuing "
+                "as an independent single process", e,
+            )
 
 
 def _setup_mesh(jax) -> None:

@@ -144,6 +144,12 @@ _OPTION_GROUPS = (
          dict(type=int, default=4000000, help=SUPPRESS)),
         (('--no-index',),
          dict(action='store_false', dest='index', default=True, help=SUPPRESS)),
+        # multi-host data parallelism: process shard INDEX of COUNT
+        # (record-aligned byte range computed internally; see
+        # parallel/multihost.py and docs/multihost.md). Not part of
+        # the reference-compatible help surface, hence suppressed.
+        (('--shard',),
+         dict(default=None, metavar='INDEX/COUNT', help=SUPPRESS)),
         ),
     ),
     (
@@ -573,6 +579,37 @@ def make_input_paths(
             " --interleaved option."
         )
     return InputPaths(*inputs, interleaved=interleaved)
+
+
+def _apply_shard_option(args, input_paths, interleaved: bool) -> None:
+    """--shard INDEX/COUNT: compute this run's record-aligned byte
+    range over the input file(s) and install it as the
+    CUTADAPT_TPU_BYTE_RANGE contract every input opener honors
+    (parallel/multihost.maybe_range_readers). main() restores the
+    previous env value when the run finishes."""
+    if not args.shard:
+        return
+    idx_s, sep, cnt_s = args.shard.partition("/")
+    try:
+        index, count = int(idx_s), int(cnt_s)
+    except ValueError:
+        raise CommandLineError(
+            f"--shard must be INDEX/COUNT (e.g. 0/4), got {args.shard!r}"
+        )
+    if count < 1 or not 0 <= index < count:
+        raise CommandLineError(
+            f"--shard: INDEX must be in [0, COUNT), got {args.shard!r}"
+        )
+    from .parallel.multihost import shard_byte_range_env
+
+    try:
+        env = shard_byte_range_env(
+            input_paths.paths, index, count, interleaved=interleaved
+        )
+    except ValueError as e:
+        raise CommandLineError(str(e))
+    os.environ["CUTADAPT_TPU_BYTE_RANGE"] = env
+    logger.debug("--shard %s -> byte range %s", args.shard, env)
 
 
 # Declarative argument-sanity rules: (applies(args, paired), message).
@@ -1326,9 +1363,11 @@ def main(cmdlineargs) -> Statistics:
         progress = DummyProgress()
     paired = determine_paired(args)
 
+    shard_env_prev = os.environ.get("CUTADAPT_TPU_BYTE_RANGE")
     try:
         is_interleaved_input = args.interleaved and len(args.inputs) == 1
         input_paths = make_input_paths(args.inputs, paired, is_interleaved_input)
+        _apply_shard_option(args, input_paths, is_interleaved_input)
         check_arguments(args, paired)
         adapters, adapters2 = adapters_from_args(args)
         log_adapters(adapters, adapters2 if paired else None)
@@ -1370,6 +1409,13 @@ def main(cmdlineargs) -> Statistics:
         logger.error("%s", e)
         sys.exit(2 if isinstance(e, CommandLineError) else 1)
     finally:
+        if args.shard:
+            # restore the process env: main() may be called repeatedly
+            # in one process (tests, library use)
+            if shard_env_prev is None:
+                os.environ.pop("CUTADAPT_TPU_BYTE_RANGE", None)
+            else:
+                os.environ["CUTADAPT_TPU_BYTE_RANGE"] = shard_env_prev
         try:
             outfiles.close()
         except UnboundLocalError:
@@ -1377,6 +1423,10 @@ def main(cmdlineargs) -> Statistics:
 
     elapsed = time.time() - start_time
     stats_pickle = os.environ.get("CUTADAPT_TPU_STATS_PICKLE")
+    if stats_pickle is None and args.shard and args.output:
+        # --shard runs always leave a mergeable statistics artifact for
+        # the coordinator (parallel/multihost.merge_statistics)
+        stats_pickle = f"{args.output}.shard-stats.pickle"
     if stats_pickle:
         # multi-host shard run: serialize this host's Statistics for
         # the cross-host merge (parallel/multihost.merge_statistics) —

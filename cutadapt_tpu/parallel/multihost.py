@@ -13,9 +13,14 @@ reference's OrderedChunkWriter invariant
 (/root/reference/src/cutadapt/runners.py:224-245).
 
 Statistics reduce on two rails, matching the single-host design:
-- device counter tensors psum over the global mesh
-  (parallel/stats.DeviceStatsReducer — jax collectives span hosts
-  when the mesh does);
+- device counter tensors psum over each host's LOCAL shard mesh
+  (parallel/stats.DeviceStatsReducer). The hosts are independent jax
+  processes by design — no cross-host collective runs during
+  processing, so a straggler host never stalls the others' device
+  queues. (An opt-in ``jax.distributed`` initialization exists for
+  pod-slice runtimes that require it — accel._setup_mesh, driven by
+  CUTADAPT_TPU_DIST_COORDINATOR — but the stats contract stays
+  per-host-then-merge either way.)
 - the host-side Statistics objects merge with the same ``+=`` chain
   the reference sends over worker pipes (runners.py:203-211), here
   serialized per host (CUTADAPT_TPU_STATS_PICKLE) and folded by
@@ -24,17 +29,24 @@ Statistics reduce on two rails, matching the single-host design:
 Shard planning makes one streaming pass over the input to find exact
 record boundaries (the same cost class as the reference's single
 reader process, which also streams every byte through one process).
-Compressed single-file inputs are not byte-addressable; shard them by
-file instead (one of N files per host) or decompress ahead.
+BAM inputs shard at alignment-record boundaries; every non-first
+shard's reader replays the BAM header in front of its byte range so
+each shard is a complete, parseable BAM stream. Compressed
+single-file inputs are not byte-addressable; shard them by file
+instead (``plan_file_shards``) or decompress ahead.
 
-Driving it: CUTADAPT_TPU_BYTE_RANGE="start:end[,start2:end2]" limits
-a CLI run to the given range of each input file. A coordinator (or
-each host, deterministically) computes the plan with
-``plan_shards``/``plan_paired_shards``, every host runs the same argv
-plus its range and per-host output paths, and host 0 concatenates
-outputs and merges statistics.
+Driving it, lowest level first:
+- CUTADAPT_TPU_BYTE_RANGE="start:end[,start2:end2]" limits a CLI run
+  to the given range of each input file;
+- ``cutadapt-tpu --shard INDEX/COUNT`` computes the plan internally,
+  sets the range for this run, and writes the per-host statistics
+  pickle next to its output;
+- ``tools/multihost_run.py`` is the coordinator: it launches one
+  ``--shard`` process per host slot, concatenates the output shards
+  in host order, merges statistics, and prints the merged report.
 """
 
+import io as io_mod
 import pickle
 from typing import BinaryIO, List, Optional, Sequence, Tuple
 
@@ -104,19 +116,91 @@ def _offsets_at(path: str, fmt: str, targets: Sequence[int]) -> List[int]:
 
 
 def plan_shards(
-    path: str, n_hosts: int, fmt: str = "fastq"
+    path: str, n_hosts: int, fmt: str = "fastq", group: int = 1
 ) -> List[Tuple[int, int]]:
     """Contiguous record-aligned byte ranges splitting `path` into
     n_hosts near-equal record counts. Two vectorized streaming passes
     (count, then the n_hosts boundary offsets) with O(n_hosts) memory
-    — pod-scale inputs never materialize per-record state."""
+    — pod-scale inputs never materialize per-record state.
+
+    group > 1 aligns every boundary to a multiple of `group` records
+    (interleaved paired input must never split an R1/R2 pair)."""
+    if fmt == "bam":
+        return plan_bam_shards(path, n_hosts)
     n, size = _count_records(path, fmt)
     if n == 0:
         bounds = [0] * n_hosts + [size]
     else:
-        targets = [(n * h) // n_hosts for h in range(n_hosts)]
+        targets = [
+            (n * h) // n_hosts // group * group for h in range(n_hosts)
+        ]
         bounds = _offsets_at(path, fmt, targets) + [size]
     return [(bounds[h], bounds[h + 1]) for h in range(n_hosts)]
+
+
+def plan_bam_shards(path: str, n_hosts: int) -> List[Tuple[int, int]]:
+    """Record-aligned byte ranges for an (uncompressed) BAM file: one
+    buffered walk of the block_size-prefixed alignment records
+    (io/fastq.py:191-241 defines the record layout). Shard 0's range
+    includes the header; every other shard starts at a record boundary
+    and relies on the reader-side header replay
+    (``maybe_range_readers``) to present a complete BAM stream."""
+    from ..io.fastq import BamFormatError, read_bam_header
+
+    starts: List[int] = []
+    with open(path, "rb") as f:
+        read_bam_header(f)
+        pos = f.tell()
+        data = f.read(_SCAN_BLOCK)
+        idx = 0
+        while True:
+            if idx + 4 > len(data):
+                data = bytes(data[idx:]) + f.read(_SCAN_BLOCK)
+                idx = 0
+                if len(data) == 0:
+                    break
+                if len(data) < 4:
+                    raise BamFormatError("Truncated BAM record", line=None)
+            bs = int.from_bytes(data[idx : idx + 4], "little")
+            starts.append(pos)
+            pos += 4 + bs
+            idx += 4 + bs
+            if idx > len(data):
+                f.seek(idx - len(data), 1)  # skip the record tail
+                data = b""
+                idx = 0
+        size = pos
+    n = len(starts)
+    if n == 0:
+        bounds = [0] * n_hosts + [size]
+    else:
+        bounds = [starts[(n * h) // n_hosts] for h in range(n_hosts)]
+        bounds[0] = 0  # shard 0 carries the real header
+        bounds.append(size)
+    return [(bounds[h], bounds[h + 1]) for h in range(n_hosts)]
+
+
+def plan_file_shards(
+    paths: Sequence[str], n_hosts: int
+) -> List[List[str]]:
+    """Whole-file sharding for inputs that are not byte-addressable
+    (compressed streams): host h processes every n_hosts-th file,
+    balanced by file size (largest first onto the least-loaded host,
+    ties broken by host index so the plan is deterministic)."""
+    import os as _os
+
+    sized = sorted(
+        ((_os.path.getsize(p), i, p) for i, p in enumerate(paths)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    load = [0] * n_hosts
+    out: List[List[Tuple[int, str]]] = [[] for _ in range(n_hosts)]
+    for sz, i, p in sized:
+        h = min(range(n_hosts), key=lambda j: (load[j], j))
+        load[h] += sz
+        out[h].append((i, p))
+    # each host keeps its files in original input order
+    return [[p for _, p in sorted(files)] for files in out]
 
 
 def plan_paired_shards(
@@ -144,17 +228,44 @@ class RangeReader:
     """A binary file restricted to [start, end) — the per-host input
     shard view the chunk readers consume. Supports every access
     pattern the readers use: block ``read`` (chunk pipeline),
-    ``readline``/iteration (per-read host parser), ``readinto``."""
+    ``readline``/iteration (per-read host parser), ``readinto``.
 
-    def __init__(self, file: BinaryIO, start: int, end: int):
+    `prefix` bytes, when given, are served before the range — BAM
+    shards replay the file header so every shard parses as a complete
+    BAM stream. With a prefix, tell/seek present the LOGICAL stream
+    (offset 0 is the first prefix byte; the range bytes follow), so
+    format sniffers that read-then-seek-back work unchanged. The
+    prefix path supports read/readinto/seek/tell; the BAM parser
+    never uses readline."""
+
+    def __init__(self, file: BinaryIO, start: int, end: int,
+                 prefix: bytes = b""):
         self._file = file
+        self._start = start
         self._end = end
+        self._prefix = prefix
+        self._ppos = 0  # logical position within the prefix
         file.seek(start)
 
     def _remaining(self) -> int:
         return self._end - self._file.tell()
 
+    def _in_prefix(self) -> bool:
+        return self._ppos < len(self._prefix)
+
     def read(self, n: int = -1) -> bytes:
+        if self._in_prefix():
+            if n is None or n < 0:
+                take = len(self._prefix) - self._ppos
+            else:
+                take = min(n, len(self._prefix) - self._ppos)
+            head = self._prefix[self._ppos : self._ppos + take]
+            self._ppos += take
+            if n is not None and 0 <= n == take:
+                return head
+            return head + self.read(
+                -1 if (n is None or n < 0) else n - take
+            )
         remaining = self._remaining()
         if remaining <= 0:
             return b""
@@ -163,6 +274,10 @@ class RangeReader:
         return self._file.read(n)
 
     def readline(self, limit: int = -1) -> bytes:
+        if self._in_prefix():
+            raise io_mod.UnsupportedOperation(
+                "readline on a header-replay (BAM) shard reader"
+            )
         remaining = self._remaining()
         if remaining <= 0:
             return b""
@@ -171,12 +286,40 @@ class RangeReader:
         return self._file.readline(limit)
 
     def readinto(self, b) -> int:
+        if self._in_prefix():
+            head = self.read(len(b))
+            memoryview(b)[: len(head)] = head
+            return len(head)
         remaining = self._remaining()
         if remaining <= 0:
             return 0
         if len(b) > remaining:
             b = memoryview(b)[:remaining]
         return self._file.readinto(b)
+
+    def tell(self) -> int:
+        if self._prefix:
+            if self._in_prefix():
+                return self._ppos
+            return len(self._prefix) + (self._file.tell() - self._start)
+        return self._file.tell()
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if not self._prefix:
+            return self._file.seek(pos, whence)
+        if whence == 1:
+            pos += self.tell()
+        elif whence != 0:
+            raise io_mod.UnsupportedOperation(
+                "seek from end on a header-replay shard reader"
+            )
+        if pos < len(self._prefix):
+            self._ppos = pos
+            self._file.seek(self._start)
+        else:
+            self._ppos = len(self._prefix)
+            self._file.seek(self._start + pos - len(self._prefix))
+        return pos
 
     def __iter__(self):
         # iteration must respect the range end: type-level special
@@ -195,13 +338,76 @@ def maybe_range_readers(files, env_value: Optional[str]):
     """Wrap open input streams in their CUTADAPT_TPU_BYTE_RANGE shard
     views when the env is set; pass through otherwise. Every input
     opener (in-process and the reader process) must go through this so
-    the shard contract holds on all execution paths."""
+    the shard contract holds on all execution paths.
+
+    A BAM input whose range starts past 0 gets the file header
+    replayed in front of the range (see RangeReader)."""
     if not env_value:
         return files
-    return [
-        RangeReader(f, *rng)
-        for f, rng in zip(files, parse_byte_range_env(env_value))
-    ]
+    out = []
+    for f, rng in zip(files, parse_byte_range_env(env_value)):
+        start, end = rng
+        prefix = b""
+        if start > 0 and getattr(f, "seekable", lambda: False)():
+            magic = f.read(4)
+            f.seek(0)
+            if magic == b"BAM\x01":
+                from ..io.fastq import read_bam_header
+
+                prefix = read_bam_header(f)
+        out.append(RangeReader(f, start, end, prefix=prefix))
+    return out
+
+
+def _sniff_input(path: str) -> str:
+    """'fastq' | 'fasta' | 'bam', or raise ValueError for inputs that
+    cannot be byte-range sharded (compressed streams, pipes)."""
+    from ..io.fastq import detect_format_from_content, detect_format_from_name
+
+    if path == "-":
+        raise ValueError("--shard requires seekable file inputs, not stdin")
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if (
+        magic[:2] == b"\x1f\x8b"
+        or magic[:3] == b"BZh"
+        or magic[:4] == b"\xfd7zX"
+        or magic[:4] == b"\x28\xb5\x2f\xfd"
+    ):
+        raise ValueError(
+            f"--shard cannot byte-range a compressed input ({path}); "
+            "decompress it first or shard by file "
+            "(tools/multihost_run.py, plan_file_shards)"
+        )
+    fmt = detect_format_from_name(path)
+    if fmt is None:
+        with open(path, "rb") as f:
+            fmt = detect_format_from_content(f)
+    if fmt not in ("fastq", "fasta", "bam"):
+        raise ValueError(f"--shard: cannot determine the format of {path}")
+    return fmt
+
+
+def shard_byte_range_env(
+    paths: Sequence[str], index: int, count: int,
+    interleaved: bool = False,
+) -> str:
+    """The CUTADAPT_TPU_BYTE_RANGE value selecting shard `index` of
+    `count` over the given input path(s) — what `--shard INDEX/COUNT`
+    computes. Paired inputs get record-synchronized ranges; an
+    interleaved single input is boundary-aligned to whole pairs."""
+    if not 0 <= index < count:
+        raise ValueError(f"--shard: index {index} not in [0, {count})")
+    fmts = [_sniff_input(p) for p in paths]
+    if len(paths) == 2:
+        if "bam" in fmts:
+            raise ValueError("--shard: paired BAM input is not supported")
+        ranges = plan_paired_shards(paths[0], paths[1], count, fmt=fmts[0])
+        (s1, e1), (s2, e2) = ranges[index]
+        return f"{s1}:{e1},{s2}:{e2}"
+    group = 2 if interleaved else 1
+    start, end = plan_shards(paths[0], count, fmt=fmts[0], group=group)[index]
+    return f"{start}:{end}"
 
 
 def parse_byte_range_env(value: str) -> List[Tuple[int, int]]:

@@ -1778,3 +1778,27 @@ def test_pooled_drive_error_in_order(tmp_path, monkeypatch):
             main(["--quiet", "-a", A3, "-o", str(out), str(inp)])
         codes[workers] = e.value.code
     assert codes["1"] == codes["3"]
+
+
+def test_estimated_raw_size_gzip(tmp_path):
+    """Auto-activation sizes compressed inputs by DECOMPRESSED bytes
+    (gzip ISIZE), so a small-on-disk .gz with much work inside it
+    rides the device path (accel.AUTO_SIZE_THRESHOLD rationale)."""
+    import gzip
+
+    from cutadapt_tpu.accel import _estimated_raw_size
+
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    seq = rng.randint(65, 91, 50000).astype(np.uint8).tobytes()
+    raw = b"@r\n" + seq + b"\n+\n" + seq[::-1] + b"\n"
+    p = tmp_path / "big.fastq.gz"
+    with gzip.open(p, "wb", compresslevel=1) as f:
+        for _ in range(20):
+            f.write(raw)
+    est = _estimated_raw_size(os.fspath(p))
+    assert est == 20 * len(raw)  # exact via ISIZE
+    plain = tmp_path / "plain.fastq"
+    plain.write_bytes(raw)
+    assert _estimated_raw_size(os.fspath(plain)) == len(raw)
