@@ -485,6 +485,51 @@ def main():
             finally:
                 os.environ.pop("CUTADAPT_TPU_BATCH", None)
 
+    # --- pooled-drive concurrency accounting ----------------------------
+    # Runs the CLI under the multi-worker thread drive and reports the
+    # measured lock-wait and thread-CPU-vs-wall ratios that the
+    # "C++/numpy releases the GIL" claim used to assert (VERDICT r03
+    # weak #3). On this 1-core host the pool cannot show a wall-clock
+    # speedup; the numbers that matter are lock_wait_frac (serialized
+    # stat folds) and cpu_frac (GIL-or-compute residency per chunk).
+    pooled = {}
+    if cli_rps is not None and os.environ.get("BENCH_POOLED", "1") != "0":
+        import logging
+        import tempfile
+
+        from cutadapt_tpu import accel
+        from cutadapt_tpu.cli import main as cli_main
+
+        with tempfile.TemporaryDirectory() as tmp:
+            in_path = os.path.join(tmp, "bench_in.fastq")
+            out_path = os.path.join(tmp, "bench_out.fastq")
+            with open(in_path, "wb") as f:
+                f.write(data)
+            os.environ["CUTADAPT_TPU_BATCH"] = "1"
+            try:
+                for w in (2, 3):
+                    os.environ["CUTADAPT_TPU_WORKERS"] = str(w)
+                    accel.reset_pool_metrics()
+                    t0 = time.perf_counter()
+                    cli_main([
+                        "--quiet", "-a", ADAPTER, "-o", out_path, in_path,
+                    ])
+                    dt = time.perf_counter() - t0
+                    logging.root.handlers.clear()
+                    m = accel.pool_metrics()
+                    wall = m["chunk_wall_s"] or 1e-9
+                    pooled[f"workers{w}"] = {
+                        "reads_per_sec": round(n_records / dt, 1),
+                        "lock_wait_frac": round(m["lock_wait_s"] / wall, 4),
+                        "lock_held_frac": round(m["lock_held_s"] / wall, 4),
+                        "cpu_frac": round(m["chunk_cpu_s"] / wall, 3),
+                        "chunks": m["chunks"],
+                    }
+                    log(f"pooled workers={w}: {pooled[f'workers{w}']}")
+            finally:
+                os.environ.pop("CUTADAPT_TPU_WORKERS", None)
+                os.environ.pop("CUTADAPT_TPU_BATCH", None)
+
     print(
         json.dumps(
             {
@@ -517,6 +562,7 @@ def main():
                 "cli_best_reads_per_sec": (
                     round(cli_best, 1) if cli_rps is not None else None
                 ),
+                "pooled_drive": pooled or None,
                 "pack2": os.environ.get("CUTADAPT_TPU_PACK2", "1") != "0",
                 # tunnel-variance-stable decomposition: wire bytes and
                 # DP work per read are properties of the code; stage
@@ -524,9 +570,11 @@ def main():
                 "bytes_per_read_h2d": round(bytes_h2d, 2),
                 "bytes_per_read_d2h": round(bytes_d2h, 2),
                 "candidates_per_read": round(
-                    xfer["candidates"] / n_records, 3
+                    xfer["candidates"] / n_records / seq_passes, 3
                 ),
-                "dp_rows_per_read": round(xfer["dp_rows"] / n_records, 3),
+                "dp_rows_per_read": round(
+                    xfer["dp_rows"] / n_records / seq_passes, 3
+                ),
                 "stage_ns_per_read": per_read,
                 "sequential_reads_per_sec": round(max(seq_rates), 1),
                 # what binds on this deployment (see BASELINE.md

@@ -58,6 +58,7 @@ import logging
 import os
 import queue
 import threading
+import time
 from dataclasses import dataclass
 from typing import Optional
 
@@ -95,6 +96,65 @@ _STAGE_END = object()
 # _STATS_LOCK.
 _CAPTURE = threading.local()
 _STATS_LOCK = threading.RLock()
+
+# Pooled-drive contention metrics: every _STATS_LOCK acquisition is
+# timed (wait to acquire + time held, outermost acquisition only), and
+# each pooled worker's per-chunk wall vs thread-CPU time is recorded.
+# thread-CPU ~= time the thread was RUNNABLE-and-scheduled; for the
+# emit/submit path that is "GIL held or C++ compute", while
+# (wall - cpu) is blocking (device waits, lock waits, preemption) —
+# together with lock_wait_s this replaces the former unmeasured
+# "C++/numpy releases the GIL" assertion (see BASELINE.md).
+_POOL_METRICS_LOCK = threading.Lock()
+_POOL_METRICS = {
+    "lock_wait_s": 0.0,
+    "lock_held_s": 0.0,
+    "lock_acquisitions": 0,
+    "chunk_wall_s": 0.0,
+    "chunk_cpu_s": 0.0,
+    "chunks": 0,
+}
+_LOCK_DEPTH = threading.local()
+
+
+def reset_pool_metrics() -> None:
+    with _POOL_METRICS_LOCK:
+        for k in _POOL_METRICS:
+            _POOL_METRICS[k] = 0.0 if k.endswith("_s") else 0
+
+
+def pool_metrics() -> dict:
+    with _POOL_METRICS_LOCK:
+        return dict(_POOL_METRICS)
+
+
+class _stats_lock:
+    """`with _stats_lock():` — _STATS_LOCK plus wait/held accounting
+    (outermost acquisition only; the lock is reentrant)."""
+
+    def __enter__(self):
+        depth = getattr(_LOCK_DEPTH, "d", 0)
+        _LOCK_DEPTH.d = depth + 1
+        if depth:
+            _STATS_LOCK.acquire()
+            self._t0 = None
+            return self
+        t = time.perf_counter()
+        _STATS_LOCK.acquire()
+        self._t0 = t
+        self._t1 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        _LOCK_DEPTH.d -= 1
+        _STATS_LOCK.release()
+        if self._t0 is not None:
+            t2 = time.perf_counter()
+            with _POOL_METRICS_LOCK:
+                _POOL_METRICS["lock_wait_s"] += self._t1 - self._t0
+                _POOL_METRICS["lock_held_s"] += t2 - self._t1
+                _POOL_METRICS["lock_acquisitions"] += 1
+        return False
 
 
 def _write(fh, data) -> None:
@@ -178,6 +238,8 @@ def _pooled_drive(producer, submit, emit, workers: int,
             else:
                 cap = []
                 _CAPTURE.items = cap
+                w0 = time.perf_counter()
+                c0 = time.thread_time()
                 try:
                     emit(submit(item))
                     res = ("ok", cap)
@@ -185,6 +247,14 @@ def _pooled_drive(producer, submit, emit, workers: int,
                     res = ("err", e)
                 finally:
                     _CAPTURE.items = None
+                    with _POOL_METRICS_LOCK:
+                        _POOL_METRICS["chunk_wall_s"] += (
+                            time.perf_counter() - w0
+                        )
+                        _POOL_METRICS["chunk_cpu_s"] += (
+                            time.thread_time() - c0
+                        )
+                        _POOL_METRICS["chunks"] += 1
             with cv:
                 done[seq] = res
                 cv.notify_all()
@@ -727,7 +797,7 @@ def _locked(fn):
 
     @functools.wraps(fn)
     def wrapper(*a, **kw):
-        with _STATS_LOCK:
+        with _stats_lock():
             return fn(*a, **kw)
 
     return wrapper
@@ -1674,7 +1744,7 @@ def _run_single(
             if out is not None and newly.any():
                 _write(out[0], render(chunk, ws, we, newly, stats, out[1]))
         if reducer is None:
-            with _STATS_LOCK:
+            with _stats_lock():
                 for f, count in zip(
                     filters, stats.get("filter_counts", ())
                 ):
@@ -1682,7 +1752,7 @@ def _run_single(
         else:
             for f, newly in zip(filters, stats["filter_dropped_masks"]):
                 _record_filtered(f.step, newly, reducer)
-        with _STATS_LOCK:
+        with _stats_lock():
             total_bp += _apply_side_stats(
                 stats, stages, cutter, written_lengths, reducer
             )
@@ -2242,7 +2312,7 @@ def _pair_match(engines, chunks, windows, pair_stage, stats_pair=None):
         # index per side (-1 where no pair matched)
         stats_pair[0]["last_adapter_gid"] = best
         stats_pair[1]["last_adapter_gid"] = best
-    with _STATS_LOCK:  # pooled drive: emit() runs on worker threads
+    with _stats_lock():  # pooled drive: emit() runs on worker threads
         mod.with_adapters += int(matched.sum())
     for side in (0, 1):
         chunk = chunks[side]
@@ -2383,7 +2453,7 @@ def _run_rc_pair(engines, rc_pair, chunks, windows):
     b2 = run(stage2, c1, ws1, we1)
     use_rc = (b1[4] + b2[4]) > (a1[4] + a2[4])
 
-    with _STATS_LOCK:  # pooled drive: emit() runs on worker threads
+    with _stats_lock():  # pooled drive: emit() runs on worker threads
         mod.reverse_complemented += int(use_rc.sum())
         for stage, straight, swapped in ((stage1, a1, b1), (stage2, a2, b2)):
             if stage is None:
@@ -2492,7 +2562,7 @@ def _apply_post_stages(engine, post_stages, chunk, ws, we):
     stats = {}
     for si, stage in enumerate(post_stages):
         ws, we = engine._apply_host_stage(si, stage, chunk, ws, we, stats)
-    with _STATS_LOCK:  # pooled drive: emit() runs on worker threads
+    with _stats_lock():  # pooled drive: emit() runs on worker threads
         for si, trimmed in stats.get("quality_trimmed", {}).items():
             post_stages[si].modifier.trimmed_bases += trimmed
         for si, removed in stats.get("poly_a_removed", {}).items():
@@ -3102,7 +3172,7 @@ def _run_paired(
             _write(out2, render2(c2, ws2, we2, keep, stats2))
             _record_written(wl, 1, reducer, values=len1[keep])
             _record_written(wl, 2, reducer, values=len2[keep])
-        with _STATS_LOCK:
+        with _stats_lock():
             bp1 += _apply_side_stats(
                 stats1, stages1, cutters[0], None, reducer
             )
