@@ -31,11 +31,13 @@ lowercase actions with content predicates (masked bytes count as N),
 --rename, name edits, and interleaved IO — all stackable with the
 paired swap — casava + --revcomp + name edits (the pre-filter hook
 selects the orientation before editing), and --pair-adapters with
---wildcard-file. The few remaining host-only combinations are noted
-at their gates: paired --revcomp with side files (a reference
-info-row quirk the host path reproduces), side files after a filter
-step (not CLI-constructible), and per-side rc stages in paired
-pipelines (API-only). The engine
+--wildcard-file, and paired --revcomp with side files (the reference
+info-row quirk — walking the physical side's read reverse-
+complemented while the matches came from the swapped partner — is
+reproduced via _rc_walk_chunk). The remaining host-only combinations
+are noted at their gates and are not CLI-constructible: side files
+after a filter step, and per-side rc stages in paired pipelines
+(API-only; the CLI builds PairedReverseComplementer). The engine
 updates the very same modifier/step statistics objects the host path
 would, so reports are identical; tests/test_accel.py asserts this per
 configuration (plus tools/fuzz_parity.py over randomized configs),
@@ -944,7 +946,7 @@ def _apply_side_stats(stats, stages, cutter, written_lengths,
 
 def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
                      final_ws, final_we, precap_chunk=None,
-                     rc_flags=None):
+                     rc_flags=None, walk_chunk=None):
     """Write --rest-file / --info-file / --wildcard-file rows for one
     chunk from the
     engine's match events (reference formats: steps.py RestFileWriter
@@ -963,7 +965,15 @@ def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
     host slices info.original_read.reverse_complement() for rc-chosen
     reads) and `rc_flags` is the per-read is_rc array: info match rows
     then carry '1'/'0' in the trailing is_rc column (InfoFileWriter.
-    RC_MAP; reference steps.py) instead of the empty string."""
+    RC_MAP; reference steps.py) instead of the empty string.
+
+    With paired --revcomp, the info-row walk buffer differs from the
+    match buffer: the reference walks the PHYSICAL side's original
+    read (reverse-complemented when rc was chosen) while the matches
+    were found on the swapped partner — `walk_chunk` supplies that
+    buffer (see _rc_walk_chunk); rest/wildcard rows keep slicing
+    `chunk` because Match.rest()/wildcards() read the matched read's
+    own bytes (reference adapters.py:430-470, 378-393)."""
     buf = chunk.buf
     match_qual_buf = (precap_chunk or chunk).buf
     hs, he = chunk.head_start, chunk.head_end
@@ -974,6 +984,23 @@ def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
 
     def qtext(start, a, b):
         return bytes(match_qual_buf[start + a : start + b]).decode("latin-1")
+
+    # info-row slice sources: the walk chunk when given (paired
+    # --revcomp), else the current chunk (seq) + pre-zero-cap (qual)
+    if walk_chunk is not None:
+        w_buf, w_qbuf = walk_chunk.buf, walk_chunk.buf
+        w_ss, w_qo = walk_chunk.seq_start, walk_chunk.qual_start
+        w_sl = walk_chunk.seq_len
+    else:
+        w_buf, w_qbuf = buf, match_qual_buf
+        w_ss, w_qo = ss, qo
+        w_sl = chunk.seq_len
+
+    def wtext(start, a, b):
+        return bytes(w_buf[start + a : start + b]).decode("latin-1")
+
+    def wqtext(start, a, b):
+        return bytes(w_qbuf[start + a : start + b]).decode("latin-1")
 
     matches_of = {}
     for ev in stats.get("adapter_events", ()):
@@ -1015,7 +1042,6 @@ def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
             )
 
     if info_fh is not None:
-        seq_len = chunk.seq_len
         rows = []
         for r in range(chunk.n_records):
             name = text(hs[r], 0, he[r] - hs[r])
@@ -1031,7 +1057,7 @@ def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
             # taken from the modified one (InfoFileWriter walks
             # info.original_read through match.trimmed) — emulate that
             # walk exactly, including its clipping.
-            lo, hi = 0, int(seq_len[r])
+            lo, hi = 0, int(w_sl[r])
             for task, ev, j in match_list:
                 rel_a, rel_b = int(ev["qs"][j]), int(ev["qe"][j])
                 a = min(lo + rel_a, hi)
@@ -1044,15 +1070,15 @@ def _emit_side_files(rest_fh, info_fh, wildcard_fh, chunk, stats, stage,
                             str(int(ev["errors"][j])),
                             str(rel_a),
                             str(rel_b),
-                            text(ss[r], lo, a),
-                            text(ss[r], a, b),
-                            text(ss[r], b, hi),
+                            wtext(w_ss[r], lo, a),
+                            wtext(w_ss[r], a, b),
+                            wtext(w_ss[r], b, hi),
                             # linked phases carry a ";1"/";2" name
                             # suffix (reference adapters.py:1157-1171)
                             adapter.name + ev.get("suffix", ""),
-                            qtext(qo[r], lo, a),
-                            qtext(qo[r], a, b),
-                            qtext(qo[r], b, hi),
+                            wqtext(w_qo[r], lo, a),
+                            wqtext(w_qo[r], a, b),
+                            wqtext(w_qo[r], b, hi),
                             # is_rc column: ''  without --revcomp,
                             # '1'/'0' with it
                             "" if rc_flags is None
@@ -2003,21 +2029,31 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
         ) or isinstance(step, PairedInfoFileWriter):
             # side-channel rows come from R1 (and R2 for --info-file
             # with two files) match events: reference step order puts
-            # them before any filter, and they need plain (non-linked,
-            # non-rc) matching on the sides they read (mask/lowercase
-            # actions record identical match geometry and the rows
-            # never read transformed bytes, so they pass). Paired
-            # --revcomp stays host-path on purpose: the host
-            # InfoFileWriter walks info.original_read — the PHYSICAL
-            # side's read — reverse-complemented, while the matches
-            # were found on the swapped partner (reference
-            # steps.py:233 + modifiers.py's swap keeps infos with
-            # their slots), a quirk the host path reproduces exactly
-            if pair_filters or sink is not None or rc_pair is not None:
+            # them before any filter, and they need plain (non-linked)
+            # matching on the sides they read (mask/lowercase actions
+            # record identical match geometry and the rows never read
+            # transformed bytes, so they pass). Paired --revcomp rides
+            # too: the emit path reproduces the reference's info-row
+            # quirk — InfoFileWriter walks info.original_read (the
+            # PHYSICAL side's read) reverse-complemented while the
+            # matches came from the swapped partner (reference
+            # steps.py:233-247 + modifiers.py's swap keeps infos with
+            # their slots) — via _rc_walk_chunk; rest/wildcard rows
+            # read the matched read's own bytes, which the slot
+            # chunks carry.
+            if pair_filters or sink is not None:
                 return None
             if _revcomp_stage(stages1) is not None:
-                return None
-            if _linked_on(stages1) and not (
+                return None  # per-side rc (API-only): host path
+
+            def _linked_rc(s):
+                return (
+                    rc_pair is not None
+                    and rc_pair[s] is not None
+                    and any(t.kind == "linked" for t in rc_pair[s].tasks)
+                )
+
+            if (_linked_on(stages1) or _linked_rc(0)) and not (
                 isinstance(step, PairedInfoFileWriter)
                 or isinstance(inner, InfoFileWriter)
             ):
@@ -2416,12 +2452,60 @@ def _select_paired_chunk(
     return ParsedChunk(buf, hs, he, ss, sl, qs)
 
 
-def _run_rc_pair(engines, rc_pair, chunks, windows):
+def _rc_walk_chunk(parsed, use_rc):
+    """Info-row walk buffer for paired --revcomp: the reference's
+    InfoFileWriter slices ``info.original_read.reverse_complement()``
+    for rc-chosen pairs (reference steps.py:233-247) — the PHYSICAL
+    side's as-parsed read, reverse-complemented with qualities
+    reversed — even though the match coordinates came from the swapped
+    partner. Forward-chosen rows keep the as-parsed bytes. Offsets are
+    shared with `parsed` (lengths are unchanged)."""
+    if not use_rc.any():
+        return parsed
+    from . import native
+    from .batch_pipeline import _complement_table
+    from .io.chunks import ParsedChunk
+
+    buf = parsed.buf.copy()
+    idx = np.flatnonzero(use_rc)
+    native.reverse_complement_records(
+        buf, parsed.seq_start[idx], parsed.seq_len[idx],
+        parsed.qual_start[idx], _complement_table(),
+    )
+    return ParsedChunk(
+        buf, parsed.head_start, parsed.head_end, parsed.seq_start,
+        parsed.seq_len, parsed.qual_start, has_cr=parsed.has_cr,
+    )
+
+
+def _filter_events(events, mask):
+    """Subset per-match event rows to reads where `mask` holds (the
+    chosen-orientation selection for one slot of the paired-revcomp
+    modifier). Scalar fields (task index, linked-phase suffix) pass
+    through; per-row arrays are filtered in place-order."""
+    out = []
+    for ev in events:
+        sel = mask[ev["reads"]]
+        if not sel.any():
+            continue
+        n = len(ev["reads"])
+        out.append({
+            k: (v[sel] if isinstance(v, np.ndarray) and len(v) == n else v)
+            for k, v in ev.items()
+        })
+    return out
+
+
+def _run_rc_pair(engines, rc_pair, chunks, windows, want_events=False):
     """--revcomp on paired data: match (R1->cutter1, R2->cutter2) and
     the swapped orientation, keep whichever scores strictly higher
     (PairedReverseComplementer semantics, reference modifiers.py:
     311-405). Returns per-slot synthetic chunks, windows and matched
     masks; credits adapter/rc statistics for the winning orientation.
+
+    With `want_events`, the trailing tuple element carries per-slot
+    chosen-orientation match events (for --rest-file / --info-file /
+    --wildcard-file rows) plus the per-pair is_rc flags.
     """
     stage1, stage2, mod = rc_pair
     c1, c2 = chunks
@@ -2539,6 +2623,16 @@ def _run_rc_pair(engines, rc_pair, chunks, windows):
 
     o_ws1, o_we1, rem1 = slot_windows(a1, b1, (ws1, we1), (ws2, we2))
     o_ws2, o_we2, rem2 = slot_windows(a2, b2, (ws2, we2), (ws1, we1))
+    side_events = None
+    if want_events:
+        # per-slot round-ordered chosen events: a read's rows come
+        # from exactly one orientation run, so concatenating the two
+        # filtered lists keeps each read's matches in round order
+        side_events = (
+            _filter_events(a1[1], ~use_rc) + _filter_events(b1[1], use_rc),
+            _filter_events(a2[1], ~use_rc) + _filter_events(b2[1], use_rc),
+            use_rc,
+        )
     out = (
         slot1,
         slot2,
@@ -2551,6 +2645,7 @@ def _run_rc_pair(engines, rc_pair, chunks, windows):
         slot_extras(a1, b1),
         slot_extras(a2, b2),
         (action, rem1, rem2),
+        side_events,
     )
     return out
 
@@ -2850,6 +2945,10 @@ def _run_paired(
 
         side_stage1 = SimpleNamespace(tasks=pair_stage[0])
         side_stage2 = SimpleNamespace(tasks=pair_stage[1])
+    elif rc_pair is not None:
+        # paired --revcomp: side-file rows resolve through the rc
+        # cutters' stages (events carry their task indices)
+        side_stage1, side_stage2 = rc_pair[0], rc_pair[1]
     demux = (
         sink
         if isinstance(sink, (PairedDemultiplexer, CombinatorialDemultiplexer))
@@ -3036,10 +3135,29 @@ def _run_paired(
         elif rc_pair is not None:
             (c1, c2, ws1, we1, ws2, we2, m1, m2,
              (gid1, geom1), (gid2, geom2),
-             (rc_action, rem1, rem2)) = _run_rc_pair(
+             (rc_action, rem1, rem2), rc_side_events) = _run_rc_pair(
                 (engine1, engine2), rc_pair, (c1, c2),
                 ((ws1, we1), (ws2, we2)),
+                want_events=any(side_files.values()),
             )
+            if rc_side_events is not None:
+                # side-channel rows come from the chosen orientation's
+                # matches; the info-row walk buffers are the PHYSICAL
+                # sides' as-parsed reads, reverse-complemented where
+                # rc won (reference steps.py:233-247 quirk)
+                ev1, ev2, rc_use = rc_side_events
+                stats1["adapter_events"] = ev1
+                stats2["adapter_events"] = ev2
+                stats1["side_rc_flags"] = rc_use
+                stats2["side_rc_flags"] = rc_use
+                if side_files["info"] is not None:
+                    stats1["side_walk_chunk"] = _rc_walk_chunk(
+                        pend1.parsed, rc_use
+                    )
+                if side_files["info2"] is not None:
+                    stats2["side_walk_chunk"] = _rc_walk_chunk(
+                        pend2.parsed, rc_use
+                    )
             # the chosen orientation's routing ids / match geometry
             # replace the (empty) pre-swap engine stats
             stats1["last_adapter_gid"] = gid1
@@ -3112,11 +3230,15 @@ def _run_paired(
                 side_files["rest"], side_files["info"],
                 side_files["wildcard"], c1, stats1, side_stage1,
                 ws1, we1, precap_chunk=precap1,
+                rc_flags=stats1.get("side_rc_flags"),
+                walk_chunk=stats1.get("side_walk_chunk"),
             )
             if side_files["info2"] is not None:
                 _emit_side_files(
                     None, side_files["info2"], None, c2, stats2,
                     side_stage2, ws2, we2, precap_chunk=precap2,
+                    rc_flags=stats2.get("side_rc_flags"),
+                    walk_chunk=stats2.get("side_walk_chunk"),
                 )
         len1 = we1 - ws1
         len2 = we2 - ws2

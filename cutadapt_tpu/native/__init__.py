@@ -176,12 +176,22 @@ def _fresh_bytes(total: int):
     the result — no np.empty + .tobytes() memcpy (which profiled as
     the largest host-side assembly cost at ~440 ns/read). Safe because
     the object is private until returned and CPython does not intern
-    NULL-initialized bytes of nonzero length."""
+    NULL-initialized bytes of nonzero length.
+
+    The view aliases the bytes object's buffer by raw address, so it
+    is only valid while the returned object is alive: the view's
+    ``.base`` chain is anchored to the object to make dropping it safe
+    for any caller."""
+    if total <= 0:
+        raise ValueError(f"_fresh_bytes needs total > 0, got {total}")
     obj = _pyapi.PyBytes_FromStringAndSize(None, total)
     addr = _pyapi.PyBytes_AsString(obj)
-    view = np.frombuffer(
-        (ctypes.c_uint8 * total).from_address(addr), np.uint8
-    )
+    carr = (ctypes.c_uint8 * total).from_address(addr)
+    # from_address() keeps no reference to the owning object; pin it on
+    # the ctypes array so the view's .base chain keeps `obj` alive even
+    # if a caller drops its own reference before the last write.
+    carr._owner = obj
+    view = np.frombuffer(carr, np.uint8)
     return obj, view
 
 

@@ -306,6 +306,71 @@ def test_fastpath_paired_side_files(tmp_path, monkeypatch):
 @pytest.mark.parametrize("extra", [
     [],
     ["-y", " s{name}", "--zero-cap"],
+], ids=["plain", "edits"])
+def test_fastpath_paired_revcomp_side_files(tmp_path, monkeypatch, extra):
+    """Paired --revcomp with --rest-file / --info-file /
+    --info-file-paired / --wildcard-file: the reference InfoFileWriter
+    walks each PHYSICAL side's original read reverse-complemented when
+    rc wins, with match coordinates from the swapped partner
+    (reference steps.py:233-247) — the batch path must reproduce that
+    quirk byte-for-byte, including the trailing is_rc column."""
+    spy = _spy_engagement(monkeypatch)
+    rng = random.Random(71)
+    p1, p2 = tmp_path / "rcs1.fastq", tmp_path / "rcs2.fastq"
+    a1 = "AGNNCGGANGAGCACACGTC"  # N wildcards exercise --wildcard-file
+    with open(p1, "w") as f1, open(p2, "w") as f2:
+        for i in range(500):
+            seqs = []
+            for ad in (a1, A5):
+                L = rng.randint(24, 90)
+                s = "".join(rng.choice("ACGT") for _ in range(L))
+                if rng.random() < 0.6 and L > 28:
+                    concrete = "".join(
+                        rng.choice("ACGT") if c == "N" else c for c in ad
+                    )
+                    p = rng.randint(5, L - 12)
+                    s = (s[:p] + concrete + s[p:])[:L]
+                seqs.append(s)
+            if rng.random() < 0.5:  # swapped orientation should win
+                seqs.reverse()
+            for f, s in zip((f1, f2), seqs):
+                q = "".join(chr(rng.randint(25, 72)) for _ in s)
+                f.write(f"@p{i} c{i}\n{s}\n+\n{q}\n")
+    outs = {}
+    reports = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_BATCH", env)
+        files = {
+            k: tmp_path / f"rc{k}-{env}" for k in
+            ("o1", "o2", "rest", "info", "info2", "wild")
+        }
+        rep = tmp_path / f"rcrep-{env}.json"
+        main(["--quiet", "--json", str(rep),
+              "-a", "a1=" + a1, "-A", "a2=" + A5, "--revcomp"] + extra +
+             ["-r", str(files["rest"]),
+              "--info-file", str(files["info"]),
+              "--info-file-paired", str(files["info2"]),
+              "--wildcard-file", str(files["wild"]),
+              "-o", str(files["o1"]), "-p", str(files["o2"]),
+              str(p1), str(p2)])
+        if env == "1":
+            assert spy.get("engaged"), "batch path did not engage"
+        outs[env] = {k: f.read_bytes() for k, f in files.items()}
+        r = json.load(open(rep))
+        r["command_line_arguments"] = None
+        reports[env] = r
+    for k in outs["1"]:
+        assert outs["1"][k] == outs["0"][k], f"{k} differs"
+    assert reports["1"] == reports["0"]
+    assert reports["1"]["read_counts"]["reverse_complemented"]
+    assert outs["1"]["info"] and outs["1"]["info2"]
+    # rc rows must actually appear in the info files
+    assert b"\t1\n" in outs["1"]["info"]
+
+
+@pytest.mark.parametrize("extra", [
+    [],
+    ["-y", " s{name}", "--zero-cap"],
     ["--rename", "{id} k={adapter_name}"],
 ], ids=["plain", "edits", "rename"])
 def test_fastpath_interleaved(tmp_path, monkeypatch, extra):
