@@ -6,10 +6,18 @@ path by default, so without this lane nothing would continuously prove
 the claim that the full golden suite passes through the batch engine.
 Runs the two end-to-end suites in a subprocess with
 CUTADAPT_TPU_BATCH=1 (compile results come from the persistent test
-cache, so the second run is cheap) — once on the serial drive and once
-with the pooled 3-worker drive, which must be byte-identical.
+cache, so the second run is cheap) — once on the serial drive (full
+matrix) and once with the pooled 3-worker drive, which must be
+byte-identical.
+
+Latency budget: the pooled lane re-runs a rotating THIRD of the golden
+cases per run (the rotation advances daily, so three consecutive days
+cover the matrix); CUTADAPT_TPU_CI_FULL=1 forces the full pooled
+matrix — the nightly/CI-forced mode. The serial lane always runs in
+full, so batch-path coverage itself never shrinks.
 """
 
+import datetime
 import os
 import subprocess
 import sys
@@ -26,6 +34,9 @@ def test_golden_suites_with_batch_forced(workers):
         "CUTADAPT_TPU_BATCH": "1",
         "CUTADAPT_TPU_WORKERS": workers,
     }
+    if workers != "1" and os.environ.get("CUTADAPT_TPU_CI_FULL") != "1":
+        rotation = datetime.date.today().toordinal() % 3
+        env["CUTADAPT_TPU_GOLDEN_SAMPLE"] = f"{rotation}/3"
     proc = subprocess.run(
         [
             sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
