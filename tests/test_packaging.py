@@ -54,3 +54,31 @@ def test_native_source_is_package_data():
     assert 'hostops.cpp' in text
     src = os.path.join(REPO, "cutadapt_tpu", "native", "hostops.cpp")
     assert os.path.exists(src)
+
+
+def test_cli_reference_doc_is_current():
+    """docs/reference.md is generated from the CLI option table
+    (tools/gen_cli_reference.py); regenerate it when the table
+    changes."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "gen_cli_reference.py")],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    committed = open(os.path.join(REPO, "docs", "reference.md")).read()
+    assert r.stdout == committed, (
+        "docs/reference.md is stale - run: "
+        "python tools/gen_cli_reference.py > docs/reference.md"
+    )
+
+
+def test_docs_exist_and_crosslink():
+    docs = os.path.join(REPO, "docs")
+    for name in ("guide.md", "tpu.md", "multihost.md", "recipes.md",
+                 "reference.md"):
+        path = os.path.join(docs, name)
+        assert os.path.exists(path), name
+        assert os.path.getsize(path) > 1000, name
