@@ -450,6 +450,7 @@ def main():
     # CLI-surface throughput: the same configuration through cli.main
     # (real file in, real file out, threaded driver), steady-state
     cli_rps = None
+    flight_max = None
     if os.environ.get("BENCH_CLI", "1") != "0":
         import logging
         import tempfile
@@ -466,21 +467,29 @@ def main():
             ]
             os.environ["CUTADAPT_TPU_BATCH"] = "1"
             try:
+                from cutadapt_tpu import accel as _accel
+
                 cli_rates = []
                 for _ in range(4):
+                    _accel.reset_flight_metrics()
                     t0 = time.perf_counter()
                     cli_main(argv)
                     cli_rates.append(
                         n_records / (time.perf_counter() - t0)
                     )
                     logging.root.handlers.clear()
+                    # chunks concurrently dispatched-or-emitting: the
+                    # pipelining-depth evidence (>=3 hides round-trip
+                    # latency behind host work)
+                    flight_max = _accel.flight_metrics()["max"]
                 # first run warms compile caches; median of the rest
                 warm = sorted(cli_rates[1:])
                 cli_rps = warm[len(warm) // 2]
                 cli_best = max(cli_rates)
                 log(
                     f"CLI surface: median {cli_rps:,.0f} reads/s "
-                    f"(best {cli_best:,.0f})"
+                    f"(best {cli_best:,.0f}), "
+                    f"max chunks in flight {flight_max}"
                 )
             finally:
                 os.environ.pop("CUTADAPT_TPU_BATCH", None)
@@ -562,6 +571,7 @@ def main():
                 "cli_best_reads_per_sec": (
                     round(cli_best, 1) if cli_rps is not None else None
                 ),
+                "chunks_in_flight_max": flight_max,
                 "pooled_drive": pooled or None,
                 "pack2": os.environ.get("CUTADAPT_TPU_PACK2", "1") != "0",
                 # tunnel-variance-stable decomposition: wire bytes and

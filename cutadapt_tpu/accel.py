@@ -119,6 +119,32 @@ _POOL_METRICS = {
 _LOCK_DEPTH = threading.local()
 
 
+# Chunks-in-flight gauge: a chunk counts as in flight from device
+# dispatch (submit) until its results are emitted. `max` is the
+# high-water mark per run — the pipelining-depth evidence bench.py
+# publishes (wire/latency overlap needs >= 3 chunks concurrently
+# dispatched-or-emitting; see BASELINE.md).
+_FLIGHT = {"now": 0, "max": 0}
+
+
+def _flight_delta(d: int) -> None:
+    with _POOL_METRICS_LOCK:
+        _FLIGHT["now"] += d
+        if _FLIGHT["now"] > _FLIGHT["max"]:
+            _FLIGHT["max"] = _FLIGHT["now"]
+
+
+def reset_flight_metrics() -> None:
+    with _POOL_METRICS_LOCK:
+        _FLIGHT["now"] = 0
+        _FLIGHT["max"] = 0
+
+
+def flight_metrics() -> dict:
+    with _POOL_METRICS_LOCK:
+        return dict(_FLIGHT)
+
+
 def reset_pool_metrics() -> None:
     with _POOL_METRICS_LOCK:
         for k in _POOL_METRICS:
@@ -242,12 +268,14 @@ def _pooled_drive(producer, submit, emit, workers: int,
                 _CAPTURE.items = cap
                 w0 = time.perf_counter()
                 c0 = time.thread_time()
+                _flight_delta(+1)
                 try:
                     emit(submit(item))
                     res = ("ok", cap)
                 except BaseException as e:  # noqa: BLE001
                     res = ("err", e)
                 finally:
+                    _flight_delta(-1)
                     _CAPTURE.items = None
                     with _POOL_METRICS_LOCK:
                         _POOL_METRICS["chunk_wall_s"] += (
@@ -296,7 +324,8 @@ def _pooled_drive(producer, submit, emit, workers: int,
         raise failure
 
 
-def _pipelined_drive(producer, submit, emit, depth: int = 2) -> None:
+def _pipelined_drive(producer, submit, emit, depth: Optional[int] = None
+                     ) -> None:
     """Run the three pipeline stages on separate threads:
 
       reader thread:  iterate `producer` (file I/O + chunk parsing)
@@ -306,9 +335,15 @@ def _pipelined_drive(producer, submit, emit, depth: int = 2) -> None:
 
     The hot host work on all three stages is C++/IO that releases the
     GIL, so the stages genuinely overlap; bounded queues keep at most
-    `depth` chunks in flight per hand-off. Exceptions from any stage
-    propagate to the caller with cross-thread shutdown handled here.
+    `depth` chunks in flight per hand-off (so up to depth+1 chunks are
+    dispatched-but-unemitted: the emit queue plus the one being
+    emitted — enough to hide round-trip latency on high-latency
+    links). CUTADAPT_TPU_PIPELINE_DEPTH overrides the default of 3.
+    Exceptions from any stage propagate to the caller with
+    cross-thread shutdown handled here.
     """
+    if depth is None:
+        depth = int(os.environ.get("CUTADAPT_TPU_PIPELINE_DEPTH", 3))
     parsed_q: queue.Queue = queue.Queue(maxsize=depth)
     emit_q: queue.Queue = queue.Queue(maxsize=depth)
     failures = []
@@ -330,11 +365,14 @@ def _pipelined_drive(producer, submit, emit, depth: int = 2) -> None:
             if item is _STAGE_END:
                 return
             if failures:
+                _flight_delta(-1)
                 continue  # drain without emitting
             try:
                 emit(item)
             except BaseException as e:  # noqa: BLE001
                 failures.append(e)
+            finally:
+                _flight_delta(-1)
 
     reader = threading.Thread(target=read_stage, daemon=True)
     writer = threading.Thread(target=write_stage, daemon=True)
@@ -348,7 +386,9 @@ def _pipelined_drive(producer, submit, emit, depth: int = 2) -> None:
             if failures:
                 continue  # keep draining so the reader can finish
             try:
-                emit_q.put(submit(item))
+                submitted = submit(item)
+                _flight_delta(+1)
+                emit_q.put(submitted)
             except BaseException as e:  # noqa: BLE001
                 failures.append(e)
     finally:

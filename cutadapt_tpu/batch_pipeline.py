@@ -131,13 +131,21 @@ def xfer_counters() -> dict:
     return dict(XFER)
 
 
-def _wire_lengths(vals: np.ndarray, size: int, wide: bool) -> np.ndarray:
+def _wire_lengths(vals: np.ndarray, size: int, wide: bool,
+                  width: Optional[int] = None) -> np.ndarray:
     """Window lengths as they ride the wire: int16 rows in the packed
     result format (whose windows are < 2**14 by construction, so the
     cast is lossless and halves this array's H2D bytes), int32 in wide
-    mode (long reads can exceed int16). Kernels cast back to int32 on
-    device."""
-    sub_len = np.zeros(size, np.int32 if wide else np.int16)
+    mode (long reads can exceed int16). On the exact-wire path a batch
+    whose width fits uint8 ships one byte per row. Kernels cast back
+    to int32 on device."""
+    if wide:
+        dt = np.int32
+    elif width is not None and width < 256:
+        dt = np.uint8
+    else:
+        dt = np.int16
+    sub_len = np.zeros(size, dt)
     sub_len[: len(vals)] = vals
     return sub_len
 
@@ -147,6 +155,43 @@ def _pack2_on() -> bool:
     reads with N/IUPAC bytes split off to the 4-bit or host-scalar
     lane). CUTADAPT_TPU_PACK2=0 disables for A/B measurement."""
     return os.environ.get("CUTADAPT_TPU_PACK2", "1") != "0"
+
+
+def _exact_wire_on() -> bool:
+    """Exact-wire mode: DP rows ship at each batch's own max window
+    length (rounded only to the packing step) instead of the
+    chunk-level 64-bucket width, with candidates length-sorted so the
+    binary-decomposition batches get progressively narrower; the
+    jitted step pads rows back to the kernels' 8-byte alignment ON
+    DEVICE (_pad_rows8), so the trimmed columns are pure wire win
+    (~20-30% of H2D on typical window-length mixes — the former
+    bucket-padding share measured in BASELINE.md). Semantically
+    invisible: padding columns beyond each row's length were always
+    zero and masked by the length vector.
+
+    Default on for TPU backends, where the wire is the scarce
+    resource; off elsewhere so CPU test runs keep the bounded
+    compile-shape set of bucketed widths. CUTADAPT_TPU_EXACT_WIRE=1/0
+    overrides."""
+    env = os.environ.get("CUTADAPT_TPU_EXACT_WIRE")
+    if env is not None:
+        return env != "0"
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _eff_width(bmax: int, width: int, pack2: bool, packed: bool) -> int:
+    """Exact-wire row width for a batch whose longest window is bmax:
+    rounded up to the packing step (2-bit: 4 bases/byte; 4-bit: 2;
+    byte lane: 1) with a floor of 16 columns, capped at the bucketed
+    stage width."""
+    step = 4 if pack2 else (2 if packed else 1)
+    w = max(16, (int(bmax) + step - 1) // step * step)
+    return min(w, width)
 
 
 @lru_cache(maxsize=128)
@@ -178,6 +223,17 @@ def _make_locate_step(
     import jax
     import jax.numpy as jnp
 
+    def _pad_rows8(enc):
+        """Exact-wire rows arrive trimmed to the batch max window; the
+        kernels read rows in aligned 8-byte blocks, so restore the
+        alignment ON DEVICE (pads with zeros — the same value the host
+        encoder always used beyond each row's length, masked by the
+        length vector)."""
+        pad = (-enc.shape[1]) % 8
+        if pad:
+            enc = jnp.pad(enc, ((0, 0), (0, pad)))
+        return enc
+
     if mesh is not None:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
@@ -199,7 +255,7 @@ def _make_locate_step(
             # lengths arrive int16 (wire format); the kernel wants int32
             return jax.jit(
                 lambda enc, lengths: kernel(
-                    enc, lengths.astype(jnp.int32)
+                    _pad_rows8(enc), lengths.astype(jnp.int32)
                 )
             )
         # per-shard kernel execution; results are concatenated on the
@@ -214,7 +270,9 @@ def _make_locate_step(
             out_specs=result_cols,
         )
         return jax.jit(
-            lambda enc, lengths: sharded(enc, lengths.astype(jnp.int32))
+            lambda enc, lengths: sharded(
+                _pad_rows8(enc), lengths.astype(jnp.int32)
+            )
         )
 
     locate = make_batch_locate(spec, packed=packed, pack2=pack2)
@@ -222,7 +280,7 @@ def _make_locate_step(
     if wide:
 
         def step(enc, lengths):
-            out = locate(enc, lengths)
+            out = locate(_pad_rows8(enc), lengths)
             return jnp.stack(
                 [
                     out["found"].astype(jnp.int32),
@@ -238,7 +296,7 @@ def _make_locate_step(
     else:
 
         def step(enc, lengths):
-            out = locate(enc, lengths)
+            out = locate(_pad_rows8(enc), lengths)
             r0 = (
                 out["query_start"]
                 | (out["query_stop"] << _QSTOP_SHIFT)
@@ -939,7 +997,7 @@ class BatchPipelineEngine:
         batches overflow to a 4-bit device lane)."""
         width = self._bucket_length(max_len)
         wide = self.want_ref_coords or width >= (1 << _QS_BITS)
-        len_dt = np.int32 if wide else np.int16
+        exact = _exact_wire_on()
         for stage in self.stages:
             if not isinstance(stage, AdapterStage):
                 continue
@@ -951,16 +1009,34 @@ class BatchPipelineEngine:
                 for t in subtasks:
                     if t.comparer:
                         continue
-                    if t.packed and native.AVAILABLE and _pack2_on():
-                        lanes = [(True, width // 4), (False, width // 2)]
-                    elif t.packed:
-                        lanes = [(False, width // 2)]
-                    else:
-                        lanes = [(False, width)]
+                    lanes = []  # (pack2, row bytes, wire width)
+                    for p2 in (
+                        (True, False)
+                        if t.packed and native.AVAILABLE and _pack2_on()
+                        else ((False,) if t.packed else (None,))
+                    ):
+                        if p2 is None:  # byte lane
+                            w = (
+                                _eff_width(max_len, width, False, False)
+                                if exact else width
+                            )
+                            lanes.append((False, w, w))
+                        else:
+                            w = (
+                                _eff_width(max_len, width, p2, True)
+                                if exact else width
+                            )
+                            lanes.append((p2, w // 4 if p2 else w // 2, w))
                     s = self.min_dp_batch
                     while s <= self.max_dp_batch:
                         sp = mesh_padded(s)
-                        for p2, w_in in lanes:
+                        for p2, w_in, w in lanes:
+                            if wide:
+                                len_dt = np.int32
+                            elif exact and w < 256:
+                                len_dt = np.uint8
+                            else:
+                                len_dt = np.int16
                             t.step(
                                 np.zeros((sp, w_in), np.uint8),
                                 np.zeros(sp, len_dt),
@@ -1108,6 +1184,19 @@ class BatchPipelineEngine:
                     c_starts = c_starts[order]
                     c_lens = c_lens[order]
                     lanes = [(n_clean, True), (n_dirty, False)]
+                exact = _exact_wire_on()
+                if exact and len(sel) > 1:
+                    parts, seg_base = [], 0
+                    for count, _p2 in lanes:
+                        seg = np.arange(seg_base, seg_base + count)
+                        parts.append(
+                            seg[np.argsort(-c_lens[seg], kind="stable")]
+                        )
+                        seg_base += count
+                    perm = np.concatenate(parts)
+                    sel = sel[perm]
+                    c_starts = c_starts[perm]
+                    c_lens = c_lens[perm]
                 base = 0
                 for count, p2 in lanes:
                     off = 0
@@ -1115,15 +1204,23 @@ class BatchPipelineEngine:
                         take = min(size, count - off)
                         if take <= 0:
                             break
+                        if exact:
+                            bmax = int(
+                                c_lens[base + off : base + off + take].max()
+                            )
+                            b_w = _eff_width(bmax, width, p2, t0.packed)
+                        else:
+                            b_w = width
                         enc = self._encode(
                             t0, chunk, c_starts, c_lens,
                             np.arange(base + off, base + off + take,
                                       dtype=np.int64),
-                            size, width, pack2=p2,
+                            size, b_w, pack2=p2,
                         )
                         sub_len = _wire_lengths(
                             c_lens[base + off : base + off + take],
                             size, wide,
+                            width=b_w if exact else None,
                         )
                         _xfer_add(h2d=enc.nbytes + sub_len.nbytes,
                                   candidates=take,
@@ -1153,24 +1250,35 @@ class BatchPipelineEngine:
                 lut = ACGT_LUT
             else:
                 lut = UPPER_LUT
+            exact = _exact_wire_on()
+            if exact and len(sel) > 1:
+                order = np.argsort(-c_lens, kind="stable")
+                sel = sel[order]
+                c_starts = c_starts[order]
+                c_lens = c_lens[order]
             off = 0
             for size in self._dp_sizes(len(sel)):
                 take = min(size, len(sel) - off)
                 if take <= 0:
                     break
-                enc = np.zeros((size, width), np.uint8)
+                b_w = (
+                    _eff_width(int(c_lens[off : off + take].max()),
+                               width, False, False)
+                    if exact else width
+                )
+                enc = np.zeros((size, b_w), np.uint8)
                 if native.AVAILABLE:
                     native.pad_encode(
                         chunk.buf, c_starts, c_lens,
                         np.arange(off, off + take, dtype=np.int64),
-                        width, lut, pack4=False, out=enc, reverse=reverse,
+                        b_w, lut, pack4=False, out=enc, reverse=reverse,
                     )
                 else:
                     from .io.chunks import pad_rows
 
                     raw = pad_rows(
                         chunk.buf, c_starts[off : off + take],
-                        c_lens[off : off + take], width,
+                        c_lens[off : off + take], b_w,
                     )
                     if reverse:
                         rev = np.zeros_like(raw)
@@ -1180,7 +1288,10 @@ class BatchPipelineEngine:
                             rev[pos, :ln] = row[:ln][::-1]
                         raw = rev
                     enc[:take] = lut[raw]
-                sub_len = _wire_lengths(c_lens[off : off + take], size, wide)
+                sub_len = _wire_lengths(
+                    c_lens[off : off + take], size, wide,
+                    width=b_w if exact else None,
+                )
                 _xfer_add(h2d=enc.nbytes + sub_len.nbytes,
                           candidates=take, dp_rows=size * len(members))
                 dev_enc = jax.device_put(enc)
@@ -1281,6 +1392,22 @@ class BatchPipelineEngine:
                     host_tail = n_dirty
                 else:
                     lanes = [(n_clean, True), (n_dirty, False)]
+        exact = _exact_wire_on()
+        if exact and len(sel) > 1:
+            # length-sort each lane segment (descending) so the
+            # binary-decomposition batches after the first get
+            # progressively narrower exact-wire widths
+            parts, seg_base = [], 0
+            for count, _p2 in lanes:
+                seg = np.arange(seg_base, seg_base + count)
+                parts.append(seg[np.argsort(-c_lens[seg], kind="stable")])
+                seg_base += count
+            if seg_base < len(sel):  # host-scalar tail, order kept
+                parts.append(np.arange(seg_base, len(sel)))
+            perm = np.concatenate(parts)
+            sel = sel[perm]
+            c_starts = c_starts[perm]
+            c_lens = c_lens[perm]
         base = 0
         for count, p2 in lanes:
             off = 0
@@ -1288,14 +1415,20 @@ class BatchPipelineEngine:
                 take = min(size, count - off)
                 if take <= 0:
                     break
+                if exact:
+                    bmax = int(c_lens[base + off : base + off + take].max())
+                    b_w = _eff_width(bmax, width, p2, task.packed)
+                else:
+                    b_w = width
                 enc = self._encode(
                     task, chunk, c_starts, c_lens,
                     np.arange(base + off, base + off + take,
                               dtype=np.int64),
-                    size, width, pack2=p2,
+                    size, b_w, pack2=p2,
                 )
                 sub_len = _wire_lengths(
-                    c_lens[base + off : base + off + take], size, wide
+                    c_lens[base + off : base + off + take], size, wide,
+                    width=b_w if exact else None,
                 )
                 _xfer_add(h2d=enc.nbytes + sub_len.nbytes,
                           candidates=take, dp_rows=size)

@@ -1867,3 +1867,41 @@ def test_estimated_raw_size_gzip(tmp_path):
     plain = tmp_path / "plain.fastq"
     plain.write_bytes(raw)
     assert _estimated_raw_size(os.fspath(plain)) == len(raw)
+
+
+@pytest.mark.parametrize("paired", [False, True], ids=["se", "pe"])
+def test_fastpath_exact_wire_parity_and_bytes(tmp_path, monkeypatch, paired):
+    """Exact-wire mode (DP rows trimmed to each batch's max window
+    length, candidates length-sorted, device-side re-pad): output must
+    be byte-identical to bucketed widths, and the measured H2D bytes
+    must genuinely shrink on ragged-length reads."""
+    from cutadapt_tpu.batch_pipeline import (
+        reset_xfer_counters, xfer_counters,
+    )
+
+    spy = _spy_engagement(monkeypatch)
+    inputs = make_reads(tmp_path / "xw.fastq", n=1200, seed=5, paired=paired)
+    args = ["-a", "a1=" + A3, "-q", "10", "-m", "12"]
+    if paired:
+        args += ["-A", "a2=" + A5]
+    monkeypatch.setenv("CUTADAPT_TPU_BATCH", "1")
+    outs = {}
+    h2d = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_EXACT_WIRE", env)
+        out1 = tmp_path / f"xo1-{env}.fastq"
+        argv = ["--quiet"] + args + ["-o", str(out1)]
+        if paired:
+            argv += ["-p", str(tmp_path / f"xo2-{env}.fastq")]
+        reset_xfer_counters()
+        main(argv + [str(p) for p in inputs])
+        assert spy.get("engaged")
+        h2d[env] = xfer_counters()["h2d_bytes"]
+        data = out1.read_bytes()
+        if paired:
+            data += b"\x00" + (tmp_path / f"xo2-{env}.fastq").read_bytes()
+        outs[env] = data
+    assert outs["1"] == outs["0"]
+    # reads here are 20-90 bp (bucketed width 128): exact wire must
+    # cut the measured candidate bytes substantially
+    assert h2d["1"] < 0.8 * h2d["0"], h2d
