@@ -157,6 +157,20 @@ def _pack2_on() -> bool:
     return os.environ.get("CUTADAPT_TPU_PACK2", "1") != "0"
 
 
+def _device_prefilter_on() -> bool:
+    """CUTADAPT_TPU_DEVICE_PREFILTER=1: skip the host-side k-mer scan
+    and ship EVERY read's window to the device — the DP itself
+    performs the rejection (the prefilter is one-sided, so this is
+    semantically identical; reference kmer_heuristic.py:129-141).
+
+    Trade-off (measured in BASELINE.md): ~3x the wire bytes and DP
+    rows on adapter-sparse data, in exchange for zero host prefilter
+    cycles — the right side of the trade only when the attach is fast
+    (>=10 GB/s PCIe/ICI) AND the host, not the device, is the
+    bottleneck. Default off."""
+    return os.environ.get("CUTADAPT_TPU_DEVICE_PREFILTER") == "1"
+
+
 def _exact_wire_on() -> bool:
     """Exact-wire mode: DP rows ship at each batch's own max window
     length (rounded only to the packing step) instead of the
@@ -1146,7 +1160,10 @@ class BatchPipelineEngine:
             union = np.zeros(n, bool)
             for i in members:
                 t = tasks[i]
-                if t.pf_tables is not None and native.AVAILABLE:
+                if (
+                    t.pf_tables is not None and native.AVAILABLE
+                    and not _device_prefilter_on()
+                ):
                     union |= native.kmer_prefilter(
                         chunk.buf, starts, lens, t.pf_tables,
                         reverse=t.reverse,
@@ -1333,14 +1350,18 @@ class BatchPipelineEngine:
     def _dispatch_windows(self, task, chunk, starts, lens, width):
         """Like _dispatch_task but over explicit (starts, lens) window
         arrays; returns (sel positions into starts, futures)."""
-        if task.pf_tables is not None and native.AVAILABLE:
+        if (
+            task.pf_tables is not None and native.AVAILABLE
+            and not _device_prefilter_on()
+        ):
             mask = native.kmer_prefilter(
                 chunk.buf, starts, lens, task.pf_tables, reverse=task.reverse
             ).astype(bool)
             sel = np.flatnonzero(mask)
         else:
-            # no prefilter (MockKmerFinder, comparers, or native lib
-            # unavailable): every read is a candidate — never different
+            # no prefilter (MockKmerFinder, comparers, native lib
+            # unavailable, or device-prefilter mode): every read is a
+            # candidate — never different
             sel = np.arange(len(starts))
         futures = []
         if len(sel) == 0:

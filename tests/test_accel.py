@@ -1905,3 +1905,30 @@ def test_fastpath_exact_wire_parity_and_bytes(tmp_path, monkeypatch, paired):
     # reads here are 20-90 bp (bucketed width 128): exact wire must
     # cut the measured candidate bytes substantially
     assert h2d["1"] < 0.8 * h2d["0"], h2d
+
+
+def test_fastpath_device_prefilter_parity(tmp_path, monkeypatch):
+    """CUTADAPT_TPU_DEVICE_PREFILTER=1 skips the host k-mer gate and
+    lets the DP reject on device — output and measured candidate
+    counts must show everything shipped, with identical results."""
+    from cutadapt_tpu.batch_pipeline import (
+        reset_xfer_counters, xfer_counters,
+    )
+
+    spy = _spy_engagement(monkeypatch)
+    inputs = make_reads(tmp_path / "dp.fastq", n=1000, seed=7)
+    monkeypatch.setenv("CUTADAPT_TPU_BATCH", "1")
+    outs = {}
+    cands = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("CUTADAPT_TPU_DEVICE_PREFILTER", env)
+        out1 = tmp_path / f"dpo-{env}.fastq"
+        reset_xfer_counters()
+        main(["--quiet", "-a", "a1=" + A3, "-q", "10",
+              "-o", str(out1)] + [str(p) for p in inputs])
+        assert spy.get("engaged")
+        cands[env] = xfer_counters()["candidates"]
+        outs[env] = out1.read_bytes()
+    assert outs["1"] == outs["0"]
+    assert cands["1"] == 1000  # every read shipped
+    assert cands["0"] < 1000  # host gate rejected some

@@ -6,9 +6,11 @@ through cli.main with the batch path forced on and off, and requires
 identical outputs (every file written under the run's output dir,
 demux and side files included), JSON reports, and failure modes. The
 batch run also randomizes CUTADAPT_TPU_PACK2 (2-bit vs 4-bit wire
-lanes), CUTADAPT_TPU_DEVICE_STATS (device-reduced statistics), and
-CUTADAPT_TPU_WORKERS (pooled multi-worker drive), all of which must
-be invisible in the results.
+lanes), CUTADAPT_TPU_DEVICE_STATS (device-reduced statistics),
+CUTADAPT_TPU_WORKERS (pooled multi-worker drive),
+CUTADAPT_TPU_EXACT_WIRE (batch-max row widths), and
+CUTADAPT_TPU_DEVICE_PREFILTER (DP-side rejection instead of the host
+k-mer gate), all of which must be invisible in the results.
 Usage: python tools/fuzz_parity.py [iterations] [seed_base]
 """
 import json
@@ -161,6 +163,8 @@ def _main():
       pack2 = rng.choice(["0", "1"])
       dev_stats = rng.choice(["0", "1"])
       workers = rng.choice(["1", "2", "3"])
+      exact_wire = rng.choice(["0", "1"])
+      dev_prefilter = rng.choice(["0", "0", "1"])
       # small chunk sizes force MULTI-CHUNK engine runs (per-chunk
       # stats accumulation, ordered pooled commits); chunking must be
       # invisible in the results
@@ -179,6 +183,12 @@ def _main():
               # worker pool must be invisible in the results too
               os.environ["CUTADAPT_TPU_WORKERS"] = (
                   workers if env == "1" else "1"
+              )
+              os.environ["CUTADAPT_TPU_EXACT_WIRE"] = (
+                  exact_wire if env == "1" else "0"
+              )
+              os.environ["CUTADAPT_TPU_DEVICE_PREFILTER"] = (
+                  dev_prefilter if env == "1" else "0"
               )
               if chunk_bytes and env == "1":
                   os.environ["CUTADAPT_TPU_CHUNK_BYTES"] = chunk_bytes
@@ -223,6 +233,8 @@ def _main():
           os.environ.pop("CUTADAPT_TPU_PACK2", None)
           os.environ.pop("CUTADAPT_TPU_DEVICE_STATS", None)
           os.environ.pop("CUTADAPT_TPU_WORKERS", None)
+          os.environ.pop("CUTADAPT_TPU_EXACT_WIRE", None)
+          os.environ.pop("CUTADAPT_TPU_DEVICE_PREFILTER", None)
           # When an input carries MORE THAN ONE defect (e.g. improper
           # pairing AND invalid phred bytes), the per-read host path and
           # the per-chunk batch path may legitimately report different
