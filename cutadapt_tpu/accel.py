@@ -385,11 +385,11 @@ def _pipelined_drive(producer, submit, emit, depth: Optional[int] = None
                 break
             if failures:
                 continue  # keep draining so the reader can finish
+            _flight_delta(+1)  # in flight: dispatch start -> emitted
             try:
-                submitted = submit(item)
-                _flight_delta(+1)
-                emit_q.put(submitted)
+                emit_q.put(submit(item))
             except BaseException as e:  # noqa: BLE001
+                _flight_delta(-1)
                 failures.append(e)
     finally:
         emit_q.put(_STAGE_END)

@@ -198,6 +198,16 @@ def _exact_wire_on() -> bool:
         return False
 
 
+def _scalar_tail_max() -> int:
+    """Decomposition-tail threshold: a lane remainder of at most this
+    many rows after the full device batches routes to the zero-wire
+    C++ scalar aligner instead of padding a min_dp_batch-row dispatch
+    (the last bite of batch padding: a 68-row tail otherwise ships as
+    4096 rows). 0 disables; applies only after at least one full
+    device batch so small runs keep exercising the device kernels."""
+    return int(os.environ.get("CUTADAPT_TPU_SCALAR_TAIL", 512))
+
+
 def _eff_width(bmax: int, width: int, pack2: bool, packed: bool) -> int:
     """Exact-wire row width for a batch whose longest window is bmax:
     rounded up to the packing step (2-bit: 4 bases/byte; 4-bit: 2;
@@ -1214,11 +1224,23 @@ class BatchPipelineEngine:
                     sel = sel[perm]
                     c_starts = c_starts[perm]
                     c_lens = c_lens[perm]
+                tail_max = _scalar_tail_max() if native.AVAILABLE else 0
                 base = 0
                 for count, p2 in lanes:
+                    dev_count = count
+                    if 0 < tail_max < count:
+                        covered = 0
+                        for size in self._dp_sizes(count):
+                            if covered + size <= count:
+                                covered += size
+                            else:
+                                break
+                        rem = count - covered
+                        if covered and 0 < rem <= tail_max:
+                            dev_count = covered
                     off = 0
-                    for size in self._dp_sizes(count):
-                        take = min(size, count - off)
+                    for size in self._dp_sizes(dev_count):
+                        take = min(size, dev_count - off)
                         if take <= 0:
                             break
                         if exact:
@@ -1256,6 +1278,16 @@ class BatchPipelineEngine:
                                 (base + off, take, fut, wide)
                             )
                         off += size
+                    if dev_count < count:
+                        s0, s1 = base + dev_count, base + count
+                        _xfer_add(candidates=count - dev_count)
+                        for i in members:
+                            futures[i].append(
+                                ("host_range", s0)
+                                + tasks[i].run_scalar(
+                                    chunk, c_starts[s0:s1], c_lens[s0:s1]
+                                )
+                            )
                     base += count
                 for i in members:
                     disp[i] = ("single", sel, futures[i])
@@ -1429,11 +1461,25 @@ class BatchPipelineEngine:
             sel = sel[perm]
             c_starts = c_starts[perm]
             c_lens = c_lens[perm]
+        tail_max = _scalar_tail_max() if native.AVAILABLE else 0
         base = 0
         for count, p2 in lanes:
+            dev_count = count
+            if 0 < tail_max < count:
+                covered = 0
+                for size in self._dp_sizes(count):
+                    if covered + size <= count:
+                        covered += size
+                    else:
+                        break  # the padded tail batch
+                rem = count - covered
+                if covered and 0 < rem <= tail_max:
+                    # decomposition remainder: zero-wire scalar lane
+                    # instead of a padded min_dp_batch dispatch
+                    dev_count = covered
             off = 0
-            for size in self._dp_sizes(count):
-                take = min(size, count - off)
+            for size in self._dp_sizes(dev_count):
+                take = min(size, dev_count - off)
                 if take <= 0:
                     break
                 if exact:
@@ -1460,6 +1506,15 @@ class BatchPipelineEngine:
                     pass
                 futures.append((base + off, take, fut, wide))
                 off += size
+            if dev_count < count:
+                s0, s1 = base + dev_count, base + count
+                _xfer_add(candidates=count - dev_count)
+                futures.append(
+                    ("host_range", s0)
+                    + task.run_scalar(
+                        chunk, c_starts[s0:s1], c_lens[s0:s1]
+                    )
+                )
             base += count
         if host_tail:
             futures.append(

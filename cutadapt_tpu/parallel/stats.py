@@ -5,18 +5,26 @@ When a device mesh is active, the engine's mergeable statistics —
 per-adapter-end (removed-length x errors) histograms, adjacent-base
 counts, written-length histograms and filter counters — accumulate in
 device-resident buffers. Per-chunk event arrays are uploaded sharded
-over the mesh's batch axis, every device bins its own shard, and
-``jax.lax.psum`` reduces the bins into a replicated running buffer.
-One device-to-host transfer at end of run folds the totals into the
-same host Statistics objects the single-device path uses
+over the mesh's batch axis and every device bins its own shard into
+its own partial buffer — the per-chunk accumulate programs contain NO
+collective, so they never rendezvous with the engine's in-flight
+asynchronous DP dispatches (an all-reduce launched while the device
+queue holds other multi-device programs can starve waiting for
+partition threads — observed as an XLA:CPU InProcessCommunicator
+termination abort on the 8-virtual-device test mesh). One
+``jax.lax.psum`` per buffer at ``fold()`` time — after the drive has
+drained, when the device is quiescent — reduces the partials, and one
+device-to-host transfer folds the totals into the same host
+Statistics objects the single-device path uses
 (EndStatistics.record_removal(count=...) etc.), so report rendering
 is identical.
 
 This is the multi-host reduction contract: per-read data never leaves
-its shard; only fixed-shape counter tensors ride the collective. It
-mirrors the reference's mergeable-Statistics pipe protocol
-(/root/reference/src/cutadapt/report.py:81-126, runners.py:275-412)
-with an XLA collective instead of pickled objects over pipes.
+its shard; only fixed-shape counter tensors ride the collective, and
+only once per run. It mirrors the reference's mergeable-Statistics
+pipe protocol (/root/reference/src/cutadapt/report.py:81-126,
+runners.py:275-412) with an XLA collective instead of pickled objects
+over pipes.
 """
 
 from typing import Callable, Dict, Optional, Tuple
@@ -60,6 +68,7 @@ class DeviceStatsReducer:
         self._folds: Dict[object, Callable] = {}
         self._shapes: Dict[object, Tuple[int, ...]] = {}
         self._fns: Dict[Tuple, Callable] = {}
+        self._fold_fns: Dict[int, Callable] = {}
 
     # --- jitted accumulate programs ------------------------------------
 
@@ -72,30 +81,35 @@ class DeviceStatsReducer:
         import jax.numpy as jnp
 
         mesh = self.mesh
+        # With a mesh, `buf` carries a leading per-device partial axis
+        # (sharded over the mesh); each shard_map block sees [1, *shape]
+        # and adds only its local shard's bins. No collective here —
+        # these programs run concurrently with async DP dispatches, and
+        # a per-add all-reduce can deadlock against them (see module
+        # docstring). The cross-device psum happens once, in fold().
 
         if kind == "hist2d":
 
             def body(buf, rows, cols, valid):
-                local = jnp.zeros_like(buf).at[rows, cols].add(valid)
-                if mesh is not None:
-                    local = jax.lax.psum(local, mesh.axis_names[0])
-                return buf + local
+                local = (
+                    jnp.zeros(buf.shape[buf.ndim - 2:], buf.dtype)
+                    .at[rows, cols].add(valid)
+                )
+                return buf + (local if mesh is None else local[None])
 
         elif kind == "hist1d":
 
             def body(buf, rows, valid):
-                local = jnp.zeros_like(buf).at[rows].add(valid)
-                if mesh is not None:
-                    local = jax.lax.psum(local, mesh.axis_names[0])
-                return buf + local
+                local = (
+                    jnp.zeros(buf.shape[buf.ndim - 1:], buf.dtype)
+                    .at[rows].add(valid)
+                )
+                return buf + (local if mesh is None else local[None])
 
         else:  # count
 
             def body(buf, valid):
-                local = jnp.sum(valid, dtype=jnp.int32)
-                if mesh is not None:
-                    local = jax.lax.psum(local, mesh.axis_names[0])
-                return buf + local
+                return buf + jnp.sum(valid, dtype=jnp.int32)
 
         if mesh is None:
             fn = jax.jit(body, donate_argnums=0)
@@ -103,32 +117,65 @@ class DeviceStatsReducer:
             from jax.sharding import PartitionSpec as P
 
             ax = mesh.axis_names[0]
+            nones = (None,) * len(shape)
             n_in = {"hist2d": 3, "hist1d": 2, "count": 1}[kind]
             fn = jax.jit(
                 jax.shard_map(
                     body,
                     mesh=mesh,
-                    in_specs=(P(),) + (P(ax),) * n_in,
-                    out_specs=P(),
+                    in_specs=(P(ax, *nones),) + (P(ax),) * n_in,
+                    out_specs=P(ax, *nones),
                 ),
                 donate_argnums=0,
             )
         self._fns[key] = fn
         return fn
 
+    def _fold_fn(self, ndim: int):
+        """One psum per buffer at fold() time (device quiescent): the
+        sharded [devices, *shape] partials reduce to a replicated
+        total. This is the only collective the reducer runs."""
+        fn = self._fold_fns.get(ndim)
+        if fn is not None:
+            return fn
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.mesh
+        ax = mesh.axis_names[0]
+        nones = (None,) * ndim
+
+        def body(block):
+            return jax.lax.psum(block, ax)
+
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(ax, *nones),),
+                out_specs=P(None, *nones),
+            )
+        )
+        self._fold_fns[ndim] = fn
+        return fn
+
     # --- buffer management ---------------------------------------------
 
     def _buffer(self, key, shape: Tuple[int, ...], fold: Callable):
-        """The running buffer for `key`, grown to cover `shape`."""
+        """The running buffer for `key`, grown to cover `shape`.
+        `shape` is the logical histogram shape; with a mesh the
+        physical buffer carries a leading per-device partial axis."""
         import jax.numpy as jnp
 
+        m = self.mesh.size if self.mesh is not None else 0
         cur = self._bufs.get(key)
         if cur is None:
             self._folds[key] = fold
             self._shapes[key] = shape
-            buf = jnp.zeros(shape, jnp.int32)
-            if self.mesh is not None:
-                buf = self._replicate(buf)
+            phys = ((m,) + shape) if m else shape
+            buf = jnp.zeros(phys, jnp.int32)
+            if m:
+                buf = self._shard_partials(buf, shape)
             self._bufs[key] = buf
             return buf
         old_shape = self._shapes[key]
@@ -137,20 +184,27 @@ class DeviceStatsReducer:
         new_shape = tuple(
             max(n, o) for n, o in zip(shape, old_shape)
         )
-        grown = np.zeros(new_shape, np.int32)
-        grown[tuple(slice(0, o) for o in old_shape)] = np.asarray(cur)
+        grown = np.zeros(((m,) + new_shape) if m else new_shape,
+                         np.int32)
+        region = tuple(slice(0, o) for o in old_shape)
+        if m:
+            region = (slice(None),) + region
+        grown[region] = np.asarray(cur)
         buf = jnp.asarray(grown)
-        if self.mesh is not None:
-            buf = self._replicate(buf)
+        if m:
+            buf = self._shard_partials(buf, new_shape)
         self._bufs[key] = buf
         self._shapes[key] = new_shape
         return buf
 
-    def _replicate(self, arr):
+    def _shard_partials(self, arr, shape: Tuple[int, ...]):
+        """Per-device partial buffers: leading axis over the mesh."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        ax = self.mesh.axis_names[0]
         return self._jax.device_put(
-            arr, NamedSharding(self.mesh, P(*([None] * arr.ndim)))
+            arr,
+            NamedSharding(self.mesh, P(ax, *([None] * len(shape)))),
         )
 
     def _shard(self, arr):
@@ -220,11 +274,17 @@ class DeviceStatsReducer:
     # --- final fold -------------------------------------------------------
 
     def fold(self) -> None:
-        """One D2H fetch per buffer; fold totals into the host objects
-        and clear. Every fold callback receives a numpy array (or a
-        python int for 'count' keys)."""
+        """One psum (mesh only) + one D2H fetch per buffer; fold
+        totals into the host objects and clear. Every fold callback
+        receives a numpy array (or a python int for 'count' keys).
+        Callers invoke this after the drive has drained, so the
+        fold-time collective never competes with in-flight work."""
         for key, buf in self._bufs.items():
-            arr = np.asarray(buf)
+            if self.mesh is not None:
+                ndim = len(self._shapes[key])
+                arr = np.asarray(self._fold_fn(ndim)(buf))[0]
+            else:
+                arr = np.asarray(buf)
             self._folds[key](arr if arr.ndim else int(arr))
         self._bufs.clear()
         self._folds.clear()

@@ -527,3 +527,34 @@ def test_long_reads_use_wide_result_format():
         data, [AdapterStage([AdapterTask(back_dev, "back", 0)])]
     )
     assert got == expected
+
+
+def test_scalar_tail_lane_parity(monkeypatch):
+    """The decomposition-remainder scalar lane (CUTADAPT_TPU_SCALAR_TAIL)
+    must be invisible: same output and found-geometry as padded device
+    dispatch of the tail rows."""
+    from cutadapt_tpu.batch_pipeline import (
+        reset_xfer_counters, xfer_counters,
+    )
+
+    rng = random.Random(23)
+    data = make_reads(rng, 400, [ADAPTER])
+    back = BackAdapter(ADAPTER, max_errors=0.1, min_overlap=3)
+    outs = {}
+    rows = {}
+    for tail in ("0", "100"):
+        monkeypatch.setenv("CUTADAPT_TPU_SCALAR_TAIL", tail)
+        reset_xfer_counters()
+        outs[tail] = run_engine(
+            data,
+            [AdapterStage([AdapterTask(
+                BackAdapter(ADAPTER, max_errors=0.1, min_overlap=3),
+                "back", 0)])],
+        )[0]
+        rows[tail] = xfer_counters()["dp_rows"]
+    assert outs["0"] == outs["100"]
+    assert rows["100"] < rows["0"], rows  # the tail actually engaged
+    expected = host_expected(
+        data, [AdapterCutter([back])], lambda r, info: True
+    )
+    assert outs["100"] == expected
