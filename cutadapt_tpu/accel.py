@@ -768,6 +768,20 @@ def _stages_assembler(stages):
         suffix = (rc_stage.suffix or "").encode("ascii")
 
         def fn(chunk, ws, we, mask, stats):
+            if stats and stats.get("rc_selected"):
+                # the paired drive materialized the chosen-orientation
+                # chunk already (per-side rc with downstream
+                # consumers); assemble it plain, honoring a
+                # mask/lowercase rc action via the published remainder
+                tm = _TRANSFORM_MODES.get(stats.get("transform_action"))
+                if tm is not None:
+                    rs, re_ = stats["remainder"]
+                    return native.assemble_fastq_transform(
+                        chunk.buf, chunk.head_start, chunk.head_end,
+                        chunk.seq_start, chunk.qual_start,
+                        ws, we, rs, re_, mask, tm,
+                    )
+                return assemble_window(chunk, ws, we, mask)
             return native.assemble_fastq_window_rc(
                 chunk.buf, stats["rc_chunk"].buf, chunk.head_start,
                 chunk.head_end, chunk.seq_start, chunk.qual_start,
@@ -2027,9 +2041,9 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
         if has_special and not isinstance(st[-1], AdapterStage):
             return None
         # (transforms with interleaved input are fine: renders and the
-        # interleaved writer read the remainder from the stats)
-        if rc_side and interleaved:
-            return None
+        # interleaved writer read the remainder from the stats; per-
+        # side rc is fine too — the drive materializes the selected
+        # chunk, so the combined chunk is rebuilt from it)
     if fasta:
         from .batch_pipeline import NextseqStage, QualityStage
 
@@ -2041,6 +2055,12 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
             return None
         if any(z is not None for z in zero_caps):
             return None
+        for st in (stages1, stages2):
+            rc_st = _revcomp_stage(st)
+            if rc_st is not None:
+                # FASTA chunks alias quality offsets to the sequence:
+                # the rc copy must complement sequences only
+                rc_st.has_quals = False
 
     from .steps import (
         CombinatorialDemultiplexer,
@@ -2083,8 +2103,10 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
             # chunks carry.
             if pair_filters or sink is not None:
                 return None
-            if _revcomp_stage(stages1) is not None:
-                return None  # per-side rc (API-only): host path
+            # (per-side rc rides like the single-end path: rows slice
+            # the orientation-selected chunk the drive materializes,
+            # and info rows carry its is_rc flags in the trailing
+            # column)
 
             def _linked_rc(s):
                 return (
@@ -2103,8 +2125,6 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
             if isinstance(step, PairedInfoFileWriter):
                 if fasta:
                     return None  # info rows include quality columns
-                if _revcomp_stage(stages2) is not None:
-                    return None
                 if (
                     side_files["info"] is not None
                     or side_files["info2"] is not None
@@ -2150,11 +2170,9 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
                 and (rc_pair is None or rc_pair[0] is None)
             ):
                 return None
-            if any(
-                _revcomp_stage(st) is not None
-                for st in (stages1, stages2)
-            ):
-                return None  # --revcomp demux routing: host path
+            # (per-side rc routes fine: last_adapter_gid carries the
+            # chosen orientation's match and the renders read the
+            # materialized selected chunk)
             writers = list(step._writers.values())
             untrimmed = getattr(step, "_untrimmed_writer", None)
             if untrimmed is not None:
@@ -2193,69 +2211,26 @@ def _translate_paired(pipeline, interleaved=False, fasta=False):
         pair_filters.append((step, t1, t2, step._pair_filter_mode))
     if sink is None:
         return None
-    # content predicates on a revcomped side would read forward bytes
-    # (per-side rc in a paired pipeline is API-only; the CLI builds
-    # rc_pair). mask/lowercase actions are fine: _pair_condition
-    # adjusts the mask-mode N count via the remainder interval, and
-    # neither transform touches the quality string.
-    content_kinds = ("too_many_n", "too_many_expected_errors",
-                     "too_high_average_error_rate")
-    for st in (stages1, stages2):
-        if _revcomp_stage(st) is None:
-            continue
-        for _, t1, t2, _mode in pair_filters:
-            for t in (t1, t2):
-                if t is not None and t[0] in content_kinds:
-                    return None
-    # interleaved writers (sink or filter outputs) assemble plain
-    # windows from the combined chunk: transforms, per-read revcomp
-    # and the paired-revcomp swap stay host-path with them
-    inter_writers = [
-        w
-        for w in (
-            [sink.writer] if hasattr(sink, "writer") else []
-        ) + [step.writer for step, _t1, _t2, _m in pair_filters]
-        if isinstance(w, InterleavedSequenceWriter)
-    ]
-    if inter_writers:
-        # (rc_pair and transforms are fine: emit rebuilds the combined
-        # chunk from the orientation-selected slots, and the
-        # interleaved writer applies mask/lowercase via the per-side
-        # remainder intervals from the stats. Per-side rc is API-only
-        # and keeps its gate: its suffix-at-write assembler has no
-        # interleaved form)
-        if any(
-            _revcomp_stage(st) is not None for st in (stages1, stages2)
-        ):
-            return None
-    any_edits = any(side_edits) or any(z is not None for z in zero_caps)
-    if any_edits:
-        if any(
-            _revcomp_stage(st) is not None for st in (stages1, stages2)
-        ):
-            return None
-        # (zero-cap + expected-error filters and name edits + casava
-        # need no gates here: the paired drive caps and edits each
-        # side's chunk before the pair filters are evaluated, matching
-        # the host's modifier-then-step order. rc_pair is fine too:
-        # edits apply to the orientation-selected slots, after the
-        # ' rc' suffix, like the host's modifier order. --rename is
-        # fine as well: emit edits headers per side first, then
-        # renames — the renamer sees the edited names, like the host's
-        # modifier order; -x/-y with --rename is a CLI usage error)
+    # (content predicates on a revcomped side are fine: the paired
+    # drive materializes each side's chosen-orientation chunk before
+    # the pair filters are evaluated, so filter_condition reads the
+    # post-modifier bytes. mask/lowercase actions are fine too:
+    # _pair_condition adjusts the mask-mode N count via the remainder
+    # interval, and neither transform touches the quality string.)
+    # (interleaved writers are fine with per-side rc as well: the
+    # combined chunk is rebuilt from the orientation-selected per-side
+    # chunks whenever a side's chunk was replaced)
+    # name/quality edits after a per-side rc stage see the selected
+    # chunk with its ' rc' suffix — the host's modifier order
     if rename is not None:
         # mask/lowercase actions are fine with --rename (with or
-        # without the paired-revcomp swap): the rename fields slice
-        # the chunk's original bytes ({match_sequence} is the
-        # match-time sequence, pre-transform, like the host's match
-        # objects) and the transform happens at write time, reading
-        # the remainder by per-read relative coordinates that hold
-        # against the renamed chunk. Per-side rc stays gated
-        # (API-only)
-        if any(
-            _revcomp_stage(st) is not None for st in (stages1, stages2)
-        ):
-            return None
+        # without the paired-revcomp swap or per-side rc): the rename
+        # fields slice the chunk's match-time bytes ({match_sequence}
+        # is the match-time sequence, pre-transform, like the host's
+        # match objects — for rc-chosen reads the selected chunk IS
+        # the match-time read) and the transform happens at write
+        # time, reading the remainder by per-read relative coordinates
+        # that hold against the renamed chunk.
         rename_scan = list((stages1, stages2))
         if rc_pair is not None:
             rename_scan.append([s for s in rc_pair[:2] if s is not None])
@@ -2972,6 +2947,7 @@ def _run_paired(
     engine2 = BatchPipelineEngine(stages2)
     assemble1 = _stages_assembler(stages1)
     assemble2 = _stages_assembler(stages2)
+    rc_side_stages = (_revcomp_stage(stages1), _revcomp_stage(stages2))
     side_stage1 = next(
         (s for s in stages1 if hasattr(s, "flat_adapters")), None
     )
@@ -3164,6 +3140,31 @@ def _run_paired(
         ws1, we1, _, stats1 = engine1.collect(pend1)
         ws2, we2, _, stats2 = engine2.collect(pend2)
         c1, c2 = pend1.parsed, pend2.parsed
+        # per-side rc stages (API-built ReverseComplementer on one
+        # side): materialize each side's chosen-orientation chunk once
+        # per batch, before anything downstream reads bytes — side
+        # files, pair predicates, demux routing, edits, renders all
+        # then see the post-modifier read like the host does
+        # (reference modifiers.py:270-288 runs the rc choice inside
+        # the modifier chain)
+        for side_i, (rc_st, stats_s) in enumerate(
+            zip(rc_side_stages, (stats1, stats2))
+        ):
+            if rc_st is None or "is_rc" not in stats_s:
+                continue
+            chunk_s = (c1, c2)[side_i]
+            rc = stats_s["rc_chunk"]
+            sel = _select_paired_chunk(
+                chunk_s, 0, rc, len(chunk_s.buf),
+                np.concatenate([chunk_s.buf, rc.buf]),
+                stats_s["is_rc"], rc_st.suffix or "",
+            )
+            stats_s["rc_selected"] = True
+            stats_s["side_rc_flags"] = stats_s["is_rc"]
+            if side_i == 0:
+                c1 = sel
+            else:
+                c2 = sel
         m1 = stats1["matched_mask"]
         m2 = stats2["matched_mask"]
         if pair_stage is not None:
