@@ -34,18 +34,22 @@ selects the orientation before editing), and --pair-adapters with
 --wildcard-file, and paired --revcomp with side files (the reference
 info-row quirk — walking the physical side's read reverse-
 complemented while the matches came from the swapped partner — is
-reproduced via _rc_walk_chunk). The remaining host-only combinations
-are noted at their gates and are not CLI-constructible: side files
-after a filter step, and per-side rc stages in paired pipelines
-(API-only; the CLI builds PairedReverseComplementer). The engine
+reproduced via _rc_walk_chunk), and per-side ReverseComplementer
+stages in paired pipelines (API-only; the CLI builds
+PairedReverseComplementer) with side files / demux / name edits /
+interleaved IO stacked on top (tests/test_accel_perside_rc.py). The
+one remaining host-only combination is noted at its gate and is not
+CLI-constructible: side files after a filter step. The engine
 updates the very same modifier/step statistics objects the host path
 would, so reports are identical; tests/test_accel.py asserts this per
 configuration (plus tools/fuzz_parity.py over randomized configs),
 and the whole golden suite passes with CUTADAPT_TPU_BATCH=1 forced
 (tests/test_batch_forced.py keeps that true in CI).
 
-Activation policy: CUTADAPT_TPU_BATCH=1 forces it on, =0 off; auto
-mode activates for inputs large enough that device compile time
+Activation policy: CUTADAPT_TPU_BATCH=1 forces it on, =0 off;
+=require forces it on AND raises BatchRequiredError instead of
+silently falling back (the CI enforcement mode — see FALLBACK_COUNT);
+auto mode activates for inputs large enough that device compile time
 amortizes. jax imports lazily so small runs never pay for it.
 
 Drivers: at -j 1 a 3-stage thread pipeline (reader / dispatch /
@@ -69,6 +73,38 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 from .report import Statistics
+
+
+class BatchRequiredError(Exception):
+    """CUTADAPT_TPU_BATCH=require was set but the run cannot ride the
+    batch engine. Raised instead of silently taking the (byte-identical)
+    host path, so CI lanes can *enforce* the zero-fallback property
+    rather than staying green when a gate regresses."""
+
+
+# Fallback accounting: bumped whenever try_run_accelerated declines a
+# run that the activation policy admitted (the caller then takes the
+# host path). Exposed so tests and bench can assert the zero-fallback
+# property instead of trusting the docs; reset-free by design — read a
+# before/after delta.
+FALLBACK_COUNT = 0
+LAST_FALLBACK: Optional[str] = None
+
+
+def _fallback(reason: str) -> None:
+    """Record a batch-engine fallback and return None (the host path
+    runs instead). Under CUTADAPT_TPU_BATCH=require, escalate to
+    BatchRequiredError instead."""
+    global FALLBACK_COUNT, LAST_FALLBACK
+    FALLBACK_COUNT += 1
+    LAST_FALLBACK = reason
+    logger.debug("batch engine fallback: %s", reason)
+    if os.environ.get("CUTADAPT_TPU_BATCH") == "require":
+        raise BatchRequiredError(
+            "CUTADAPT_TPU_BATCH=require, but this run cannot ride the "
+            "batch engine: " + reason
+        )
+    return None
 
 # Auto-activation: inputs at least this large (estimated DECOMPRESSED
 # bytes, see _estimated_raw_size) take the device path without
@@ -1463,7 +1499,7 @@ def _estimated_raw_size(name) -> int:
 
 def _activation_allowed(infile) -> bool:
     env = os.environ.get("CUTADAPT_TPU_BATCH")
-    if env == "1":
+    if env in ("1", "require"):
         return True
     if env == "0":
         return False
@@ -1579,22 +1615,27 @@ def try_run_accelerated(
         return _run_single(pipeline, infiles, progress, cores)
     if isinstance(pipeline, PairedEndPipeline):
         return _run_paired(pipeline, infiles, progress, cores)
-    return None
+    return _fallback(f"unsupported pipeline type {type(pipeline).__name__}")
 
 
 def _run_single(
     pipeline, infiles, progress, cores: int = 1
 ) -> Optional[Statistics]:
     if infiles.interleaved or len(infiles._files) != 1:
-        return None
+        return _fallback("single-end pipeline over interleaved/multi-file input")
     infile = infiles._files[0]
+    if not _activation_allowed(infile):
+        return None  # auto-mode policy decline (small input), not a fallback
     fmt = _input_format(infile)
-    if not _activation_allowed(infile) or fmt is None:
-        return None
+    if fmt is None:
+        return _fallback("input is not a parseable FASTQ/FASTA/BAM file")
     fasta_in = fmt == "fasta"
     translated = _translate_single(pipeline, fasta=fasta_in)
     if translated is None:
-        return None
+        return _fallback(
+            "a modifier/step combination the engine does not express "
+            "(single-end; run with --debug to see the gate)"
+        )
     stages, filters, cutter = (
         translated.stages, translated.filters, translated.cutter
     )
@@ -2901,24 +2942,27 @@ def _run_paired(
     interleaved_in = infiles.interleaved
     if interleaved_in:
         if len(infiles._files) != 1:
-            return None
+            return _fallback("interleaved input with multiple files")
         f1, f2 = infiles._files[0], None
     else:
         if len(infiles._files) != 2:
-            return None
+            return _fallback("paired pipeline without exactly two input files")
         f1, f2 = infiles._files
     if not _activation_allowed(f1):
-        return None
+        return None  # auto-mode policy decline (small input), not a fallback
     fmt1 = _input_format(f1)
     if interleaved_in:
         if fmt1 not in ("fastq", "fasta"):
-            return None
+            return _fallback("interleaved input is not parseable FASTQ/FASTA")
     elif fmt1 not in ("fastq", "fasta") or _input_format(f2) != fmt1:
-        return None
+        return _fallback("paired inputs are not matching FASTQ/FASTA files")
     fasta_in = fmt1 == "fasta"
     translated = _translate_paired(pipeline, interleaved_in, fasta=fasta_in)
     if translated is None:
-        return None
+        return _fallback(
+            "a modifier/step combination the engine does not express "
+            "(paired; run with --debug to see the gate)"
+        )
     stages1, stages2 = translated.stages1, translated.stages2
     cutters, pair_filters = translated.cutters, translated.pair_filters
     sink, pair_stage = translated.sink, translated.pair_stage
@@ -2936,7 +2980,8 @@ def _run_paired(
     from .io.records import FileFormatError
 
     if not native.AVAILABLE:
-        return None  # the paired name check needs the native lib
+        # the paired name check needs the native lib
+        return _fallback("native host-ops library unavailable")
 
     from .steps import CombinatorialDemultiplexer, PairedDemultiplexer
 

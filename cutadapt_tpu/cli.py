@@ -68,6 +68,7 @@ from cutadapt_tpu.predicates import (
 )
 from cutadapt_tpu.qualtrim import HasNoQualities
 from cutadapt_tpu.report import Statistics, full_report, minimal_report
+from cutadapt_tpu.accel import BatchRequiredError
 from cutadapt_tpu.runners import SerialPipelineRunner, make_runner
 from cutadapt_tpu.steps import (
     CombinatorialDemultiplexer, Demultiplexer, InfoFileWriter,
@@ -1254,8 +1255,13 @@ def _device_path_worth_trying(args, input_paths: InputPaths) -> bool:
     reopens every output, which must not close stdout mid-run)."""
     import os
 
-    if os.environ.get("CUTADAPT_TPU_BATCH") == "0":
+    batch_env = os.environ.get("CUTADAPT_TPU_BATCH")
+    if batch_env == "0":
         return False
+    if batch_env == "require":
+        # strict mode: the engine either runs or errors — the fallback
+        # safety conditions below protect a path that must not be taken
+        return True
     if is_any_output_stdout(args):
         return False
     return all(
@@ -1404,6 +1410,7 @@ def main(cmdlineargs) -> Statistics:
         UnknownFileFormat,
         FileFormatError,
         CommandLineError,
+        BatchRequiredError,
     ) as e:
         logger.debug("Command line error. Traceback:", exc_info=True)
         logger.error("%s", e)

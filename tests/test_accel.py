@@ -1932,3 +1932,44 @@ def test_fastpath_device_prefilter_parity(tmp_path, monkeypatch):
     assert outs["1"] == outs["0"]
     assert cands["1"] == 1000  # every read shipped
     assert cands["0"] < 1000  # host gate rejected some
+
+
+def test_batch_require_mode_errors_on_regated_combo(tmp_path, monkeypatch):
+    """CUTADAPT_TPU_BATCH=require turns a silent fallback into a hard
+    error: deliberately re-gate single-end translation and assert the
+    run FAILS (exit 1) instead of quietly passing on the host path, and
+    that the fallback counter moved — this is what makes the forced
+    golden lane (tests/test_batch_forced.py) actually enforce the
+    zero-fallback property."""
+    import cutadapt_tpu.accel as accel_mod
+
+    inputs = make_reads(tmp_path / "in.fastq", paired=False)
+    monkeypatch.setattr(accel_mod, "_translate_single",
+                        lambda *a, **k: None)
+    argv = ["--quiet", "-a", "a1=" + A3,
+            "-o", str(tmp_path / "out.fastq")] + [str(p) for p in inputs]
+
+    # BATCH=1: the re-gated combo silently falls back, run succeeds
+    monkeypatch.setenv("CUTADAPT_TPU_BATCH", "1")
+    before = accel_mod.FALLBACK_COUNT
+    main(list(argv))
+    assert accel_mod.FALLBACK_COUNT == before + 1
+    assert "does not express" in accel_mod.LAST_FALLBACK
+
+    # BATCH=require: the same combo is a hard error (exit code 1)
+    monkeypatch.setenv("CUTADAPT_TPU_BATCH", "require")
+    with pytest.raises(SystemExit) as excinfo:
+        main(list(argv))
+    assert excinfo.value.code == 1
+
+
+def test_batch_require_mode_passes_eligible_run(tmp_path, monkeypatch):
+    """require mode behaves exactly like BATCH=1 for expressible runs."""
+    spy = _spy_engagement(monkeypatch)
+    inputs = make_reads(tmp_path / "in.fastq", paired=False)
+    monkeypatch.setenv("CUTADAPT_TPU_BATCH", "require")
+    out = tmp_path / "out.fastq"
+    main(["--quiet", "-a", "a1=" + A3, "-o", str(out)]
+         + [str(p) for p in inputs])
+    assert spy.get("engaged")
+    assert out.stat().st_size > 0
